@@ -1,0 +1,94 @@
+"""Typed runtime configuration for the simulator.
+
+One config object covers everything that was split across argp options,
+``simulator_t`` runtime state and compile-time #defines in the reference
+(help.h:20-53, gps-sim.h:56-85, gps.h:17-21): sample rate, carrier-phase
+mode, sample format, sink, scenario timing, motion, iono/almanac toggles,
+oscillator ppb error, and the TPU execution mode.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+from .core.constants import DEFAULT_TX_SAMPLERATE, MAX_CHAN
+from .core.gpstime import DateTime
+
+
+class SampleFormat(enum.Enum):
+    SC08 = 8  # int8, accumulator >> 4 (gps.c:2844)
+    SC16 = 16  # int16 raw accumulator
+
+
+class CarrierMode(enum.Enum):
+    FLOAT = "float"  # double carrier phase (FLOAT_CARR_PHASE, gps.h:17)
+    INT_NCO = "int_nco"  # 9.16 fixed-point NCO (gps.h:221-223) — exact & fast
+
+
+class SynthBackend(enum.Enum):
+    NUMPY = "numpy"  # float64 host reference path (parity oracle)
+    JAX = "jax"  # XLA two-stage integer kernel (CPU/TPU)
+    PALLAS = "pallas"  # fused Pallas TPU kernel
+
+
+@dataclass
+class LocationConfig:
+    lat: float = 35.681298
+    lon: float = 139.766247
+    height: float = 10.0
+
+
+@dataclass
+class TargetConfig:
+    distance: float = 0.0
+    bearing_millideg: float = 0.0  # bearing*1000 (gps-sim.c:148)
+    height: float = 0.0
+    valid: bool = False
+
+
+@dataclass
+class SimConfig:
+    # Signal plan
+    sample_rate: int = DEFAULT_TX_SAMPLERATE
+    sample_format: SampleFormat = SampleFormat.SC08
+    carrier_mode: CarrierMode = CarrierMode.FLOAT
+    num_channels: int = MAX_CHAN
+
+    # Scenario
+    nav_file: str | None = None
+    rinex_version: int = 2
+    start: DateTime | None = None  # None → first toc in the nav file
+    time_overwrite: bool = False  # "--start now" relocation
+    duration_sec: float = 300.0
+    location: LocationConfig = field(default_factory=LocationConfig)
+    target: TargetConfig = field(default_factory=TargetConfig)
+    motion_file: str | None = None
+    interactive: bool = False
+
+    # Models
+    ionosphere_enable: bool = True
+    almanac_enable: bool = True
+    almanac_file: str | None = None
+    ppb: int = 0  # oscillator error; scales synthesis rate/frequency
+    pluto_gain_boost: bool = False  # reference doubles gain for Pluto (gps.c:2759)
+
+    # Execution
+    backend: SynthBackend = SynthBackend.JAX
+    parity_exact: bool = True  # mirror C quirks (xyz[0] realloc etc.)
+    verbose: bool = False
+
+    # Sink
+    sink: str = "iqfile"
+    out_file: str = "iqdata.bin"
+    fifo_depth: int = 8
+    realtime: bool = False  # pace output at wall-clock rate (TX use case)
+
+    @property
+    def samples_per_epoch(self) -> int:
+        # NUM_IQ_SAMPLES = rate / 10 (sdr.h:26); epoch is fixed at 0.1 s.
+        return self.sample_rate // 10
+
+    @property
+    def num_epochs(self) -> int:
+        return int(self.duration_sec * 10.0)

@@ -1,0 +1,168 @@
+"""Output sinks: registry + IQ file writer + null + hardware stubs.
+
+Re-design of the reference's SDR backend vtable (sdr.c:24-99): a sink
+registry keyed by name, each sink exposing init/write/close/set_gain.
+The iqfile sink (reference sdr_iqfile.c) is the primary one for parity and
+benchmark runs; hackrf/plutosdr are interface stubs carrying the reference's
+constraints (sample format forcing, gain ranges, ppb-to-LO model) so a
+hardware backend can slot in without touching the pipeline.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable
+
+import numpy as np
+
+from .fifo import BlockFifo
+
+
+class Sink:
+    """Base sink interface (reference sdr.h:36-39 four-call API)."""
+
+    name = "none"
+    forced_sample_bits: int | None = None
+    gain_range: tuple[int, int] | None = None
+
+    def init(self, cfg) -> None:  # noqa: D401
+        pass
+
+    def write(self, block: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+    def set_gain(self, gain: int) -> int:
+        return gain
+
+
+class NullSink(Sink):
+    """Discard output (throughput benchmarking)."""
+
+    name = "none"
+
+    def __init__(self):
+        self.blocks = 0
+        self.samples = 0
+
+    def write(self, block: np.ndarray) -> None:
+        self.blocks += 1
+        self.samples += len(block) // 2
+
+
+class IqFileSink(Sink):
+    """Stream quantized IQ blocks to a binary file (reference sdr_iqfile.c).
+
+    A writer thread drains a bounded FIFO so synthesis overlaps file I/O,
+    mirroring the reference's producer/consumer split.
+    """
+
+    name = "iqfile"
+
+    def __init__(self, path: str = "iqdata.bin", fifo_depth: int = 8,
+                 threaded: bool = True):
+        self.path = path
+        self.fifo = BlockFifo(fifo_depth)
+        self.threaded = threaded
+        self._fp = None
+        self._thread: threading.Thread | None = None
+
+    def init(self, cfg=None) -> None:
+        self._fp = open(self.path, "wb")
+        if self.threaded:
+            self._thread = threading.Thread(target=self._writer, daemon=True)
+            self._thread.start()
+
+    def _writer(self) -> None:
+        while True:
+            block = self.fifo.dequeue()
+            if block is None:
+                return
+            block.tofile(self._fp)
+
+    def write(self, block: np.ndarray) -> None:
+        if self._fp is None:
+            self.init()
+        if self.threaded:
+            self.fifo.enqueue(block)
+        else:
+            block.tofile(self._fp)
+
+    def close(self) -> None:
+        if self.threaded and self._thread is not None:
+            # Let the writer drain before halting.
+            while self.fifo.depth_used:
+                import time
+
+                time.sleep(0.001)
+            self.fifo.halt()
+            self._thread.join(timeout=5)
+            self._thread = None
+        if self._fp is not None:
+            self._fp.close()
+            self._fp = None
+
+
+class HackRfSink(Sink):
+    """Interface stub for HackRF TX (reference sdr_hackrf.c).
+
+    Hardware I/O is out of scope here; the stub preserves the reference's
+    contract: 8-bit samples forced (sdr_hackrf.c:44-48), TX gain clamped to
+    0-47 dB (sdr_hackrf.h:19-20), LO shifted by freq*(1e7-ppb)/1e7
+    (sdr_hackrf.c:136-138), 262144-sample transfer blocking.
+    """
+
+    name = "hackrf"
+    forced_sample_bits = 8
+    gain_range = (0, 47)
+    transfer_size = 262_144
+
+    def write(self, block: np.ndarray) -> None:
+        raise RuntimeError("hackrf hardware backend not available in this build")
+
+    def set_gain(self, gain: int) -> int:
+        return max(0, min(47, gain))
+
+
+class PlutoSink(Sink):
+    """Interface stub for ADALM-Pluto TX (reference sdr_pluto.c).
+
+    Contract: 16-bit samples forced (sdr_pluto.c:106-110), gain -80..0 dB
+    (sdr_pluto.h:39-40), same ppb LO model, and the 2x baseband gain boost
+    the engine applies for the 12-bit DAC (gps.c:2759-2763).
+    """
+
+    name = "plutosdr"
+    forced_sample_bits = 16
+    gain_range = (-80, 0)
+
+    def write(self, block: np.ndarray) -> None:
+        raise RuntimeError("plutosdr hardware backend not available in this build")
+
+    def set_gain(self, gain: int) -> int:
+        return max(-80, min(0, gain))
+
+
+_REGISTRY: dict[str, Callable[..., Sink]] = {
+    "none": NullSink,
+    "null": NullSink,
+    "iqfile": IqFileSink,
+    "hackrf": HackRfSink,
+    "plutosdr": PlutoSink,
+}
+
+
+def make_sink(name: str, **kwargs) -> Sink:
+    try:
+        factory = _REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown sink {name!r}; supported: {', '.join(sorted(_REGISTRY))}"
+        ) from None
+    return factory(**kwargs)
+
+
+def register_sink(name: str, factory: Callable[..., Sink]) -> None:
+    _REGISTRY[name] = factory

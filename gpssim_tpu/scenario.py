@@ -1,0 +1,357 @@
+"""Scenario driver: the epoch loop that turns a config into block plans.
+
+This is the re-design of the reference's GPS thread steady state
+(gps_thread_ep, gps.c:2282-2948): setup (ephemeris/almanac/time/channels),
+then one BlockPlan per 0.1 s epoch — per-channel pseudoranges, code/carrier
+phase parameters, gains, nav-message words — with nav regeneration and
+channel reallocation every 30 s. The plans feed any synth backend (NumPy
+parity path, XLA, Pallas) and are the unit of time-block parallelism.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from .config import CarrierMode, SimConfig
+from .core.almanac import Almanac, read_sem_almanac
+from .core.atmosphere import IonoUtc
+from .core.channels import ChannelTable
+from .core.constants import (
+    ANT_PAT_DB,
+    MAX_SAT,
+    PATH_LOSS_NUMERATOR,
+    R2D,
+    SECONDS_IN_HOUR,
+    SECONDS_IN_WEEK,
+    TX_FREQUENCY,
+)
+from .core.ephemeris import (
+    NavData,
+    apply_time_overwrite,
+    nav_time_span,
+    read_rinex_nav,
+    select_ephemeris_set,
+)
+from .core.frames import ltcmat, xyz2llh
+from .core.gpstime import GpsTime, date2gps, inc_gps_time, sub_gps_time
+from .core.motion import (
+    InteractiveState,
+    apply_target_offset,
+    read_user_motion,
+    static_xyz,
+)
+from .core.navmsg import eph2sbf, generate_nav_msg
+from .core.ranging import compute_code_phase, compute_range
+from .ops.plan import BlockPlan
+
+
+def _c_round(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0.0 else int(math.ceil(x - 0.5))
+
+
+@dataclass
+class ScenarioError(Exception):
+    message: str
+
+    def __str__(self) -> str:
+        return self.message
+
+
+class Simulation:
+    """Owns scenario state and yields per-epoch block plans."""
+
+    def __init__(self, cfg: SimConfig, nav: NavData | None = None):
+        self.cfg = cfg
+        self.interactive = InteractiveState()
+
+        if nav is None:
+            if cfg.nav_file is None:
+                raise ScenarioError("GPS ephemeris file is not specified")
+            nav = read_rinex_nav(cfg.nav_file, version=cfg.rinex_version)
+        if nav.neph == 0:
+            raise ScenarioError("No ephemeris available")
+        self.nav = nav
+        self.ionoutc: IonoUtc = nav.ionoutc
+        self.ionoutc.enable = cfg.ionosphere_enable
+
+        # --- trajectory -------------------------------------------------
+        llh0 = np.array(
+            [cfg.location.lat / R2D, cfg.location.lon / R2D, cfg.location.height]
+        )
+        xyz0 = static_xyz(cfg.location.lat, cfg.location.lon, cfg.location.height)
+        self.tmat = ltcmat(llh0)
+        if cfg.target.valid:
+            xyz0 = apply_target_offset(
+                xyz0,
+                llh0,
+                cfg.target.distance,
+                cfg.target.bearing_millideg,
+                cfg.target.height,
+            )
+
+        self.numd = cfg.num_epochs
+        if cfg.motion_file is not None:
+            self.xyz = read_user_motion(cfg.motion_file)
+            if len(self.xyz) > self.numd:
+                self.xyz = self.xyz[: self.numd]
+            self.numd = len(self.xyz)
+        else:
+            # Static / interactive: trajectory rows are generated on the fly.
+            self.xyz = None
+        self.xyz0 = xyz0
+
+        # --- scenario time (gps.c:2507-2608) ------------------------------
+        gmin, gmax = nav_time_span(nav)
+        if cfg.start is not None:
+            g0 = date2gps(cfg.start)
+            if cfg.time_overwrite:
+                apply_time_overwrite(nav, g0)
+            else:
+                if sub_gps_time(g0, gmin) < 0.0 or sub_gps_time(gmax, g0) < 0.0:
+                    raise ScenarioError("Invalid start time")
+        else:
+            g0 = gmin
+        self.g0 = g0
+
+        self.ieph = select_ephemeris_set(nav, g0)
+        if self.ieph < 0:
+            raise ScenarioError("No current set of ephemerides has been found")
+
+        # --- almanac ------------------------------------------------------
+        self.alm = Almanac()
+        if cfg.almanac_enable and cfg.almanac_file is not None:
+            self.alm = read_sem_almanac(cfg.almanac_file)
+        if cfg.almanac_enable and self.alm.valid:
+            for sv in range(MAX_SAT):
+                a = self.alm.sv[sv]
+                if a.valid != 0:
+                    dt = sub_gps_time(a.toa, g0)
+                    if dt < -4.0 * SECONDS_IN_WEEK or dt > 4.0 * SECONDS_IN_WEEK:
+                        raise ScenarioError("Invalid time of almanac")
+
+        # --- channels -----------------------------------------------------
+        self.channels = ChannelTable(cfg.num_channels)
+        self.grx = inc_gps_time(g0, 0.0)
+        self.channels.allocate(
+            self.alm,
+            nav.sets[self.ieph],
+            self.ionoutc,
+            self.grx,
+            self._xyz_at(0),
+            0.0,
+        )
+
+        # Receiver antenna gain pattern (gps.c:2688-2689); libm pow for parity.
+        self.ant_pat = np.array(
+            [math.pow(10.0, -db / 20.0) for db in ANT_PAT_DB]
+        )
+
+        # Oscillator error model: the reference applies ppb to the hardware
+        # LO only (sdr_hackrf.c:136-138); with no LO here it becomes an
+        # optional baseband carrier shift, off in parity mode.
+        self.f_carr_offset = 0.0
+        if cfg.ppb != 0 and not cfg.parity_exact:
+            self.f_carr_offset = TX_FREQUENCY * ((1.0e7 - cfg.ppb) / 1.0e7 - 1.0)
+
+        self.delt = 1.0 / float(cfg.sample_rate)
+        self.num_samples = cfg.samples_per_epoch
+        self.grx = inc_gps_time(self.grx, 0.1)
+        self._iumd = 1
+        self._xyz_prev = self._xyz_at(0)
+
+    # ------------------------------------------------------------------
+    def _xyz_at(self, iumd: int) -> np.ndarray:
+        if self.xyz is not None:
+            return self.xyz[iumd]
+        return self.xyz0
+
+    @property
+    def num_blocks(self) -> int:
+        return max(self.numd - 1, 0)
+
+    def set_motion(self, bearing_deg=None, velocity=None, vertical_speed=None):
+        """Runtime control hook (interactive mode key bindings)."""
+        if bearing_deg is not None:
+            self.interactive.bearing_millideg = bearing_deg * 1000.0
+        if velocity is not None:
+            self.interactive.velocity = velocity
+        if vertical_speed is not None:
+            self.interactive.vertical_speed = vertical_speed
+
+    # ------------------------------------------------------------------
+    def _plan_epoch(self, iumd: int) -> BlockPlan:
+        cfg = self.cfg
+        grx = self.grx
+
+        if cfg.interactive:
+            xyz = self.interactive.step(self._xyz_prev, self.tmat, 0.1)
+        else:
+            xyz = self._xyz_at(iumd)
+        self._xyz_prev = xyz
+
+        C = self.channels.num_channels
+        active = np.zeros(C, dtype=bool)
+        cp0 = np.zeros(C)
+        f_code = np.zeros(C)
+        carr0 = np.zeros(C)
+        f_carr = np.zeros(C)
+        carr0_i = np.zeros(C, dtype=np.uint32)
+        step_i = np.zeros(C, dtype=np.int32)
+        gain = np.zeros(C)
+        iword = np.zeros(C, dtype=np.int64)
+        ibit = np.zeros(C, dtype=np.int64)
+        icode = np.zeros(C, dtype=np.int64)
+
+        slots = self.channels.active_slots()
+        if slots:
+            svs = np.array([self.channels.chan[i].prn - 1 for i in slots])
+            rho = compute_range(
+                self.nav.sets[self.ieph],
+                self.ionoutc,
+                grx.week,
+                grx.sec,
+                xyz,
+                svs,
+            )
+            for k, slot in enumerate(slots):
+                ch = self.channels.chan[slot]
+                ch.azel = (float(rho.azel[k, 0]), float(rho.azel[k, 1]))
+
+                cps = compute_code_phase(
+                    np.int64(ch.rho0_g.week),
+                    np.float64(ch.rho0_g.sec),
+                    np.float64(ch.rho0_range),
+                    np.float64(rho.range[k]),
+                    np.int64(ch.g0.week),
+                    np.float64(ch.g0.sec),
+                    0.1,
+                )
+                ch.f_carr = float(cps.f_carr) + self.f_carr_offset
+                ch.f_code = float(cps.f_code)
+                ch.code_phase = float(cps.code_phase)
+                ch.iword = int(cps.iword)
+                ch.ibit = int(cps.ibit)
+                ch.icode = int(cps.icode)
+                ch.carr_phasestep_i = _c_round(
+                    512.0 * 65536.0 * ch.f_carr * self.delt
+                )
+                ch.rho0_g = GpsTime(int(rho.g_week[k]), float(rho.g_sec[k]))
+                ch.rho0_range = float(rho.range[k])
+                ch.rho0_rate = float(rho.rate[k])
+                ch.rho0_d = float(rho.d[k])
+                ch.rho0_iono = float(rho.iono_delay[k])
+
+                # Signal gain: path loss x antenna pattern (gps.c:2748-2763).
+                path_loss = PATH_LOSS_NUMERATOR / float(rho.d[k])
+                ibs = int((90.0 - float(rho.azel[k, 1]) * R2D) / 5.0)
+                ant_gain = self.ant_pat[ibs]
+                g = path_loss * ant_gain
+                if cfg.pluto_gain_boost:
+                    g *= 2
+                active[slot] = True
+                cp0[slot] = ch.code_phase
+                f_code[slot] = ch.f_code
+                carr0[slot] = ch.carr_phase
+                f_carr[slot] = ch.f_carr
+                carr0_i[slot] = np.uint32(ch.carr_phase_i & 0xFFFFFFFF)
+                step_i[slot] = np.int32(ch.carr_phasestep_i)
+                gain[slot] = g
+                iword[slot] = ch.iword
+                ibit[slot] = ch.ibit
+                icode[slot] = ch.icode
+
+        plan = BlockPlan(
+            num_samples=self.num_samples,
+            delt=self.delt,
+            active=active,
+            code_phase=cp0,
+            f_code=f_code,
+            carr_phase=carr0,
+            f_carr=f_carr,
+            carr_phase_i=carr0_i,
+            carr_step_i=step_i,
+            gain=gain,
+            iword=iword,
+            ibit=ibit,
+            icode=icode,
+            ca=self.channels.ca_chips(),
+            dwrd=self.channels.dwrd_array(),
+        )
+
+        # Advance the carried carrier phase to the end of this block.
+        if cfg.carrier_mode is CarrierMode.FLOAT:
+            end_phase = plan.end_carr_phase()
+            for slot in slots:
+                self.channels.chan[slot].carr_phase = float(end_phase[slot])
+        else:
+            end_phase_i = plan.end_carr_phase_i()
+            for slot in slots:
+                self.channels.chan[slot].carr_phase_i = int(end_phase_i[slot])
+
+        return plan
+
+    # ------------------------------------------------------------------
+    def _post_block(self, iumd: int) -> None:
+        """Every-30 s nav regen / ephemeris advance / reallocation
+        (gps.c:2870-2930), then advance grx."""
+        cfg = self.cfg
+        grx = self.grx
+        igrx = int(grx.sec * 10.0 + 0.5)
+
+        if igrx % 300 == 0:
+            for ch in self.channels.chan:
+                if ch.prn > 0:
+                    ch.g0, ch.ipage = generate_nav_msg(
+                        grx, ch.sbf, ch.dwrd, ch.ipage, init=False
+                    )
+
+            # Advance the ephemeris set when the next toc comes within 1 h;
+            # the reference checks only the first valid SV of the next set.
+            if self.ieph + 1 < self.nav.neph:
+                nxt = self.nav.sets[self.ieph + 1]
+                for sv in range(MAX_SAT):
+                    if nxt.vflg[sv]:
+                        dt = sub_gps_time(
+                            GpsTime(int(nxt.toc_week[sv]), float(nxt.toc_sec[sv])),
+                            grx,
+                        )
+                        if dt < SECONDS_IN_HOUR:
+                            self.ieph += 1
+                            eph = self.nav.sets[self.ieph]
+                            for ch in self.channels.chan:
+                                if ch.prn != 0:
+                                    ch.sbf = eph2sbf(
+                                        eph, ch.prn - 1, self.ionoutc, self.alm
+                                    )
+                        break
+
+            # Reference quirk: reallocation uses the *initial* position
+            # xyz[0] (gps.c:2909); fixed behind the parity flag.
+            realloc_xyz = (
+                self._xyz_at(0) if cfg.parity_exact else self._xyz_prev
+            )
+            self.channels.allocate(
+                self.alm,
+                self.nav.sets[self.ieph],
+                self.ionoutc,
+                grx,
+                realloc_xyz,
+                0.0,
+            )
+
+        self.grx = inc_gps_time(grx, 0.1)
+
+    # ------------------------------------------------------------------
+    def iter_plans(self) -> Iterator[BlockPlan]:
+        """Yield one BlockPlan per epoch, iumd = 1 .. numd-1 (gps.c:2703)."""
+        for iumd in range(1, self.numd):
+            plan = self._plan_epoch(iumd)
+            yield plan
+            self._post_block(iumd)
+
+    def current_llh(self) -> np.ndarray:
+        return xyz2llh(self._xyz_prev)

@@ -1,0 +1,28 @@
+#!/bin/sh
+# Build the reference engine as a headless golden-output oracle.
+# Stages the unmodified reference sources next to our TUI/curl stubs
+# (so #include "gui.h" resolves to the stub) and compiles with the
+# reference's own dialect/optimization flags for identical f64 behavior.
+set -e
+
+REF=${REFERENCE_DIR:-/root/reference}
+HERE=$(cd "$(dirname "$0")" && pwd)
+BUILD=${1:-$HERE/build}
+
+if [ ! -f "$REF/gps.c" ]; then
+    echo "reference sources not found at $REF" >&2
+    exit 3
+fi
+
+mkdir -p "$BUILD/curl"
+for f in gps.c gps.h gps-sim.h sdr.h fifo.c fifo.h almanac.h almanac.c; do
+    cp "$REF/$f" "$BUILD/"
+done
+cp "$HERE/gui.h" "$HERE/gui_stub.c" "$HERE/curl_stub.c" "$HERE/main_oracle.c" "$BUILD/"
+cp "$HERE/curl/curl.h" "$BUILD/curl/"
+
+cd "$BUILD"
+cc -std=c11 -Og -g -W -Wall -D_GNU_SOURCE -I. \
+    gps.c fifo.c almanac.c gui_stub.c curl_stub.c main_oracle.c \
+    -o gps-sim-oracle -lm -lpthread -lz
+echo "$BUILD/gps-sim-oracle"
