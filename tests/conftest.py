@@ -1,0 +1,53 @@
+"""Shared test fixtures.
+
+Tests run on CPU by default (JAX_PLATFORMS=cpu) with an 8-device virtual
+topology so sharding tests exercise real collectives without TPU hardware.
+Set GPSSIM_TEST_TPU=1 to run device tests on the real chip instead.
+"""
+
+import os
+import subprocess
+import sys
+
+# Must be set before jax imports anywhere in the test session.
+if not os.environ.get("GPSSIM_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FIXTURES = os.path.join(REPO, "fixtures")
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir():
+    if not os.path.exists(os.path.join(FIXTURES, "brdc_test.22n")):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "make_fixtures.py")],
+            check=True,
+        )
+    return FIXTURES
+
+
+@pytest.fixture(scope="session")
+def oracle_bin():
+    """Build the reference oracle; skip golden tests when unavailable."""
+    script = os.path.join(REPO, "tools", "oracle", "build_oracle.sh")
+    ref = os.environ.get("REFERENCE_DIR", "/root/reference")
+    if not os.path.exists(os.path.join(ref, "gps.c")):
+        pytest.skip("reference sources not available")
+    try:
+        out = subprocess.run(
+            ["sh", script], capture_output=True, text=True, check=True
+        )
+    except subprocess.CalledProcessError as e:
+        pytest.skip(f"oracle build failed: {e.stderr[-500:]}")
+    path = out.stdout.strip().splitlines()[-1]
+    return path

@@ -1,0 +1,149 @@
+"""Golden parity tests against the compiled reference simulator.
+
+The oracle (tools/oracle) is the unmodified reference engine built headless.
+Parity contract (see ops/plan.py and SURVEY §"hard parts"):
+
+* The framework replaces the reference's sequential per-sample float64
+  phase accumulation with closed forms. Their difference is O(1e-9) chips /
+  O(1e-13) cycles per block — far below any quantization boundary, but a
+  sample whose phase lands astride a chip or LUT boundary can differ.
+  Measured rate: ~1e-7 of samples, each within the reference's own
+  quantization step.
+* 8-bit output (>>4) absorbs almost all of these: short scenarios are
+  byte-identical; we assert max ≤1 LSB and ≤1e-6 differing fraction.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from gpssim_tpu.config import LocationConfig, SampleFormat, SimConfig
+from gpssim_tpu.ops.synth_numpy import quantize_iq, synth_block_numpy
+from gpssim_tpu.scenario import Simulation
+
+TOKYO = dict(lat=35.681298, lon=139.766247, height=10.0)
+
+
+def run_oracle(oracle_bin, nav, out, tmp, fixtures_dir, **kv):
+    args = [oracle_bin, nav, out] + [f"{k}={v}" for k, v in kv.items()]
+    # almanac_read_file reads ./almanac.sem
+    alm_src = os.path.join(fixtures_dir, "almanac_test.sem")
+    alm_dst = os.path.join(tmp, "almanac.sem")
+    if not os.path.exists(alm_dst):
+        import shutil
+
+        shutil.copy(alm_src, alm_dst)
+    subprocess.run(args, cwd=tmp, check=True, capture_output=True)
+    return os.path.join(tmp, out)
+
+
+def run_mine(cfg):
+    sim = Simulation(cfg)
+    bits = cfg.sample_format.value
+    return np.concatenate(
+        [quantize_iq(synth_block_numpy(p), bits) for p in sim.iter_plans()]
+    )
+
+
+def assert_parity(mine, ref_path, dtype, max_lsb=1, max_frac=1e-6):
+    ref = np.fromfile(ref_path, dtype=dtype)
+    assert len(mine) == len(ref), (len(mine), len(ref))
+    d = mine.astype(np.int32) - ref.astype(np.int32)
+    nbad = int((d != 0).sum())
+    assert np.abs(d).max() <= max_lsb, f"max diff {np.abs(d).max()}"
+    assert nbad <= max_frac * len(ref), f"{nbad} samples differ"
+
+
+@pytest.mark.golden
+def test_static_8bit(oracle_bin, fixtures_dir, tmp_path):
+    nav = f"{fixtures_dir}/brdc_test.22n"
+    ref = run_oracle(
+        oracle_bin, nav, "ref.bin", str(tmp_path), fixtures_dir,
+        duration=2, bits=8, iono=1, almanac=0, **TOKYO,
+    )
+    cfg = SimConfig(nav_file=nav, duration_sec=2.0, almanac_enable=False)
+    mine = run_mine(cfg)
+    ref_arr = np.fromfile(ref, dtype=np.int8)
+    assert np.array_equal(mine, ref_arr), "8-bit static scenario must be bit-exact"
+
+
+@pytest.mark.golden
+def test_16bit_iono_almanac(oracle_bin, fixtures_dir, tmp_path):
+    nav = f"{fixtures_dir}/brdc_test.22n"
+    ref = run_oracle(
+        oracle_bin, nav, "ref.bin", str(tmp_path), fixtures_dir,
+        duration=3, bits=16, iono=1, almanac=1, **TOKYO,
+    )
+    cfg = SimConfig(
+        nav_file=nav, duration_sec=3.0, almanac_enable=True,
+        almanac_file=f"{fixtures_dir}/almanac_test.sem",
+        sample_format=SampleFormat.SC16,
+    )
+    assert_parity(run_mine(cfg), ref, np.int16, max_lsb=3)
+
+
+@pytest.mark.golden
+def test_motion_file(oracle_bin, fixtures_dir, tmp_path):
+    nav = f"{fixtures_dir}/brdc_test.22n"
+    motion = f"{fixtures_dir}/circle_motion.csv"
+    ref = run_oracle(
+        oracle_bin, nav, "ref.bin", str(tmp_path), fixtures_dir,
+        duration=3, bits=8, iono=1, almanac=0, motion=motion,
+    )
+    cfg = SimConfig(
+        nav_file=nav, duration_sec=3.0, almanac_enable=False,
+        motion_file=motion, location=LocationConfig(0.0, 0.0, 0.0),
+    )
+    assert_parity(run_mine(cfg), ref, np.int8)
+
+
+@pytest.mark.golden
+def test_rinex3_16bit(oracle_bin, fixtures_dir, tmp_path):
+    nav = f"{fixtures_dir}/brdc_test_v3.22n"
+    ref = run_oracle(
+        oracle_bin, nav, "ref.bin", str(tmp_path), fixtures_dir,
+        duration=3, bits=16, iono=1, almanac=1, rinex3=1, **TOKYO,
+    )
+    cfg = SimConfig(
+        nav_file=nav, rinex_version=3, duration_sec=3.0,
+        almanac_enable=True, almanac_file=f"{fixtures_dir}/almanac_test.sem",
+        sample_format=SampleFormat.SC16,
+    )
+    assert_parity(run_mine(cfg), ref, np.int16, max_lsb=3)
+
+
+@pytest.mark.golden
+def test_target_offset(oracle_bin, fixtures_dir, tmp_path):
+    nav = f"{fixtures_dir}/brdc_test.22n"
+    ref = run_oracle(
+        oracle_bin, nav, "ref.bin", str(tmp_path), fixtures_dir,
+        duration=2, bits=8, iono=1, almanac=0,
+        tdist=1500.0, tbear=45.0, theight=30.0, **TOKYO,
+    )
+    from gpssim_tpu.config import TargetConfig
+
+    cfg = SimConfig(
+        nav_file=nav, duration_sec=2.0, almanac_enable=False,
+        target=TargetConfig(
+            distance=1500.0, bearing_millideg=45000.0, height=30.0, valid=True
+        ),
+    )
+    assert_parity(run_mine(cfg), ref, np.int8)
+
+
+@pytest.mark.golden
+@pytest.mark.slow
+def test_nav_regen_30s_crossing(oracle_bin, fixtures_dir, tmp_path):
+    """Cross the 30 s nav-message regeneration + reallocation boundary."""
+    nav = f"{fixtures_dir}/brdc_test.22n"
+    ref = run_oracle(
+        oracle_bin, nav, "ref.bin", str(tmp_path), fixtures_dir,
+        duration=32, bits=8, iono=1, almanac=1, **TOKYO,
+    )
+    cfg = SimConfig(
+        nav_file=nav, duration_sec=32.0, almanac_enable=True,
+        almanac_file=f"{fixtures_dir}/almanac_test.sem",
+    )
+    assert_parity(run_mine(cfg), ref, np.int8)

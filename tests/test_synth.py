@@ -1,0 +1,74 @@
+"""Synthesis kernel equivalence: JAX integer kernel vs NumPy f64 parity path."""
+
+import numpy as np
+import pytest
+
+from gpssim_tpu.config import CarrierMode, SimConfig
+from gpssim_tpu.ops.synth_numpy import quantize_iq, synth_block_numpy
+from gpssim_tpu.scenario import Simulation
+
+
+@pytest.fixture(scope="module")
+def sim_plans(fixtures_dir):
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n",
+        duration_sec=1.5,
+        almanac_enable=False,
+    )
+    sim = Simulation(cfg)
+    return list(sim.iter_plans())
+
+
+def test_jax_kernel_bit_exact(sim_plans):
+    from gpssim_tpu.ops.synth_jax import JaxBlockSynth
+
+    synth = JaxBlockSynth(num_samples=sim_plans[0].num_samples, num_channels=12)
+    for plan in sim_plans:
+        a = synth_block_numpy(plan)
+        b = synth(plan)
+        assert np.array_equal(a, b)
+
+
+def test_jax_kernel_int_nco(fixtures_dir):
+    from gpssim_tpu.ops.synth_jax import JaxBlockSynth
+
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n",
+        duration_sec=1.0,
+        almanac_enable=False,
+        carrier_mode=CarrierMode.INT_NCO,
+    )
+    sim = Simulation(cfg)
+    synth = JaxBlockSynth(
+        num_samples=cfg.samples_per_epoch, num_channels=12, int_nco=True
+    )
+    for plan in sim.iter_plans():
+        a = synth_block_numpy(plan, int_nco=True)
+        b = synth(plan)
+        assert np.array_equal(a, b)
+
+
+def test_quantize_8bit_shift():
+    x = np.array([-2048, -17, -16, -1, 0, 15, 16, 2047], dtype=np.int16)
+    q = quantize_iq(x, 8)
+    assert q.dtype == np.int8
+    # C arithmetic >>4 rounds toward -inf
+    assert q.tolist() == [-128, -2, -1, -1, 0, 0, 1, 127]
+
+
+def test_inactive_channels_silent(sim_plans):
+    plan = sim_plans[0]
+    plan2 = type(plan)(**{**plan.__dict__})
+    plan2.active = np.zeros_like(plan.active)
+    out = synth_block_numpy(plan2)
+    assert np.all(out == 0)
+
+
+def test_carr_phase_chaining(sim_plans):
+    # Block-end phase equals frac(start + N*step) for active channels.
+    p = sim_plans[0]
+    end = p.end_carr_phase()
+    man = p.carr_phase + p.num_samples * (p.f_carr * p.delt)
+    man -= np.floor(man)
+    assert np.allclose(end[p.active], man[p.active])
+    assert np.all((end >= 0) & (end < 1))

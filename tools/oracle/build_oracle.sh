@@ -15,14 +15,19 @@ if [ ! -f "$REF/gps.c" ]; then
 fi
 
 mkdir -p "$BUILD/curl"
-for f in gps.c gps.h gps-sim.h sdr.h fifo.c fifo.h almanac.h almanac.c; do
+# Engine sources verbatim; fifo.c is NOT used — the reference's fifo_enqueue
+# drops buffers under consumer lag (tail pointer never advances), which
+# would corrupt golden files. fifo_impl.c implements the same fifo.h API
+# correctly.
+for f in gps.c gps.h gps-sim.h sdr.h fifo.h almanac.h almanac.c; do
     cp "$REF/$f" "$BUILD/"
 done
-cp "$HERE/gui.h" "$HERE/gui_stub.c" "$HERE/curl_stub.c" "$HERE/main_oracle.c" "$BUILD/"
+cp "$HERE/gui.h" "$HERE/gui_stub.c" "$HERE/curl_stub.c" "$HERE/main_oracle.c" \
+   "$HERE/fifo_impl.c" "$BUILD/"
 cp "$HERE/curl/curl.h" "$BUILD/curl/"
 
 cd "$BUILD"
 cc -std=c11 -Og -g -W -Wall -D_GNU_SOURCE -I. \
-    gps.c fifo.c almanac.c gui_stub.c curl_stub.c main_oracle.c \
+    gps.c fifo_impl.c almanac.c gui_stub.c curl_stub.c main_oracle.c \
     -o gps-sim-oracle -lm -lpthread -lz
 echo "$BUILD/gps-sim-oracle"

@@ -31,17 +31,23 @@ static FILE *out_fp;
 static pthread_t writer_thread;
 static volatile int writer_stop = 0;
 
+static long blocks_written = 0;
+
 static void *writer_ep(void *arg) {
     (void)arg;
     for (;;) {
         struct iq_buf *iq = fifo_dequeue();
         if (iq == NULL)
             return NULL; /* halted */
+        size_t n;
         if (simulator.sample_size == SC16) {
-            fwrite(iq->data16, sizeof(signed short), iq->validLength, out_fp);
+            n = fwrite(iq->data16, sizeof(signed short), iq->validLength, out_fp);
         } else {
-            fwrite(iq->data8, sizeof(signed char), iq->validLength, out_fp);
+            n = fwrite(iq->data8, sizeof(signed char), iq->validLength, out_fp);
         }
+        if (n != (size_t)iq->validLength)
+            fprintf(stderr, "oracle: short write %zu/%u\n", n, iq->validLength);
+        blocks_written++;
         fifo_release(iq);
     }
 }
@@ -114,6 +120,7 @@ int main(int argc, char **argv) {
     pthread_join(writer_thread, NULL);
     fifo_destroy();
     fclose(out_fp);
+    fprintf(stderr, "oracle: blocks_written=%ld\n", blocks_written);
     (void)writer_stop;
     return simulator.gps_thread_exit ? 0 : 1;
 }
