@@ -1,0 +1,119 @@
+"""Benchmark: IQ samples/s/chip on the reference scenario, plus parity RMS.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+vs_baseline is the real-time factor at the reference's hard-wired 3.0 Msps
+(the reference is a single-core real-time generator: 1.0 = its sustained
+throughput requirement). All diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    from gpssim_tpu.config import SimConfig
+    from gpssim_tpu.ops.synth_jax import LANES, synth_blocks_batch
+    from gpssim_tpu.ops.synth_numpy import synth_block_numpy
+    from gpssim_tpu.parallel.blocks import collate_plans
+    from gpssim_tpu.scenario import Simulation
+
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    nav = os.path.join(fixtures, "brdc_test.22n")
+    if not os.path.exists(nav):
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.join("tools", "make_fixtures.py")], check=True
+        )
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    duration = float(os.environ.get("BENCH_DURATION_SEC", "60"))
+    batch_blocks = int(os.environ.get("BENCH_BATCH_BLOCKS", "50"))
+
+    cfg = SimConfig(nav_file=nav, duration_sec=duration, almanac_enable=False)
+    sim = Simulation(cfg)
+    n_rows = -(-cfg.samples_per_epoch // LANES)
+
+    # ---- plan the whole scenario (host) ----
+    t0 = time.perf_counter()
+    plans = list(sim.iter_plans())
+    plan_time = time.perf_counter() - t0
+    log(f"planned {len(plans)} blocks in {plan_time:.2f}s "
+        f"({len(plans)/max(plan_time,1e-9):.0f} blocks/s host)")
+
+    # ---- parity check: RMS vs the float64 reference path (bit-exact vs
+    # the C simulator; see tests/test_golden.py) on a few blocks ----
+    check = plans[:3]
+    batch0 = collate_plans(check)
+    out0 = np.asarray(
+        synth_blocks_batch(
+            **{k: jax.device_put(v) for k, v in batch0.args.items()},
+            n_rows=n_rows, num_samples=batch0.num_samples,
+        )
+    )
+    ref0 = np.stack([synth_block_numpy(p) for p in check])
+    d = out0.astype(np.float64) - ref0.astype(np.float64)
+    rms = float(np.sqrt(np.mean(d * d)))
+    exact = bool(np.array_equal(out0, ref0))
+    log(f"parity: rms={rms:.3e} LSB16, bit-exact={exact}")
+
+    # ---- throughput: batched device synthesis, steady state ----
+    batches = [
+        collate_plans(plans[i : i + batch_blocks])
+        for i in range(0, len(plans) - len(plans) % batch_blocks, batch_blocks)
+    ]
+    dev_batches = [
+        {k: jax.device_put(v) for k, v in b.args.items()} for b in batches
+    ]
+
+    def run(b):
+        return synth_blocks_batch(
+            **b, n_rows=n_rows, num_samples=cfg.samples_per_epoch
+        )
+
+    # warmup / compile
+    jax.block_until_ready(run(dev_batches[0]))
+
+    t0 = time.perf_counter()
+    outs = [run(b) for b in dev_batches]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+
+    n_blocks = sum(b.n_blocks for b in batches)
+    samples = n_blocks * cfg.samples_per_epoch
+    sps = samples / dt
+    log(f"{n_blocks} blocks, {samples/1e6:.0f} Msamples in {dt:.3f}s")
+
+    result = {
+        "metric": "IQ samples/s/chip (3.0 Msps L1 scenario, 12 channels)",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / 3.0e6, 2),
+        "rms_error_vs_reference_lsb16": rms,
+        "bit_exact_sample_check": exact,
+        "blocks_per_dispatch": batch_blocks,
+        "host_plan_blocks_per_s": round(len(plans) / max(plan_time, 1e-9), 1),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

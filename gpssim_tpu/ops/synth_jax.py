@@ -278,18 +278,61 @@ def _lane_samples(bases, cstep_q, kstep_q, gain_a, gain_b):
     return i_acc, q_acc
 
 
+def accumulate_block(
+    code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b,
+    n_rows: int,
+):
+    """Raw int32 channel-summed accumulators for one block.
+
+    Returned pre-quantization so a channel-sharded mesh can psum partial
+    accumulators across devices exactly (integer addition is associative).
+    """
+    bases = _row_bases(
+        code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, n_rows
+    )
+    return _lane_samples(bases, cstep_q, kstep_q, gain_a, gain_b)
+
+
+def finalize_iq(i_acc, q_acc, num_samples: int):
+    """Interleave and cast to int16 with C wraparound semantics."""
+    iq = jnp.stack([i_acc, q_acc], axis=-1).reshape(*i_acc.shape[:-1], -1)
+    return iq[..., : 2 * num_samples].astype(jnp.int16)
+
+
 @functools.partial(jax.jit, static_argnames=("n_rows", "num_samples"))
 def synth_block_device(
     code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b,
     *, n_rows: int, num_samples: int,
 ):
     """One block on device → interleaved int16[2*num_samples]."""
-    bases = _row_bases(
-        code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, n_rows
+    i_acc, q_acc = accumulate_block(
+        code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed,
+        gain_a, gain_b, n_rows,
     )
-    i_acc, q_acc = _lane_samples(bases, cstep_q, kstep_q, gain_a, gain_b)
-    iq = jnp.stack([i_acc, q_acc], axis=-1).reshape(-1)  # interleave I,Q
-    return iq[: 2 * num_samples].astype(jnp.int16)
+    return finalize_iq(i_acc, q_acc, num_samples)
+
+
+def stack_args(arg_dicts: list[dict]) -> dict:
+    """Stack per-block arg dicts into batched arrays with a leading B axis."""
+    return {
+        k: np.stack([d[k] for d in arg_dicts], axis=0) for k in arg_dicts[0]
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "num_samples"))
+def synth_blocks_batch(
+    code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b,
+    *, n_rows: int, num_samples: int,
+):
+    """Batch of B independent blocks → int16[B, 2*num_samples].
+
+    Blocks are embarrassingly parallel (ops/plan.py); vmap turns the block
+    axis into the natural data-parallel axis for sharding.
+    """
+    i_acc, q_acc = jax.vmap(
+        lambda *a: accumulate_block(*a, n_rows)
+    )(code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b)
+    return finalize_iq(i_acc, q_acc, num_samples)
 
 
 class JaxBlockSynth:

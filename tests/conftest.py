@@ -9,14 +9,20 @@ import os
 import subprocess
 import sys
 
-# Must be set before jax imports anywhere in the test session.
+# Must run before any backend initialization. The axon TPU sitecustomize
+# calls jax.config.update("jax_platforms", "axon,cpu") at interpreter start,
+# overriding the env var — so force the config back to cpu here (backends
+# initialize lazily, config updates stick until then).
 if not os.environ.get("GPSSIM_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
