@@ -30,6 +30,7 @@ def main() -> None:
     from gpssim_tpu.config import SimConfig
     from gpssim_tpu.ops.synth_jax import LANES, synth_blocks_batch
     from gpssim_tpu.ops.synth_numpy import synth_block_numpy
+    from gpssim_tpu.ops.synth_pallas import synth_blocks_batch_pallas
     from gpssim_tpu.parallel.blocks import collate_plans
     from gpssim_tpu.scenario import Simulation
 
@@ -59,48 +60,55 @@ def main() -> None:
     log(f"planned {len(plans)} blocks in {plan_time:.2f}s "
         f"({len(plans)/max(plan_time,1e-9):.0f} blocks/s host)")
 
-    # ---- parity check: RMS vs the float64 reference path (bit-exact vs
-    # the C simulator; see tests/test_golden.py) on a few blocks ----
-    check = plans[:3]
-    batch0 = collate_plans(check)
-    out0 = np.asarray(
-        synth_blocks_batch(
-            **{k: jax.device_put(v) for k, v in batch0.args.items()},
-            n_rows=n_rows, num_samples=batch0.num_samples,
-        )
-    )
-    ref0 = np.stack([synth_block_numpy(p) for p in check])
-    d = out0.astype(np.float64) - ref0.astype(np.float64)
-    rms = float(np.sqrt(np.mean(d * d)))
-    exact = bool(np.array_equal(out0, ref0))
-    log(f"parity: rms={rms:.3e} LSB16, bit-exact={exact}")
-
     # ---- throughput: batched device synthesis, steady state ----
+    # Completion is forced with an on-device reduction + scalar fetch per
+    # batch: block_until_ready through the axon dev relay does not reliably
+    # wait, and a full D2H fetch measures the dev tunnel (~40 MB/s), not
+    # the chip.
+    use_pallas = os.environ.get("BENCH_KERNEL", "pallas") == "pallas"
+    kernel = synth_blocks_batch_pallas if use_pallas else synth_blocks_batch
     batches = [
         collate_plans(plans[i : i + batch_blocks])
         for i in range(0, len(plans) - len(plans) % batch_blocks, batch_blocks)
     ]
-    dev_batches = [
-        {k: jax.device_put(v) for k, v in b.args.items()} for b in batches
-    ]
+    with jax.enable_x64(True):
+        dev_batches = [
+            {k: jax.device_put(v) for k, v in b.args.items()} for b in batches
+        ]
 
     def run(b):
-        return synth_blocks_batch(
-            **b, n_rows=n_rows, num_samples=cfg.samples_per_epoch
-        )
+        return kernel(**b, n_rows=n_rows, num_samples=cfg.samples_per_epoch)
 
-    # warmup / compile
-    jax.block_until_ready(run(dev_batches[0]))
+    # warmup / compile (the one kernel shape used throughout), and fetch the
+    # first batch for the parity check + D2H rate measurement
+    log("compiling kernel (remote compile service may take minutes)...")
+    out0 = run(dev_batches[0])
+    _ = jax.device_get(out0.sum())  # wait out compile + execution
+    t0 = time.perf_counter()
+    host0 = jax.device_get(out0)
+    d2h_dt = time.perf_counter() - t0
+    d2h_sps = batches[0].n_blocks * cfg.samples_per_epoch / d2h_dt
+
+    # Parity: RMS vs the float64 reference path (which is bit-exact vs the
+    # C simulator; see tests/test_golden.py) on the first 3 blocks.
+    ref0 = np.stack([synth_block_numpy(p) for p in plans[:3]])
+    d = host0[:3].astype(np.float64) - ref0.astype(np.float64)
+    rms = float(np.sqrt(np.mean(d * d)))
+    exact = bool(np.array_equal(host0[:3], ref0))
+    log(f"parity: rms={rms:.3e} LSB16, bit-exact={exact}")
 
     t0 = time.perf_counter()
-    outs = [run(b) for b in dev_batches]
-    jax.block_until_ready(outs)
+    sums = [run(b).sum() for b in dev_batches]
+    checksum = sum(int(jax.device_get(s)) for s in sums)
     dt = time.perf_counter() - t0
 
     n_blocks = sum(b.n_blocks for b in batches)
     samples = n_blocks * cfg.samples_per_epoch
     sps = samples / dt
-    log(f"{n_blocks} blocks, {samples/1e6:.0f} Msamples in {dt:.3f}s")
+    log(f"{n_blocks} blocks, {samples/1e6:.0f} Msamples in {dt:.3f}s "
+        f"(checksum {checksum})")
+
+    log(f"with D2H fetch over dev tunnel: {d2h_sps/1e6:.1f} Msps")
 
     result = {
         "metric": "IQ samples/s/chip (3.0 Msps L1 scenario, 12 channels)",
@@ -109,8 +117,10 @@ def main() -> None:
         "vs_baseline": round(sps / 3.0e6, 2),
         "rms_error_vs_reference_lsb16": rms,
         "bit_exact_sample_check": exact,
+        "kernel": "pallas" if use_pallas else "xla",
         "blocks_per_dispatch": batch_blocks,
         "host_plan_blocks_per_s": round(len(plans) / max(plan_time, 1e-9), 1),
+        "d2h_tunnel_msps": round(d2h_sps / 1e6, 1),
     }
     print(json.dumps(result), flush=True)
 

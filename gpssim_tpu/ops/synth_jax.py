@@ -27,18 +27,15 @@ import functools
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
-jax.config.update("jax_enable_x64", True)  # int64 phase math on device
+from ..core.cacode import ca_table_packed
+from ..core.constants import CA_SEQ_LEN
+from .plan import BlockPlan
 
-import jax.numpy as jnp  # noqa: E402
-
-from ..core.cacode import ca_table_packed  # noqa: E402
-from ..core.constants import (  # noqa: E402
-    CA_SEQ_LEN,
-    COS_TABLE_512,
-    SIN_TABLE_512,
-)
-from .plan import BlockPlan  # noqa: E402
+# Stage A needs 64-bit integers; it is traced/called under a scoped
+# jax.enable_x64 so the rest of the process (incl. Pallas, whose Mosaic
+# lowering chokes on x64-widened index maps) stays in default 32-bit mode.
 
 LANES = 128
 _Q_CODE = 46
@@ -131,10 +128,15 @@ def _row_bases(code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, n_rows
     # ---- code phase ----
     step128 = cstep_q * LANES  # per-channel, (C,)
     P = code0_q[None, :] + q * step128[None, :]  # (R, C)
-    wraps = P // _CODE_K
-    rem = P - wraps * _CODE_K
-    chip_base = (rem >> _Q_CODE).astype(jnp.int32)  # 0..1022
-    frac = rem & ((jnp.int64(1) << _Q_CODE) - 1)
+    # Total chips fits int32; avoid emulated s64 division: for n < 2^24,
+    # floor((n+0.5) * (1/1023)_f32) == n // 1023 exactly (margin 4.9e-4
+    # to the nearest boundary vs ~2e-5 f32 error).
+    chips_total = (P >> _Q_CODE).astype(jnp.int32)
+    wraps = jnp.floor(
+        (chips_total.astype(jnp.float32) + 0.5) * np.float32(1.0 / CA_SEQ_LEN)
+    ).astype(jnp.int32)
+    chip_base = chips_total - wraps * CA_SEQ_LEN  # 0..1022
+    frac = P & ((jnp.int64(1) << _Q_CODE) - 1)
     f_hi = (frac >> 23).astype(jnp.int32)
     f_lo = (frac & ((1 << 23) - 1)).astype(jnp.int32)
 
@@ -178,11 +180,30 @@ def _row_bases(code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, n_rows
         c_lo=c_lo,
         bit_now=bit_now,
         bit_next=bit_next,
-        w0=w0,
-        w1=w1,
-        w2=w2,
+        w0=w0.astype(jnp.int32),
+        w1=w1.astype(jnp.int32),
+        w2=w2.astype(jnp.int32),
         bitoff=bitoff,
+        # per-channel split steps (int32 halves of the Q46/Q53 steps), so
+        # stage B needs no 64-bit inputs at all
+        cA=(cstep_q >> 23).astype(jnp.int32),
+        cB=(cstep_q & ((1 << 23) - 1)).astype(jnp.int32),
+        kA=(kstep_q >> 23).astype(jnp.int32),  # floor shift for negatives
+        kB=(kstep_q & ((1 << 23) - 1)).astype(jnp.int32),
     )
+
+
+_row_bases_jit = jax.jit(_row_bases, static_argnames=("n_rows",))
+
+
+def row_bases_device(args: dict, n_rows: int) -> dict:
+    """Run stage A under scoped x64; all outputs are int32 device arrays."""
+    with jax.enable_x64(True):
+        return _row_bases_jit(
+            args["code0_q"], args["cstep_q"], args["carr0_q"],
+            args["kstep_q"], args["tcu0"], args["dwrd"], args["ca_packed"],
+            n_rows=n_rows,
+        )
 
 
 # The carrier LUTs are round-half-away(250*sin/cos(2pi(k+0.5)/512)) except
@@ -226,15 +247,14 @@ def _gain_trunc(t, ga, gb):
     return jnp.sign(t) * mag
 
 
-def _lane_samples(bases, cstep_q, kstep_q, gain_a, gain_b):
+def _lane_samples(bases, gain_a, gain_b):
     """Stage B: int32 + VPU-trig per-sample math over (R, C, LANES)."""
     r = jnp.arange(LANES, dtype=jnp.int32)[None, None, :]  # (1, 1, L)
 
-    # per-channel split steps (int32 halves of the Q46/Q53 steps)
-    cA = (cstep_q >> 23).astype(jnp.int32)[None, :, None]
-    cB = (cstep_q & ((1 << 23) - 1)).astype(jnp.int32)[None, :, None]
-    kA = (kstep_q >> 23).astype(jnp.int32)[None, :, None]  # floor for negatives
-    kB = (kstep_q & ((1 << 23) - 1)).astype(jnp.int32)[None, :, None]
+    cA = bases["cA"][None, :, None]
+    cB = bases["cB"][None, :, None]
+    kA = bases["kA"][None, :, None]
+    kB = bases["kB"][None, :, None]
 
     def rc(x):  # (R, C) → (R, C, 1)
         return x[:, :, None]
@@ -253,9 +273,7 @@ def _lane_samples(bases, cstep_q, kstep_q, gain_a, gain_b):
         rc(bases["w0"]),
         jnp.where(bitpos < 64, rc(bases["w1"]), rc(bases["w2"])),
     )
-    chipbit = (
-        jnp.right_shift(word, (bitpos & 31).astype(jnp.uint32)) & 1
-    ).astype(jnp.int32)
+    chipbit = jax.lax.shift_right_logical(word, bitpos & 31) & 1
     chip = chipbit * 2 - 1
 
     dbit = jnp.where(wrapped, rc(bases["bit_next"]), rc(bases["bit_now"]))
@@ -290,7 +308,7 @@ def accumulate_block(
     bases = _row_bases(
         code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, n_rows
     )
-    return _lane_samples(bases, cstep_q, kstep_q, gain_a, gain_b)
+    return _lane_samples(bases, gain_a, gain_b)
 
 
 def finalize_iq(i_acc, q_acc, num_samples: int):
@@ -300,16 +318,21 @@ def finalize_iq(i_acc, q_acc, num_samples: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "num_samples"))
-def synth_block_device(
+def _synth_block_jit(
     code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b,
     *, n_rows: int, num_samples: int,
 ):
-    """One block on device → interleaved int16[2*num_samples]."""
     i_acc, q_acc = accumulate_block(
         code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed,
         gain_a, gain_b, n_rows,
     )
     return finalize_iq(i_acc, q_acc, num_samples)
+
+
+def synth_block_device(*args, n_rows: int, num_samples: int):
+    """One block on device → interleaved int16[2*num_samples]."""
+    with jax.enable_x64(True):
+        return _synth_block_jit(*args, n_rows=n_rows, num_samples=num_samples)
 
 
 def stack_args(arg_dicts: list[dict]) -> dict:
@@ -320,19 +343,29 @@ def stack_args(arg_dicts: list[dict]) -> dict:
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "num_samples"))
-def synth_blocks_batch(
+def _synth_batch_jit(
     code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b,
     *, n_rows: int, num_samples: int,
 ):
+    i_acc, q_acc = jax.vmap(
+        lambda *a: accumulate_block(*a, n_rows)
+    )(code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b)
+    return finalize_iq(i_acc, q_acc, num_samples)
+
+
+def synth_blocks_batch(*args, n_rows: int, num_samples: int, **kw):
     """Batch of B independent blocks → int16[B, 2*num_samples].
 
     Blocks are embarrassingly parallel (ops/plan.py); vmap turns the block
     axis into the natural data-parallel axis for sharding.
     """
-    i_acc, q_acc = jax.vmap(
-        lambda *a: accumulate_block(*a, n_rows)
-    )(code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b)
-    return finalize_iq(i_acc, q_acc, num_samples)
+    if kw:
+        args = tuple(kw[k] for k in (
+            "code0_q", "cstep_q", "carr0_q", "kstep_q", "tcu0", "dwrd",
+            "ca_packed", "gain_a", "gain_b",
+        ))
+    with jax.enable_x64(True):
+        return _synth_batch_jit(*args, n_rows=n_rows, num_samples=num_samples)
 
 
 class JaxBlockSynth:

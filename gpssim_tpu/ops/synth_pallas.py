@@ -1,0 +1,222 @@
+"""Fused Pallas TPU kernel for the per-sample synthesis stage.
+
+Replaces the XLA stage-B graph with one VMEM-resident kernel per row-tile:
+all (rows × lanes × channels) intermediates live in registers/VMEM, so HBM
+traffic is just the tiny per-row bases in and the int16 IQ tile out (the
+hot loop becomes output-bandwidth-bound, per SURVEY §6's speed-of-light
+goal). Math is identical to ops/synth_jax._lane_samples: int32 split-Q
+phase arithmetic, bit-packed C/A chip windows, VPU trig with half-way
+fixups, exact split-Q44 gain truncation.
+
+Layout: rows = sublanes (tile TILE_R), samples-in-row = 128 lanes; the
+channel loop is unrolled (static 12).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.constants import CA_SEQ_LEN
+from .synth_jax import (
+    _COS_QUIRK_NEG,
+    _COS_QUIRK_POS,
+    _SIN_QUIRK_NEG,
+    _SIN_QUIRK_POS,
+    finalize_iq,
+    row_bases_device,
+)
+
+LANES = 128
+TILE_R = 256  # rows per kernel invocation (256*128 = 32768 samples)
+
+_BASE_NAMES = (
+    "chip_base", "f_hi", "f_lo", "c_hi", "c_lo",
+    "bit_now", "bit_next", "w0", "w1", "w2", "bitoff",
+)
+
+
+def _synth_tile_kernel(
+    csplit_ref,  # SMEM int32[4, C]: cA, cB, kA, kB
+    ga_ref,  # SMEM int32[1, C]
+    gb_ref,  # SMEM int32[1, C]
+    *refs,
+):
+    bases = dict(zip(_BASE_NAMES, refs[: len(_BASE_NAMES)]))
+    i_ref, q_ref = refs[len(_BASE_NAMES) :]
+
+    C = csplit_ref.shape[1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANES), 1)
+
+    i_acc = jnp.zeros((TILE_R, LANES), jnp.int32)
+    q_acc = jnp.zeros((TILE_R, LANES), jnp.int32)
+
+    for c in range(C):
+        col = lambda name: bases[name][:, c : c + 1]  # noqa: E731 (TILE_R, 1)
+
+        # ---- code phase: chips advanced within the row ----
+        lo = col("f_lo") + r * csplit_ref[1, c]
+        H = col("f_hi") + r * csplit_ref[0, c] + (lo >> 23)
+        chip_off = H >> 23  # 0..44
+
+        wrapped = (col("chip_base") + chip_off) >= CA_SEQ_LEN
+        bitpos = col("bitoff") + chip_off  # 0..75
+        word = jnp.where(
+            bitpos < 32,
+            col("w0"),
+            jnp.where(bitpos < 64, col("w1"), col("w2")),
+        )
+        chipbit = (
+            jax.lax.shift_right_logical(word, bitpos & 31) & 1
+        ).astype(jnp.int32)
+        chip = chipbit * 2 - 1
+        dbit = jnp.where(wrapped, col("bit_next"), col("bit_now"))
+        s = dbit * chip  # ±1
+
+        # ---- carrier LUT index ----
+        klo = col("c_lo") + r * csplit_ref[3, c]
+        kH = col("c_hi") + r * csplit_ref[2, c] + (klo >> 23)
+        idx = (kH >> 21) & 511
+
+        # ---- LUT values via trig + quirk fixups (see synth_jax) ----
+        th = (idx.astype(jnp.float32) + 0.5) * np.float32(2.0 * np.pi / 512.0)
+        ts = jnp.floor(250.0 * jnp.sin(th) + 0.5).astype(jnp.int32)
+        tc = jnp.floor(250.0 * jnp.cos(th) + 0.5).astype(jnp.int32)
+        # int32 constants: weak python ints trace as i64 under x64, which
+        # Mosaic's convert lowering cannot handle.
+        p105, n105 = jnp.int32(105), jnp.int32(-105)
+        for k in _SIN_QUIRK_POS:
+            ts = jnp.where(idx == k, p105, ts)
+        for k in _SIN_QUIRK_NEG:
+            ts = jnp.where(idx == k, n105, ts)
+        for k in _COS_QUIRK_POS:
+            tc = jnp.where(idx == k, p105, tc)
+        for k in _COS_QUIRK_NEG:
+            tc = jnp.where(idx == k, n105, tc)
+
+        # ---- exact trunc(gain * LUT) in split Q44, apply sign, sum ----
+        ga = ga_ref[0, c]
+        gb = gb_ref[0, c]
+        for t, acc in ((tc, "i"), (ts, "q")):
+            ta = jnp.abs(t)
+            mag = ((ga * ta) + ((gb * ta) >> 22)) >> 22
+            v = s * jnp.sign(t) * mag
+            if acc == "i":
+                i_acc = i_acc + v
+            else:
+                q_acc = q_acc + v
+
+    i_ref[:] = i_acc
+    q_ref[:] = q_acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "num_samples", "interpret")
+)
+def _stage_b_pallas(
+    bases: dict, gain_a, gain_b,
+    *, n_rows: int, num_samples: int, interpret: bool,
+):
+    """Fused Pallas stage B over padded row tiles (traced without x64)."""
+    C = gain_a.shape[0]
+
+    n_rows_pad = -(-n_rows // TILE_R) * TILE_R
+    grid = n_rows_pad // TILE_R
+
+    def pad_rows(x):
+        return jnp.pad(x, ((0, n_rows_pad - n_rows), (0, 0)))
+
+    base_arrs = [pad_rows(bases[k]) for k in _BASE_NAMES]
+
+    csplit = jnp.stack([bases["cA"], bases["cB"], bases["kA"], bases["kB"]])
+
+    row_spec = pl.BlockSpec(
+        (TILE_R, C), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (TILE_R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    i_acc, q_acc = pl.pallas_call(
+        _synth_tile_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((4, C), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [row_spec] * len(_BASE_NAMES),
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows_pad, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows_pad, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(csplit, gain_a[None, :], gain_b[None, :], *base_arrs)
+
+    return finalize_iq(
+        i_acc.reshape(-1)[: num_samples], q_acc.reshape(-1)[: num_samples],
+        num_samples,
+    )
+
+
+def synth_block_pallas(
+    code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b,
+    *, n_rows: int, num_samples: int, interpret: bool | None = None,
+):
+    """One block via stage A (XLA, scoped x64) + fused Pallas stage B."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    bases = row_bases_device(
+        dict(
+            code0_q=code0_q, cstep_q=cstep_q, carr0_q=carr0_q,
+            kstep_q=kstep_q, tcu0=tcu0, dwrd=dwrd, ca_packed=ca_packed,
+        ),
+        n_rows,
+    )
+    return _stage_b_pallas(
+        bases, jnp.asarray(gain_a), jnp.asarray(gain_b),
+        n_rows=n_rows, num_samples=num_samples, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "num_samples", "interpret")
+)
+def _stage_b_pallas_batch(bases, gain_a, gain_b, *, n_rows, num_samples,
+                          interpret):
+    return jax.vmap(
+        lambda bs, ga, gb: _stage_b_pallas(
+            bs, ga, gb, n_rows=n_rows, num_samples=num_samples,
+            interpret=interpret,
+        )
+    )(bases, gain_a, gain_b)
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_row_bases_jit(n_rows: int):
+    from .synth_jax import _row_bases
+
+    return jax.jit(jax.vmap(lambda *a: _row_bases(*a, n_rows)))
+
+
+def synth_blocks_batch_pallas(
+    code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b,
+    *, n_rows: int, num_samples: int, interpret: bool | None = None, **_,
+):
+    """Batch of B blocks via batched stage A + vmapped Pallas stage B."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    with jax.enable_x64(True):
+        bases = _batched_row_bases_jit(n_rows)(
+            code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed
+        )
+    return _stage_b_pallas_batch(
+        bases, jnp.asarray(gain_a), jnp.asarray(gain_b),
+        n_rows=n_rows, num_samples=num_samples, interpret=interpret,
+    )

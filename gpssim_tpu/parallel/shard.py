@@ -85,7 +85,14 @@ def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int):
         in_specs=tuple(specs[k] for k in ARG_ORDER),
         out_specs=P("blocks", None),
     )
-    return jax.jit(lambda batch: fn(*(batch[k] for k in ARG_ORDER)))
+    jitted = jax.jit(lambda *a: fn(*a))
+
+    def call(batch: dict):
+        # Stage A runs in 64-bit; trace/dispatch under scoped x64.
+        with jax.enable_x64(True):
+            return jitted(*(batch[k] for k in ARG_ORDER))
+
+    return call
 
 
 def pad_batch(batch: dict, multiple: int) -> tuple[dict, int]:
