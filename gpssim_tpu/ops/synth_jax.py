@@ -353,6 +353,25 @@ def _synth_batch_jit(
     return finalize_iq(i_acc, q_acc, num_samples)
 
 
+def check_args_x64(args) -> None:
+    """Fail loudly if int64 phase args were truncated to int32.
+
+    `jax.device_put` outside a `jax.enable_x64` scope silently downcasts
+    int64 arrays, corrupting the Q46/Q53 fixed-point phases. Device-put
+    batched args under `with jax.enable_x64(True):` (or pass numpy arrays
+    and let the kernel place them)."""
+    seq = args.values() if isinstance(args, dict) else args
+    for a in seq:
+        if hasattr(a, "dtype") and a.dtype == jnp.int32 and not isinstance(
+            a, np.ndarray
+        ):
+            raise TypeError(
+                "int64 kernel arg arrived as int32 — it was device_put "
+                "outside jax.enable_x64; see check_args_x64.__doc__"
+            )
+        break  # code0_q (first arg) being int64 is the sentinel
+
+
 def synth_blocks_batch(*args, n_rows: int, num_samples: int, **kw):
     """Batch of B independent blocks → int16[B, 2*num_samples].
 
@@ -364,6 +383,7 @@ def synth_blocks_batch(*args, n_rows: int, num_samples: int, **kw):
             "code0_q", "cstep_q", "carr0_q", "kstep_q", "tcu0", "dwrd",
             "ca_packed", "gain_a", "gain_b",
         ))
+    check_args_x64(args)
     with jax.enable_x64(True):
         return _synth_batch_jit(*args, n_rows=n_rows, num_samples=num_samples)
 

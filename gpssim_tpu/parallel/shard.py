@@ -88,6 +88,9 @@ def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int):
     jitted = jax.jit(lambda *a: fn(*a))
 
     def call(batch: dict):
+        from ..ops.synth_jax import check_args_x64
+
+        check_args_x64(tuple(batch[k] for k in ARG_ORDER))
         # Stage A runs in 64-bit; trace/dispatch under scoped x64.
         with jax.enable_x64(True):
             return jitted(*(batch[k] for k in ARG_ORDER))
