@@ -1,0 +1,100 @@
+"""Application orchestration: config → simulation → run (headless or TUI).
+
+Re-design of the reference's main() lifecycle (gps-sim.c:267-418): build the
+scenario, create the sink, run the generator, surface status — with
+checkpointing and JAX profiling the reference never had.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import sys
+
+from .config import SimConfig
+from .core.constants import R2D
+from .io.sinks import make_sink
+from .runner import run_simulation
+from .scenario import Simulation
+
+
+def _make_configured_sink(cfg: SimConfig):
+    kwargs = {}
+    if cfg.sink == "iqfile":
+        kwargs = {"path": cfg.out_file, "fifo_depth": cfg.fifo_depth}
+    sink = make_sink(cfg.sink, **kwargs)
+    # Hardware contract checks the reference does in sdr_*_init.
+    if sink.gain_range is not None:
+        cfg.tx_gain = sink.set_gain(cfg.tx_gain)
+    return sink
+
+
+@contextlib.contextmanager
+def _maybe_profile(profile_dir: str | None):
+    if not profile_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(profile_dir):
+        yield
+
+
+def _verbose_block_hook(cfg: SimConfig, out=sys.stderr):
+    """Per-30 s channel table print (reference gps.c:2911-2928)."""
+    from .tui import format_channel_rows, format_position
+
+    def hook(stats, sim, plan):
+        if cfg.checkpoint_file and stats.blocks % 300 == 0:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(cfg.checkpoint_file, sim)
+        if cfg.verbose and stats.blocks % 300 == 0:
+            print(
+                f"[{stats.blocks * 0.1:8.1f} s] {format_position(sim)} "
+                f"({stats.samples_per_second / 1e6:.2f} Msps)",
+                file=out,
+            )
+            for row in format_channel_rows(sim):
+                print(row, file=out)
+
+    return hook
+
+
+def run_app(cfg: SimConfig, sim: Simulation | None = None,
+            use_tui: bool = False) -> int:
+    if sim is None:
+        sim = Simulation(cfg)
+
+    if cfg.verbose:
+        llh = sim.current_llh()
+        print(
+            f"Start {sim.g0.week}:{sim.g0.sec:.1f}  "
+            f"location {llh[0] * R2D:.6f},{llh[1] * R2D:.6f},{llh[2]:.1f}  "
+            f"{sim.num_blocks} blocks @ {cfg.sample_rate / 1e6:.1f} Msps",
+            file=sys.stderr,
+        )
+
+    sink = _make_configured_sink(cfg)
+
+    with _maybe_profile(cfg.profile_dir):
+        if use_tui and sys.stdout.isatty():
+            from .tui import TuiApp
+
+            return TuiApp(cfg, sim, sink).run()
+
+        stats = run_simulation(
+            cfg, sink=sink, sim=sim, on_block=_verbose_block_hook(cfg)
+        )
+
+    print(
+        f"done: {stats.blocks} blocks ({stats.blocks * 0.1:.1f} s of signal) "
+        f"in {stats.wall_seconds:.2f} s wall "
+        f"= {stats.samples_per_second / 1e6:.2f} Msps "
+        f"(x{stats.realtime_factor:.1f} realtime)",
+        file=sys.stderr,
+    )
+    if cfg.checkpoint_file:
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(cfg.checkpoint_file, sim)
+    return 0

@@ -1,0 +1,249 @@
+"""Command-line entry point.
+
+Mirrors the reference's argp option surface (help.h:20-53, parse callbacks
+gps-sim.c:35-177) and adds framework-specific execution options (synth
+backend, sample rate, output path, TUI toggle, checkpointing). Run as
+``python -m gpssim_tpu [options]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time as _time
+
+from .config import (
+    CarrierMode,
+    LocationConfig,
+    SampleFormat,
+    SimConfig,
+    SynthBackend,
+    TargetConfig,
+)
+from .core.constants import USER_MOTION_SIZE
+from .core.gpstime import DateTime
+
+
+def _parse_start(arg: str) -> tuple[DateTime, bool]:
+    """'now' or 'YYYY/MM/DD,hh:mm:ss' → (DateTime, time_overwrite).
+
+    Validation bounds match the reference (gps-sim.c:106-114)."""
+    if arg.startswith("now"):
+        gmt = _time.gmtime()
+        return (
+            DateTime(
+                gmt.tm_year, gmt.tm_mon, gmt.tm_mday,
+                gmt.tm_hour, gmt.tm_min, float(gmt.tm_sec),
+            ),
+            True,
+        )
+    try:
+        date_s, time_s = arg.split(",")
+        y, m, d = (int(v) for v in date_s.split("/"))
+        hh, mm, sec_s = time_s.split(":")
+        dt = DateTime(y, m, d, int(hh), int(mm), float(sec_s))
+    except ValueError:
+        raise SystemExit(
+            f"ERROR: invalid date/time {arg!r}; expected "
+            "YYYY/MM/DD,hh:mm:ss or 'now'"
+        ) from None
+    if (
+        dt.y <= 1980 or not 1 <= dt.m <= 12 or not 1 <= dt.d <= 31
+        or not 0 <= dt.hh <= 23 or not 0 <= dt.mm <= 59
+        or not 0.0 <= dt.sec < 60.0
+    ):
+        # Same bounds and outcome as the reference (gps-sim.c:106-114).
+        raise SystemExit("ERROR: Invalid date and time.")
+    return dt, False
+
+
+def _parse_triple(arg: str, what: str) -> tuple[float, float, float]:
+    try:
+        a, b, c = (float(v) for v in arg.split(","))
+        return a, b, c
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"invalid {what} {arg!r}; expected three comma-separated numbers"
+        ) from None
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gpssim-tpu",
+        description=(
+            "TPU-native GPS L1 C/A signal simulator: generates an IQ data "
+            "stream on the fly from RINEX broadcast ephemerides."
+        ),
+    )
+    # --- reference-parity options (help.h:20-53) ---
+    p.add_argument("-e", "--nav-file", metavar="filename",
+                   help="RINEX navigation file for GPS ephemeris (required)")
+    p.add_argument("-f", "--use-ftp", action="store_true",
+                   help="Pull current RINEX navigation file and almanac from "
+                        "online sources")
+    p.add_argument("-l", "--geo-loc", metavar="lat,lon,height",
+                   help="Latitude, Longitude, Height (static mode), e.g. "
+                        "35.681298,139.766247,10.0")
+    p.add_argument("-s", "--start", metavar="date,time",
+                   help="Scenario start time YYYY/MM/DD,hh:mm:ss "
+                        "('now' for actual time)")
+    p.add_argument("-I", "--disable-iono", action="store_true",
+                   help="Disable ionospheric delay for spacecraft scenario")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="Show verbose output and details about simulated "
+                        "channels")
+    p.add_argument("-i", "--interactive", action="store_true",
+                   help="Use interactive mode (live position control)")
+    p.add_argument("-a", "--amplifier", action="store_true",
+                   help="Enable TX amplifier (hardware sinks; default OFF)")
+    p.add_argument("-g", "--gain", type=int, default=0, metavar="gain",
+                   help="Initial TX gain, HackRF: 0-47 dB, Pluto: -80-0 dB "
+                        "(default 0)")
+    p.add_argument("-d", "--duration", type=float, metavar="seconds",
+                   help="Duration in seconds")
+    p.add_argument("-t", "--target", metavar="dist,bearing,height",
+                   help="Target distance [m], bearing [deg] and height [m]")
+    p.add_argument("-p", "--ppb", type=int, default=0, metavar="ppb",
+                   help="Oscillator error in ppb (default 0)")
+    p.add_argument("-3", "--rinex3", action="store_true",
+                   help="Use RINEX v3 navigation data format")
+    p.add_argument("-r", "--radio", default="none", metavar="name",
+                   help="Sink/SDR device type (none, iqfile, hackrf, plutosdr)")
+    p.add_argument("--iq16", action="store_true",
+                   help="IQ sample size 16 bit (default 8 bit)")
+    p.add_argument("-U", "--uri", metavar="uri", help="ADALM-Pluto URI")
+    p.add_argument("-N", "--network", default="pluto.local", metavar="host",
+                   help="ADALM-Pluto network IP or hostname")
+    p.add_argument("-m", "--motion", metavar="filename",
+                   help="User motion file (dynamic mode; 10 Hz t,x,y,z ECEF)")
+    p.add_argument("--disable-almanac", action="store_true",
+                   help="Disable transmission of almanac information")
+    p.add_argument("--station", metavar="id",
+                   help="Ground-station ID for RINEX FTP download (random if "
+                        "omitted)")
+    # --- framework options ---
+    p.add_argument("--backend", choices=[b.value for b in SynthBackend],
+                   default=SynthBackend.JAX.value,
+                   help="Synthesis backend (default jax)")
+    p.add_argument("--sample-rate", type=int, default=None, metavar="sps",
+                   help="Output sample rate (default 3000000; the reference "
+                        "is hard-wired to 3.0 Msps)")
+    p.add_argument("--out-file", default="iqdata.bin", metavar="path",
+                   help="Output path for the iqfile sink (default iqdata.bin)")
+    p.add_argument("--int-nco", action="store_true",
+                   help="Integer-NCO carrier phase (reference's "
+                        "non-FLOAT_CARR_PHASE mode; exact and TPU-fast)")
+    p.add_argument("--no-parity-exact", action="store_true",
+                   help="Disable reference-quirk emulation (e.g. channel "
+                        "reallocation at the initial position)")
+    p.add_argument("--realtime", action="store_true",
+                   help="Pace generation at wall-clock rate (TX use case)")
+    p.add_argument("--tui", action="store_true",
+                   help="Curses dashboard (auto-enabled with --interactive "
+                        "on a TTY)")
+    p.add_argument("--almanac-file", metavar="path",
+                   help="SEM almanac file (default: almanac.sem when almanac "
+                        "enabled)")
+    p.add_argument("--checkpoint", metavar="path",
+                   help="Write a resumable state snapshot every 30 s of "
+                        "signal")
+    p.add_argument("--resume", metavar="path",
+                   help="Resume a scenario from a snapshot written by "
+                        "--checkpoint")
+    p.add_argument("--profile-dir", metavar="path",
+                   help="Capture a JAX profiler trace of the run into this "
+                        "directory")
+    return p
+
+
+def args_to_config(args: argparse.Namespace) -> SimConfig:
+    """Translate parsed args into a SimConfig, applying reference semantics."""
+    cfg = SimConfig()
+    cfg.nav_file = args.nav_file
+    cfg.rinex_version = 3 if args.rinex3 else 2
+    cfg.verbose = args.verbose
+    cfg.ionosphere_enable = not args.disable_iono
+    cfg.almanac_enable = not args.disable_almanac
+    cfg.almanac_file = args.almanac_file
+    cfg.ppb = args.ppb
+    cfg.interactive = args.interactive
+    cfg.backend = SynthBackend(args.backend)
+    cfg.carrier_mode = CarrierMode.INT_NCO if args.int_nco else CarrierMode.FLOAT
+    cfg.parity_exact = not args.no_parity_exact
+    cfg.realtime = args.realtime
+    cfg.out_file = args.out_file
+    cfg.tx_gain = args.gain
+    cfg.tx_amplifier = args.amplifier
+    cfg.use_ftp = args.use_ftp
+    cfg.station_id = args.station
+    cfg.pluto_uri = args.uri
+    cfg.pluto_hostname = args.network
+    cfg.checkpoint_file = args.checkpoint
+    cfg.profile_dir = args.profile_dir
+
+    if args.sample_rate is not None:
+        cfg.sample_rate = args.sample_rate
+    if args.iq16:
+        cfg.sample_format = SampleFormat.SC16
+
+    # Sink name: the reference's --radio 'none' prints the supported list
+    # and exits; here 'none' is the null sink and iqfile the default file
+    # sink (sdr.c:49-76).
+    cfg.sink = {"none": "null"}.get(args.radio, args.radio)
+    # Hardware sinks force their sample format (sdr_hackrf.c:44-48 8-bit,
+    # sdr_pluto.c:106-110 16-bit) and Pluto doubles baseband gain
+    # (gps.c:2759-2763).
+    if cfg.sink == "hackrf":
+        cfg.sample_format = SampleFormat.SC08
+    elif cfg.sink == "plutosdr":
+        cfg.sample_format = SampleFormat.SC16
+        cfg.pluto_gain_boost = True
+
+    if args.geo_loc:
+        lat, lon, height = _parse_triple(args.geo_loc, "location")
+        cfg.location = LocationConfig(lat, lon, height)
+    if args.target:
+        dist, bearing, height = _parse_triple(args.target, "target")
+        # Bearing stored in millidegrees exactly as the reference does
+        # (gps-sim.c:148).
+        cfg.target = TargetConfig(dist, bearing * 1000.0, height, valid=True)
+    if args.start:
+        cfg.start, cfg.time_overwrite = _parse_start(args.start)
+    if args.duration is not None:
+        if args.duration < 0.0 or args.duration > USER_MOTION_SIZE / 10.0:
+            raise SystemExit("ERROR: Invalid duration.")
+        # epochs = round(seconds * 10) (gps-sim.c:131-141)
+        cfg.duration_sec = int(args.duration * 10.0 + 0.5) / 10.0
+    if args.motion:
+        cfg.motion_file = args.motion
+        cfg.interactive = False  # motion file overrides (gps-sim.c:63-68)
+    return cfg
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    if args.resume:
+        from .checkpoint import load_checkpoint
+
+        cfg, sim = load_checkpoint(args.resume)
+        if args.checkpoint:
+            cfg.checkpoint_file = args.checkpoint
+    else:
+        cfg = args_to_config(args)
+        if cfg.use_ftp:
+            from .io.fetch import fetch_rinex
+
+            cfg.nav_file = fetch_rinex(cfg.station_id, cfg.rinex_version)
+        if cfg.nav_file is None:
+            parser.error("GPS ephemeris file is not specified (-e/--nav-file)")
+        sim = None
+
+    from .app import run_app
+
+    return run_app(cfg, sim=sim, use_tui=args.tui or cfg.interactive)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

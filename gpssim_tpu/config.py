@@ -73,6 +73,20 @@ class SimConfig:
     ppb: int = 0  # oscillator error; scales synthesis rate/frequency
     pluto_gain_boost: bool = False  # reference doubles gain for Pluto (gps.c:2759)
 
+    # Data fetch (reference --use-ftp / --station, gps.c:2388-2467)
+    use_ftp: bool = False
+    station_id: str | None = None
+
+    # Hardware sink parameters (reference -g/-a/-U/-N)
+    tx_gain: int = 0
+    tx_amplifier: bool = False
+    pluto_uri: str | None = None
+    pluto_hostname: str = "pluto.local"
+
+    # Checkpoint / profiling
+    checkpoint_file: str | None = None
+    profile_dir: str | None = None
+
     # Execution
     backend: SynthBackend = SynthBackend.JAX
     parity_exact: bool = True  # mirror C quirks (xyz[0] realloc etc.)

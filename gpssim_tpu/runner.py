@@ -50,9 +50,16 @@ def make_synth_fn(cfg: SimConfig):
 
 
 def run_simulation(
-    cfg: SimConfig, sink: Sink | None = None, sim: Simulation | None = None
+    cfg: SimConfig,
+    sink: Sink | None = None,
+    sim: Simulation | None = None,
+    on_block=None,
+    stop=None,
 ) -> RunStats:
-    """Run a full scenario to the configured sink. Returns throughput stats."""
+    """Run a full scenario to the configured sink. Returns throughput stats.
+
+    on_block(stats, sim, plan) is called after each block is written (TUI
+    refresh, checkpointing); stop() → True aborts cleanly between blocks."""
     if sim is None:
         sim = Simulation(cfg)
     if sink is None:
@@ -79,6 +86,11 @@ def run_simulation(
             sink.write(quantize_iq(iq16, bits))
             stats.blocks += 1
             stats.samples += plan.num_samples
+            stats.wall_seconds = te - t0
+            if on_block is not None:
+                on_block(stats, sim, plan)
+            if stop is not None and stop():
+                break
             if cfg.realtime:
                 # Pace to wall clock (the FIFO handles fine-grained
                 # backpressure; this guards the no-consumer case).

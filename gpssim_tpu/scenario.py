@@ -346,12 +346,28 @@ class Simulation:
         self.grx = inc_gps_time(grx, 0.1)
 
     # ------------------------------------------------------------------
+    def step(self) -> BlockPlan | None:
+        """Produce the next epoch's plan and advance scenario state past it.
+
+        The plan snapshots all arrays it needs, so state is advanced
+        (nav regen / reallocation / grx) before returning — a checkpoint
+        taken between steps is always consistent ("blocks 1..N done").
+        Returns None when the scenario is exhausted."""
+        if self._iumd >= self.numd:
+            return None
+        iumd = self._iumd
+        plan = self._plan_epoch(iumd)
+        self._post_block(iumd)
+        self._iumd = iumd + 1
+        return plan
+
     def iter_plans(self) -> Iterator[BlockPlan]:
-        """Yield one BlockPlan per epoch, iumd = 1 .. numd-1 (gps.c:2703)."""
-        for iumd in range(1, self.numd):
-            plan = self._plan_epoch(iumd)
+        """Yield one BlockPlan per epoch, iumd = 1 .. numd-1 (gps.c:2703).
+
+        The cursor lives in ``self._iumd`` so a Simulation restored by
+        checkpoint.load_checkpoint continues mid-scenario."""
+        while (plan := self.step()) is not None:
             yield plan
-            self._post_block(iumd)
 
     def current_llh(self) -> np.ndarray:
         return xyz2llh(self._xyz_prev)

@@ -1,0 +1,103 @@
+"""CLI option-surface tests (reference help.h:20-53, gps-sim.c:35-177)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from gpssim_tpu.cli import args_to_config, build_parser
+from gpssim_tpu.config import CarrierMode, SampleFormat, SynthBackend
+
+
+def parse(argv):
+    return args_to_config(build_parser().parse_args(argv))
+
+
+def test_defaults():
+    cfg = parse([])
+    assert cfg.sample_format is SampleFormat.SC08
+    assert cfg.rinex_version == 2
+    assert cfg.ionosphere_enable and cfg.almanac_enable
+    assert cfg.sink == "null"
+    assert cfg.backend is SynthBackend.JAX
+    assert cfg.carrier_mode is CarrierMode.FLOAT
+    assert cfg.parity_exact
+
+
+def test_reference_options():
+    cfg = parse([
+        "-e", "nav.22n", "-l", "1.5,2.5,30", "-d", "12.34", "-I",
+        "-t", "100,45,5", "-p", "25", "-3", "--iq16", "-r", "iqfile",
+        "--disable-almanac", "-g", "30", "-a",
+    ])
+    assert cfg.nav_file == "nav.22n"
+    assert cfg.location.lat == 1.5 and cfg.location.height == 30
+    # duration rounds to epochs*10 (gps-sim.c:131-141)
+    assert cfg.duration_sec == pytest.approx(12.3)
+    assert not cfg.ionosphere_enable and not cfg.almanac_enable
+    assert cfg.target.valid
+    # bearing stored x1000 (gps-sim.c:148)
+    assert cfg.target.bearing_millideg == 45000.0
+    assert cfg.ppb == 25
+    assert cfg.rinex_version == 3
+    assert cfg.sample_format is SampleFormat.SC16
+    assert cfg.sink == "iqfile"
+    assert cfg.tx_gain == 30 and cfg.tx_amplifier
+
+
+def test_start_parsing():
+    cfg = parse(["-s", "2022/01/02,03:04:05"])
+    assert (cfg.start.y, cfg.start.m, cfg.start.d) == (2022, 1, 2)
+    assert (cfg.start.hh, cfg.start.mm, cfg.start.sec) == (3, 4, 5.0)
+    assert not cfg.time_overwrite
+
+    cfg = parse(["-s", "now"])
+    assert cfg.time_overwrite and cfg.start.y >= 2026
+
+    with pytest.raises(SystemExit):
+        parse(["-s", "1979/01/01,00:00:00"])
+    with pytest.raises(SystemExit):
+        parse(["-s", "2022/13/01,00:00:00"])
+
+
+def test_motion_disables_interactive():
+    cfg = parse(["-i", "-m", "circle.csv"])
+    assert cfg.motion_file == "circle.csv"
+    assert not cfg.interactive  # gps-sim.c:63-68
+
+
+def test_hardware_sinks_force_format():
+    cfg = parse(["-r", "hackrf", "--iq16"])
+    assert cfg.sample_format is SampleFormat.SC08  # sdr_hackrf.c:44-48
+    cfg = parse(["-r", "plutosdr"])
+    assert cfg.sample_format is SampleFormat.SC16  # sdr_pluto.c:106-110
+    assert cfg.pluto_gain_boost  # gps.c:2759-2763
+
+
+def test_invalid_duration():
+    with pytest.raises(SystemExit):
+        parse(["-d", "90000"])  # > USER_MOTION_SIZE/10
+
+
+def test_cli_end_to_end(fixtures_dir, tmp_path):
+    """python -m gpssim_tpu produces the expected IQ file."""
+    out = tmp_path / "iq.bin"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "gpssim_tpu",
+            "-e", f"{fixtures_dir}/brdc_test.22n",
+            "-d", "0.4", "-r", "iqfile", "--backend", "numpy",
+            "--disable-almanac", "--out-file", str(out), "-v",
+        ],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr
+    data = np.fromfile(out, dtype=np.int8)
+    # 3 blocks (numd-1 epochs) x 600000 interleaved IQ int8
+    assert data.size == 3 * 600_000
+    assert np.any(data != 0)
+    assert "done:" in r.stderr
