@@ -1,0 +1,127 @@
+"""ctypes binding for the native host runtime (native/gpssim_native.cc).
+
+Provides the C++ ring-FIFO-backed streaming IQ writer and the vectorized
+int16→int8 quantizer. The library is built on demand with g++ (see
+tools/build_native.sh); ``available()`` reports whether it can be used so
+callers fall back to the pure-Python sink gracefully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_LIB_PATH = os.path.join(_ROOT, "native", "libgpssim_native.so")
+_BUILD = os.path.join(_ROOT, "tools", "build_native.sh")
+
+_lib = None
+_lib_lock = threading.Lock()
+_load_error: str | None = None
+
+
+def _load():
+    global _lib, _load_error
+    with _lib_lock:
+        if _lib is not None or _load_error is not None:
+            return _lib
+        try:
+            if not os.path.exists(_LIB_PATH):
+                subprocess.run(
+                    ["sh", _BUILD], check=True, capture_output=True, text=True
+                )
+            lib = ctypes.CDLL(_LIB_PATH)
+        except (OSError, subprocess.CalledProcessError) as e:
+            _load_error = str(e)
+            return None
+
+        lib.gwriter_open.restype = ctypes.c_void_p
+        lib.gwriter_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_long,
+        ]
+        lib.gwriter_write.restype = ctypes.c_int
+        lib.gwriter_write.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ]
+        lib.gwriter_depth_used.restype = ctypes.c_int
+        lib.gwriter_depth_used.argtypes = [ctypes.c_void_p]
+        lib.gwriter_bytes_written.restype = ctypes.c_longlong
+        lib.gwriter_bytes_written.argtypes = [ctypes.c_void_p]
+        lib.gwriter_close.restype = ctypes.c_int
+        lib.gwriter_close.argtypes = [ctypes.c_void_p]
+        lib.gquantize_16to8.restype = None
+        lib.gquantize_16to8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_error() -> str | None:
+    _load()
+    return _load_error
+
+
+def quantize_16to8(iq16: np.ndarray) -> np.ndarray:
+    """int16 accumulators → int8 via arithmetic >>4 (gps.c:2841-2845)."""
+    lib = _load()
+    src = np.ascontiguousarray(iq16, dtype=np.int16)
+    out = np.empty(src.shape, dtype=np.int8)
+    lib.gquantize_16to8(
+        src.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        src.size,
+    )
+    return out
+
+
+class NativeIqWriter:
+    """Streaming file writer over the C++ ring FIFO + drain thread.
+
+    write() copies into preallocated native buffers and blocks only when
+    the ring is full — the pipeline's real-time backpressure — while disk
+    I/O runs on the native thread (reference sdr_iqfile.c:22-77)."""
+
+    def __init__(self, path: str, fifo_depth: int = 8,
+                 block_bytes: int = 1_200_000):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native runtime unavailable: {_load_error}")
+        self._lib = lib
+        self._h = lib.gwriter_open(
+            path.encode(), int(fifo_depth), int(block_bytes)
+        )
+        if not self._h:
+            raise OSError(f"cannot open {path!r} for writing")
+
+    def write(self, block: np.ndarray) -> None:
+        buf = np.ascontiguousarray(block)
+        ok = self._lib.gwriter_write(
+            self._h, buf.ctypes.data_as(ctypes.c_void_p), buf.nbytes
+        )
+        if not ok:
+            raise OSError("native writer failed (I/O error or halted)")
+
+    @property
+    def depth_used(self) -> int:
+        return self._lib.gwriter_depth_used(self._h)
+
+    @property
+    def bytes_written(self) -> int:
+        return self._lib.gwriter_bytes_written(self._h)
+
+    def close(self) -> int:
+        if self._h:
+            rc = self._lib.gwriter_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise OSError(f"native writer close failed (rc={rc})")
+        return 0

@@ -56,20 +56,37 @@ class IqFileSink(Sink):
     """Stream quantized IQ blocks to a binary file (reference sdr_iqfile.c).
 
     A writer thread drains a bounded FIFO so synthesis overlaps file I/O,
-    mirroring the reference's producer/consumer split.
+    mirroring the reference's producer/consumer split. With
+    ``engine='native'`` (or 'auto' when the C++ runtime is built) the FIFO
+    and drain thread are the native ones from native/gpssim_native.cc.
     """
 
     name = "iqfile"
 
     def __init__(self, path: str = "iqdata.bin", fifo_depth: int = 8,
-                 threaded: bool = True):
+                 threaded: bool = True, engine: str = "auto"):
         self.path = path
         self.fifo = BlockFifo(fifo_depth)
+        self.fifo_depth = fifo_depth
         self.threaded = threaded
+        self.engine = engine
+        self._native = None
         self._fp = None
         self._thread: threading.Thread | None = None
 
     def init(self, cfg=None) -> None:
+        if self.engine in ("auto", "native"):
+            from . import native
+
+            if native.available():
+                self._native = native.NativeIqWriter(
+                    self.path, fifo_depth=self.fifo_depth
+                )
+                return
+            if self.engine == "native":
+                raise RuntimeError(
+                    f"native runtime unavailable: {native.load_error()}"
+                )
         self._fp = open(self.path, "wb")
         if self.threaded:
             self._thread = threading.Thread(target=self._writer, daemon=True)
@@ -83,14 +100,24 @@ class IqFileSink(Sink):
             block.tofile(self._fp)
 
     def write(self, block: np.ndarray) -> None:
+        if self._native is not None:
+            self._native.write(block)
+            return
         if self._fp is None:
             self.init()
+            if self._native is not None:
+                self._native.write(block)
+                return
         if self.threaded:
             self.fifo.enqueue(block)
         else:
             block.tofile(self._fp)
 
     def close(self) -> None:
+        if self._native is not None:
+            self._native.close()
+            self._native = None
+            return
         if self.threaded and self._thread is not None:
             # Let the writer drain before halting.
             while self.fifo.depth_used:
