@@ -47,7 +47,7 @@ def main() -> None:
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
     duration = float(os.environ.get("BENCH_DURATION_SEC", "60"))
-    batch_blocks = int(os.environ.get("BENCH_BATCH_BLOCKS", "50"))
+    batch_blocks = int(os.environ.get("BENCH_BATCH_BLOCKS", "150"))
 
     cfg = SimConfig(nav_file=nav, duration_sec=duration, almanac_enable=False)
     sim = Simulation(cfg)
@@ -71,10 +71,9 @@ def main() -> None:
         collate_plans(plans[i : i + batch_blocks])
         for i in range(0, len(plans) - len(plans) % batch_blocks, batch_blocks)
     ]
-    with jax.enable_x64(True):
-        dev_batches = [
-            {k: jax.device_put(v) for k, v in b.args.items()} for b in batches
-        ]
+    dev_batches = [
+        {k: jax.device_put(v) for k, v in b.args.items()} for b in batches
+    ]
 
     def run(b):
         return kernel(**b, n_rows=n_rows, num_samples=cfg.samples_per_epoch)

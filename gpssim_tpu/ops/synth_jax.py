@@ -6,14 +6,21 @@ TPU-first design (not a translation of the C loop):
   a block is a data-parallel map over a (rows=N/128, lanes=128) grid.
 * Phase arithmetic is **integer fixed-point**, derived once per block from
   the host's float64 parameters: code phase in Q46 chips, carrier phase in
-  Q53 cycles. Stage A (per row, int64, tiny) computes row-start bases;
-  Stage B (per sample) is pure int32 adds/shifts/masks — exact, and within
-  2^-46 chips of the float64 reference path, far below any quantization
-  boundary (≤1 LSB parity holds; see tests/test_jax_kernel.py).
+  Q53 cycles. The Q46/Q53 values are decomposed on the host into base-2^23
+  limbs, so the ENTIRE device path is int32 — no emulated int64, no
+  jax.enable_x64 anywhere. Stage A (per row) reconstructs row-start bases
+  with digit-decomposed limb arithmetic (row = q2*4096 + q1*64 + q0, each
+  digit < 64, so every partial product fits int32); Stage B (per sample)
+  is pure int32 adds/shifts/masks — exact, and within 2^-46 chips of the
+  float64 reference path, far below any quantization boundary (≤1 LSB
+  parity holds; see tests/test_synth.py).
 * The 1023-chip C/A sequence is bit-packed; a row touches ≤96 consecutive
-  bits, fetched as three 32-bit words in Stage A, so Stage B does shifts
-  instead of gathers. The carrier LUT is gain-folded per channel into
-  int32[512] tables (trunc(LUT*gain) exactly as the C cast does).
+  bits, selected as three 32-bit words in Stage A (select-sum over the
+  35-word table — no gathers anywhere), so Stage B does shifts. Data bits
+  for the whole block live in one host-packed 8-bit window per channel.
+  The carrier LUT is evaluated with VPU trig (exact vs the reference's
+  512-entry tables, incl. their four half-way quirks) and gain-folded in
+  split-Q44 integer arithmetic (trunc(LUT*gain) exactly as the C cast).
 * Channel accumulation is a sum over the channel axis; blocks are
   independent → vmap/shard_map over blocks for multi-chip scaling.
 
@@ -33,14 +40,10 @@ from ..core.cacode import ca_table_packed
 from ..core.constants import CA_SEQ_LEN
 from .plan import BlockPlan
 
-# Stage A needs 64-bit integers; it is traced/called under a scoped
-# jax.enable_x64 so the rest of the process (incl. Pallas, whose Mosaic
-# lowering chokes on x64-widened index maps) stays in default 32-bit mode.
-
 LANES = 128
 _Q_CODE = 46
 _Q_CARR = 53
-_CODE_K = np.int64(CA_SEQ_LEN) << _Q_CODE
+_M23 = (1 << 23) - 1
 
 
 # ---------------------------------------------------------------------------
@@ -48,9 +51,30 @@ _CODE_K = np.int64(CA_SEQ_LEN) << _Q_CODE
 # ---------------------------------------------------------------------------
 
 
+def _limbs3(vals: list[int]) -> np.ndarray:
+    """Python ints (exact, non-negative) → int32[C, 3] base-2^23 limbs."""
+    out = np.zeros((len(vals), 3), np.int32)
+    for i, v in enumerate(vals):
+        v = int(v)
+        out[i, 0] = v & _M23
+        out[i, 1] = (v >> 23) & _M23
+        out[i, 2] = v >> 46
+    return out
+
+
 def plan_to_args(plan: BlockPlan, int_nco: bool = False) -> dict:
-    """Convert a BlockPlan to the integer arrays the device kernel consumes."""
+    """Convert a BlockPlan to the int32 arrays the device kernel consumes.
+
+    Returns a dict of device args, every one int32/uint32:
+      code_l  int32[4, C, 3] — Q46 code phase + step128·{1,64,4096} limbs
+      carr_l  int32[4, C, 3] — Q53 carrier phase + step limbs (mod 2^53)
+      nav     int32[3, C]    — tcu0, bidx0, packed 8-bit data-bit window
+      lane_steps int32[4, C] — cA, cB, kA, kB per-lane split steps
+      ca_packed uint32[C,35] — bit-packed C/A chips (wrap-extended)
+      gain_a/gain_b int32[C] — split Q44 gain
+    """
     act = plan.active
+    C = len(act)
     step = plan.f_code * plan.delt  # chips / sample, f64 (exactly as C forms it)
     assert np.all(step[act] * plan.num_samples < (1 << 17)), "block too long"
 
@@ -72,6 +96,47 @@ def plan_to_args(plan: BlockPlan, int_nco: bool = False) -> dict:
             np.int64
         )
 
+    # --- limb decomposition (python-int exact; step128*4096 > 2^63) ---
+    mod = 1 << _Q_CARR
+    code_rows, carr_rows = [], []
+    for mult in (None, 1, 64, 4096):
+        if mult is None:
+            code_rows.append(_limbs3([int(v) for v in code0_q]))
+            carr_rows.append(_limbs3([int(v) % mod for v in carr0_q]))
+        else:
+            code_rows.append(
+                _limbs3([int(v) * LANES * mult for v in cstep_q])
+            )
+            carr_rows.append(
+                _limbs3([(int(v) * LANES * mult) % mod for v in kstep_q])
+            )
+    code_l = np.stack(code_rows)  # (4, C, 3)
+    carr_l = np.stack(carr_rows)
+
+    # --- per-lane split steps (stage B) ---
+    lane_steps = np.stack([
+        (cstep_q >> 23).astype(np.int32),
+        (cstep_q & _M23).astype(np.int32),
+        (kstep_q >> 23).astype(np.int32),  # arithmetic shift for negatives
+        (kstep_q & _M23).astype(np.int32),
+    ])  # (4, C)
+
+    # --- data-bit window: all bits any row of this block can touch ---
+    tcu0 = (plan.iword * 600 + plan.ibit * 20 + plan.icode).astype(np.int64)
+    bidx0 = tcu0 // 20
+    bits8 = np.zeros(C, dtype=np.int32)
+    for c in range(C):
+        w = 0
+        for k in range(8):
+            bidx = int(bidx0[c]) + k
+            iw = min(bidx // 30, 59)  # defensive clamp (see navmsg notes)
+            ib = bidx - (bidx // 30) * 30
+            w |= ((int(plan.dwrd[c, iw]) >> (29 - ib)) & 1) << k
+        bits8[c] = w
+    nav = np.stack([
+        tcu0.astype(np.int32), bidx0.astype(np.int32), bits8
+    ])  # (3, C)
+
     # Gain in Q44 fixed point, split into two int32 halves (22 bits each)
     # so trunc(gain * LUT) is computed exactly on device without gathers:
     # the LUT values themselves come from on-device trig (see _lut_values).
@@ -88,15 +153,11 @@ def plan_to_args(plan: BlockPlan, int_nco: bool = False) -> dict:
         axis=2, dtype=np.uint32
     )
 
-    tcu0 = (plan.iword * 600 + plan.ibit * 20 + plan.icode).astype(np.int32)
-
     return dict(
-        code0_q=code0_q,
-        cstep_q=cstep_q,
-        carr0_q=carr0_q,
-        kstep_q=kstep_q,
-        tcu0=tcu0,
-        dwrd=plan.dwrd.astype(np.uint32),
+        code_l=code_l,
+        carr_l=carr_l,
+        nav=nav,
+        lane_steps=lane_steps,
         ca_packed=ca_packed,
         gain_a=ga,
         gain_b=gb,
@@ -114,62 +175,83 @@ def packed_ca_for_prns(prns: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Device kernel (XLA)
+# Device kernel (XLA) — int32 only
 # ---------------------------------------------------------------------------
 
 
-def _row_bases(code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, n_rows):
-    """Stage A: per-(row, channel) int32 bases from per-channel scalars.
+def _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows):
+    """Stage A: per-(row, channel) int32 bases from per-channel limbs.
 
-    Runs in int64 (emulated on TPU) over only rows×channels elements.
+    Pure int32: the row index is digit-decomposed (q = q2*4096 + q1*64 + q0,
+    digits < 64) so digit×limb products stay under 2^29 and limb sums under
+    2^31; carries propagate in base 2^23.
     """
-    q = jnp.arange(n_rows, dtype=jnp.int64)[:, None]  # (R, 1)
+    q = jnp.arange(n_rows, dtype=jnp.int32)[:, None]  # (R, 1)
+    q0, q1, q2 = q & 63, (q >> 6) & 63, q >> 12
 
-    # ---- code phase ----
-    step128 = cstep_q * LANES  # per-channel, (C,)
-    P = code0_q[None, :] + q * step128[None, :]  # (R, C)
-    # Total chips fits int32; avoid emulated s64 division: for n < 2^24,
+    def poly(L):
+        """base + q0*s1 + q1*s64 + q2*s4096 in base-2^23 limbs → p0, p1, p2."""
+        b, s1, s64, s4096 = L[0], L[1], L[2], L[3]  # each (C, 3)
+
+        def term(i):
+            return (
+                b[None, :, i]
+                + q0 * s1[None, :, i]
+                + q1 * s64[None, :, i]
+                + q2 * s4096[None, :, i]
+            )
+
+        p0 = term(0)
+        p1 = term(1) + (p0 >> 23)
+        p0 = p0 & _M23
+        p2 = term(2) + (p1 >> 23)
+        p1 = p1 & _M23
+        return p0, p1, p2
+
+    # ---- code phase: P = code0 + q*step128 (exact, Q46) ----
+    f_lo, f_hi, chips_total = poly(code_l)  # frac limbs + integer chips
+    # chips_total < 2^24; avoid integer division: for n < 2^24,
     # floor((n+0.5) * (1/1023)_f32) == n // 1023 exactly (margin 4.9e-4
     # to the nearest boundary vs ~2e-5 f32 error).
-    chips_total = (P >> _Q_CODE).astype(jnp.int32)
     wraps = jnp.floor(
         (chips_total.astype(jnp.float32) + 0.5) * np.float32(1.0 / CA_SEQ_LEN)
     ).astype(jnp.int32)
     chip_base = chips_total - wraps * CA_SEQ_LEN  # 0..1022
-    frac = P & ((jnp.int64(1) << _Q_CODE) - 1)
-    f_hi = (frac >> 23).astype(jnp.int32)
-    f_lo = (frac & ((1 << 23) - 1)).astype(jnp.int32)
 
-    # ---- carrier phase (mod 2^53; split q so any Doppler can't overflow) ----
-    kstep128 = (kstep_q * LANES) % (jnp.int64(1) << _Q_CARR)
-    qh, ql = q // 64, q % 64
-    kstep128_64 = (kstep128 * 64) % (jnp.int64(1) << _Q_CARR)
-    Cq = carr0_q[None, :] + qh * kstep128_64[None, :] + ql * kstep128[None, :]
-    M = Cq & ((jnp.int64(1) << _Q_CARR) - 1)
-    c_hi = (M >> 23).astype(jnp.int32)  # < 2^30
-    c_lo = (M & ((1 << 23) - 1)).astype(jnp.int32)
+    # ---- carrier phase: M = (carr0 + q*kstep128) mod 2^53 ----
+    c_lo, c_p1, c_p2 = poly(carr_l)
+    c_p2 = c_p2 & ((1 << (_Q_CARR - 46)) - 1)  # mod 2^53
+    c_hi = (c_p2 << 23) + c_p1  # (M >> 23), < 2^30
 
-    # ---- data bits: the two candidate bits for this row ----
-    tcu = tcu0[None, :].astype(jnp.int32) + wraps.astype(jnp.int32)  # (R, C)
+    # ---- data bits: shift into the host-packed 8-bit window ----
+    tcu = nav[0][None, :] + wraps  # (R, C)
+    bidx0 = nav[1][None, :]
+    bits = nav[2][None, :]
 
     def bit_at(t):
-        bidx = t // 20
-        iw = jnp.minimum(bidx // 30, 59)  # defensive clamp (see navmsg notes)
-        ib = bidx - (bidx // 30) * 30
-        w = jnp.take_along_axis(dwrd.T, iw, axis=0)  # dwrd (C,60) → (R,C)
-        return (jnp.right_shift(w, (29 - ib).astype(jnp.uint32)) & 1).astype(
-            jnp.int32
-        ) * 2 - 1
+        # floor(t/20) via the same f32 trick (t < 2^24, margin 0.025).
+        bidx = jnp.floor(
+            (t.astype(jnp.float32) + 0.5) * np.float32(1.0 / 20.0)
+        ).astype(jnp.int32)
+        j = bidx - bidx0  # 0..7 by construction (see plan_to_args)
+        return (jax.lax.shift_right_logical(bits, j) & 1) * 2 - 1
 
     bit_now = bit_at(tcu)
     bit_next = bit_at(tcu + 1)
 
     # ---- C/A words covering chips [chip_base, chip_base+96) ----
-    wordpos = chip_base >> 5  # 0..31
-    capT = ca_packed.T  # (35, C)
-    w0 = jnp.take_along_axis(capT, wordpos, axis=0)
-    w1 = jnp.take_along_axis(capT, wordpos + 1, axis=0)
-    w2 = jnp.take_along_axis(capT, wordpos + 2, axis=0)
+    # wordpos ∈ [0, 31]; select-sum over the 35-word table (no gathers).
+    wordpos = chip_base >> 5
+    cap = ca_packed.astype(jnp.int32)  # (C, 35), bit-identical reinterpret
+    zero = jnp.zeros_like(wordpos)
+    w0 = zero
+    w1 = zero
+    w2 = zero
+    for j in range(32):
+        m = wordpos == j
+        w0 = w0 + jnp.where(m, cap[None, :, j], 0)
+        w1 = w1 + jnp.where(m, cap[None, :, j + 1], 0)
+        w2 = w2 + jnp.where(m, cap[None, :, j + 2], 0)
     bitoff = (chip_base & 31).astype(jnp.int32)
 
     return dict(
@@ -180,16 +262,15 @@ def _row_bases(code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, n_rows
         c_lo=c_lo,
         bit_now=bit_now,
         bit_next=bit_next,
-        w0=w0.astype(jnp.int32),
-        w1=w1.astype(jnp.int32),
-        w2=w2.astype(jnp.int32),
+        w0=w0,
+        w1=w1,
+        w2=w2,
         bitoff=bitoff,
-        # per-channel split steps (int32 halves of the Q46/Q53 steps), so
-        # stage B needs no 64-bit inputs at all
-        cA=(cstep_q >> 23).astype(jnp.int32),
-        cB=(cstep_q & ((1 << 23) - 1)).astype(jnp.int32),
-        kA=(kstep_q >> 23).astype(jnp.int32),  # floor shift for negatives
-        kB=(kstep_q & ((1 << 23) - 1)).astype(jnp.int32),
+        # per-channel split steps for stage B (already int32 halves)
+        cA=lane_steps[0],
+        cB=lane_steps[1],
+        kA=lane_steps[2],
+        kB=lane_steps[3],
     )
 
 
@@ -197,13 +278,11 @@ _row_bases_jit = jax.jit(_row_bases, static_argnames=("n_rows",))
 
 
 def row_bases_device(args: dict, n_rows: int) -> dict:
-    """Run stage A under scoped x64; all outputs are int32 device arrays."""
-    with jax.enable_x64(True):
-        return _row_bases_jit(
-            args["code0_q"], args["cstep_q"], args["carr0_q"],
-            args["kstep_q"], args["tcu0"], args["dwrd"], args["ca_packed"],
-            n_rows=n_rows,
-        )
+    """Run stage A; all inputs and outputs are int32 device arrays."""
+    return _row_bases_jit(
+        args["code_l"], args["carr_l"], args["nav"], args["lane_steps"],
+        args["ca_packed"], n_rows=n_rows,
+    )
 
 
 # The carrier LUTs are round-half-away(250*sin/cos(2pi(k+0.5)/512)) except
@@ -296,18 +375,20 @@ def _lane_samples(bases, gain_a, gain_b):
     return i_acc, q_acc
 
 
+ARG_ORDER = (
+    "code_l", "carr_l", "nav", "lane_steps", "ca_packed", "gain_a", "gain_b",
+)
+
+
 def accumulate_block(
-    code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b,
-    n_rows: int,
+    code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b, n_rows: int
 ):
     """Raw int32 channel-summed accumulators for one block.
 
     Returned pre-quantization so a channel-sharded mesh can psum partial
     accumulators across devices exactly (integer addition is associative).
     """
-    bases = _row_bases(
-        code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, n_rows
-    )
+    bases = _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows)
     return _lane_samples(bases, gain_a, gain_b)
 
 
@@ -319,20 +400,18 @@ def finalize_iq(i_acc, q_acc, num_samples: int):
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "num_samples"))
 def _synth_block_jit(
-    code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b,
+    code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
     *, n_rows: int, num_samples: int,
 ):
     i_acc, q_acc = accumulate_block(
-        code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed,
-        gain_a, gain_b, n_rows,
+        code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b, n_rows
     )
     return finalize_iq(i_acc, q_acc, num_samples)
 
 
 def synth_block_device(*args, n_rows: int, num_samples: int):
     """One block on device → interleaved int16[2*num_samples]."""
-    with jax.enable_x64(True):
-        return _synth_block_jit(*args, n_rows=n_rows, num_samples=num_samples)
+    return _synth_block_jit(*args, n_rows=n_rows, num_samples=num_samples)
 
 
 def stack_args(arg_dicts: list[dict]) -> dict:
@@ -344,32 +423,13 @@ def stack_args(arg_dicts: list[dict]) -> dict:
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "num_samples"))
 def _synth_batch_jit(
-    code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b,
+    code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
     *, n_rows: int, num_samples: int,
 ):
     i_acc, q_acc = jax.vmap(
         lambda *a: accumulate_block(*a, n_rows)
-    )(code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b)
+    )(code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b)
     return finalize_iq(i_acc, q_acc, num_samples)
-
-
-def check_args_x64(args) -> None:
-    """Fail loudly if int64 phase args were truncated to int32.
-
-    `jax.device_put` outside a `jax.enable_x64` scope silently downcasts
-    int64 arrays, corrupting the Q46/Q53 fixed-point phases. Device-put
-    batched args under `with jax.enable_x64(True):` (or pass numpy arrays
-    and let the kernel place them)."""
-    seq = args.values() if isinstance(args, dict) else args
-    for a in seq:
-        if hasattr(a, "dtype") and a.dtype == jnp.int32 and not isinstance(
-            a, np.ndarray
-        ):
-            raise TypeError(
-                "int64 kernel arg arrived as int32 — it was device_put "
-                "outside jax.enable_x64; see check_args_x64.__doc__"
-            )
-        break  # code0_q (first arg) being int64 is the sentinel
 
 
 def synth_blocks_batch(*args, n_rows: int, num_samples: int, **kw):
@@ -379,13 +439,8 @@ def synth_blocks_batch(*args, n_rows: int, num_samples: int, **kw):
     axis into the natural data-parallel axis for sharding.
     """
     if kw:
-        args = tuple(kw[k] for k in (
-            "code0_q", "cstep_q", "carr0_q", "kstep_q", "tcu0", "dwrd",
-            "ca_packed", "gain_a", "gain_b",
-        ))
-    check_args_x64(args)
-    with jax.enable_x64(True):
-        return _synth_batch_jit(*args, n_rows=n_rows, num_samples=num_samples)
+        args = tuple(kw[k] for k in ARG_ORDER)
+    return _synth_batch_jit(*args, n_rows=n_rows, num_samples=num_samples)
 
 
 class JaxBlockSynth:
@@ -416,9 +471,7 @@ class JaxBlockSynth:
             )
         else:
             out = synth_block_device(
-                args["code0_q"], args["cstep_q"], args["carr0_q"],
-                args["kstep_q"], args["tcu0"], args["dwrd"],
-                args["ca_packed"], args["gain_a"], args["gain_b"],
+                *(args[k] for k in ARG_ORDER),
                 n_rows=self.n_rows, num_samples=self.num_samples,
             )
         return np.asarray(jax.device_get(out))

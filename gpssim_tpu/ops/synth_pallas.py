@@ -166,16 +166,16 @@ def _stage_b_pallas(
 
 
 def synth_block_pallas(
-    code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b,
+    code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
     *, n_rows: int, num_samples: int, interpret: bool | None = None,
 ):
-    """One block via stage A (XLA, scoped x64) + fused Pallas stage B."""
+    """One block via stage A (XLA int32) + fused Pallas stage B."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     bases = row_bases_device(
         dict(
-            code0_q=code0_q, cstep_q=cstep_q, carr0_q=carr0_q,
-            kstep_q=kstep_q, tcu0=tcu0, dwrd=dwrd, ca_packed=ca_packed,
+            code_l=code_l, carr_l=carr_l, nav=nav, lane_steps=lane_steps,
+            ca_packed=ca_packed,
         ),
         n_rows,
     )
@@ -205,18 +205,36 @@ def _batched_row_bases_jit(n_rows: int):
     return jax.jit(jax.vmap(lambda *a: _row_bases(*a, n_rows)))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "num_samples", "interpret")
+)
+def _synth_batch_pallas_jit(
+    code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
+    *, n_rows, num_samples, interpret,
+):
+    """Single fused dispatch: batched stage A + Pallas stage B + finalize."""
+    from .synth_jax import _row_bases
+
+    bases = jax.vmap(lambda *a: _row_bases(*a, n_rows))(
+        code_l, carr_l, nav, lane_steps, ca_packed
+    )
+    return jax.vmap(
+        lambda bs, ga, gb: _stage_b_pallas(
+            bs, ga, gb, n_rows=n_rows, num_samples=num_samples,
+            interpret=interpret,
+        )
+    )(bases, gain_a, gain_b)
+
+
 def synth_blocks_batch_pallas(
-    code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed, gain_a, gain_b,
+    code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
     *, n_rows: int, num_samples: int, interpret: bool | None = None, **_,
 ):
-    """Batch of B blocks via batched stage A + vmapped Pallas stage B."""
+    """Batch of B blocks: one fused jit (stage A + Pallas stage B)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    with jax.enable_x64(True):
-        bases = _batched_row_bases_jit(n_rows)(
-            code0_q, cstep_q, carr0_q, kstep_q, tcu0, dwrd, ca_packed
-        )
-    return _stage_b_pallas_batch(
-        bases, jnp.asarray(gain_a), jnp.asarray(gain_b),
+    return _synth_batch_pallas_jit(
+        code_l, carr_l, nav, lane_steps, ca_packed,
+        jnp.asarray(gain_a), jnp.asarray(gain_b),
         n_rows=n_rows, num_samples=num_samples, interpret=interpret,
     )

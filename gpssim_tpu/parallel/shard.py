@@ -47,10 +47,7 @@ def make_mesh(
     )
 
 
-ARG_ORDER = (
-    "code0_q", "cstep_q", "carr0_q", "kstep_q", "tcu0", "dwrd",
-    "ca_packed", "gain_a", "gain_b",
-)
+from ..ops.synth_jax import ARG_ORDER
 
 
 def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int):
@@ -59,7 +56,8 @@ def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int):
     Per-block args are sharded (blocks, chan) on their (B, C, ...) axes;
     each device accumulates its channel subset of its block subset, then the
     int32 accumulators are psum'd over 'chan' — bit-identical to the
-    unsharded sum — and quantized.
+    unsharded sum — and quantized. All args are int32/uint32 (synth_jax
+    limb encoding), so no x64 handling anywhere.
     """
 
     def per_device(*args):
@@ -69,12 +67,10 @@ def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int):
         return finalize_iq(i_acc, q_acc, num_samples)
 
     specs = {
-        "code0_q": P("blocks", "chan"),
-        "cstep_q": P("blocks", "chan"),
-        "carr0_q": P("blocks", "chan"),
-        "kstep_q": P("blocks", "chan"),
-        "tcu0": P("blocks", "chan"),
-        "dwrd": P("blocks", "chan", None),
+        "code_l": P("blocks", None, "chan", None),
+        "carr_l": P("blocks", None, "chan", None),
+        "nav": P("blocks", None, "chan"),
+        "lane_steps": P("blocks", None, "chan"),
         "ca_packed": P("blocks", "chan", None),
         "gain_a": P("blocks", "chan"),
         "gain_b": P("blocks", "chan"),
@@ -88,19 +84,21 @@ def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int):
     jitted = jax.jit(lambda *a: fn(*a))
 
     def call(batch: dict):
-        from ..ops.synth_jax import check_args_x64
-
-        check_args_x64(tuple(batch[k] for k in ARG_ORDER))
-        # Stage A runs in 64-bit; trace/dispatch under scoped x64.
-        with jax.enable_x64(True):
-            return jitted(*(batch[k] for k in ARG_ORDER))
+        return jitted(*(batch[k] for k in ARG_ORDER))
 
     return call
 
 
+# Channel axis per batched arg (block axis is 0 for all of them).
+_CHAN_AXIS = {
+    "code_l": 2, "carr_l": 2, "nav": 2, "lane_steps": 2,
+    "ca_packed": 1, "gain_a": 1, "gain_b": 1,
+}
+
+
 def pad_batch(batch: dict, multiple: int) -> tuple[dict, int]:
     """Pad the block axis to a multiple of the mesh's blocks dimension."""
-    b = batch["code0_q"].shape[0]
+    b = batch["gain_a"].shape[0]
     pad = (-b) % multiple
     if pad == 0:
         return batch, 0
@@ -114,13 +112,13 @@ def pad_batch(batch: dict, multiple: int) -> tuple[dict, int]:
 def pad_channels(batch: dict, multiple: int) -> dict:
     """Pad the channel axis with silent channels (gain 0) so any chan-mesh
     size works; zero-gain channels contribute exactly nothing."""
-    c = batch["code0_q"].shape[1]
+    c = batch["gain_a"].shape[1]
     pad = (-c) % multiple
     if pad == 0:
         return batch
     out = {}
     for k, v in batch.items():
         widths = [(0, 0)] * v.ndim
-        widths[1] = (0, pad)
+        widths[_CHAN_AXIS[k]] = (0, pad)
         out[k] = np.pad(v, widths)
     return out

@@ -33,10 +33,7 @@ def test_batched_vmap_matches(plans):
 
     batch = collate_plans(plans)
     n_rows = -(-batch.num_samples // LANES)
-    # device_put of int64 args must happen under x64, or they are silently
-    # truncated to int32 (the library guards against the truncated dtypes).
-    with jax.enable_x64(True):
-        dev_args = {k: jax.device_put(v) for k, v in batch.args.items()}
+    dev_args = {k: jax.device_put(v) for k, v in batch.args.items()}
     out = synth_blocks_batch(
         **dev_args, n_rows=n_rows, num_samples=batch.num_samples,
     )
