@@ -33,7 +33,9 @@ from .synth_jax import (
 )
 
 LANES = 128
-TILE_R = 256  # rows per kernel invocation (256*128 = 32768 samples)
+TILE_R = 64  # rows per kernel invocation (64*128 = 8192 samples; best
+# measured tile on v5e — small tiles keep all live (TILE_R, LANES) int32
+# intermediates of the 12-channel unroll resident in VMEM/registers)
 
 _BASE_NAMES = (
     "chip_base", "f_hi", "f_lo", "c_hi", "c_lo",
@@ -51,7 +53,10 @@ def _synth_tile_kernel(
     i_ref, q_ref = refs[len(_BASE_NAMES) :]
 
     C = csplit_ref.shape[1]
-    r = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANES), 1)
+    # Lane iota on a (1, LANES) strip: the r*step products below are then
+    # 128-element ops broadcast over rows instead of TILE_R*128 multiplies
+    # (int32 multiply is the VPU's most expensive primitive here).
+    rv = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
     i_acc = jnp.zeros((TILE_R, LANES), jnp.int32)
     q_acc = jnp.zeros((TILE_R, LANES), jnp.int32)
@@ -60,8 +65,8 @@ def _synth_tile_kernel(
         col = lambda name: bases[name][:, c : c + 1]  # noqa: E731 (TILE_R, 1)
 
         # ---- code phase: chips advanced within the row ----
-        lo = col("f_lo") + r * csplit_ref[1, c]
-        H = col("f_hi") + r * csplit_ref[0, c] + (lo >> 23)
+        lo = col("f_lo") + rv * csplit_ref[1, c]
+        H = col("f_hi") + rv * csplit_ref[0, c] + (lo >> 23)
         chip_off = H >> 23  # 0..44
 
         wrapped = (col("chip_base") + chip_off) >= CA_SEQ_LEN
@@ -74,21 +79,22 @@ def _synth_tile_kernel(
         chipbit = (
             jax.lax.shift_right_logical(word, bitpos & 31) & 1
         ).astype(jnp.int32)
-        chip = chipbit * 2 - 1
+        # Data bit as a {0,1} bit too, so the combined sign is one XOR
+        # (the reference multiplies dataBit*codeCA, both ±1). chip is
+        # negative when chipbit == 0; dbit (∈ {-1,+1}) is negative when
+        # (dbit >> 1) & 1 == 1 — so the product is positive iff they differ.
         dbit = jnp.where(wrapped, col("bit_next"), col("bit_now"))
-        s = dbit * chip  # ±1
+        spos = chipbit ^ ((dbit >> 1) & 1)  # 1 where product is POSITIVE
 
         # ---- carrier LUT index ----
-        klo = col("c_lo") + r * csplit_ref[3, c]
-        kH = col("c_hi") + r * csplit_ref[2, c] + (klo >> 23)
+        klo = col("c_lo") + rv * csplit_ref[3, c]
+        kH = col("c_hi") + rv * csplit_ref[2, c] + (klo >> 23)
         idx = (kH >> 21) & 511
 
         # ---- LUT values via trig + quirk fixups (see synth_jax) ----
         th = (idx.astype(jnp.float32) + 0.5) * np.float32(2.0 * np.pi / 512.0)
         ts = jnp.floor(250.0 * jnp.sin(th) + 0.5).astype(jnp.int32)
         tc = jnp.floor(250.0 * jnp.cos(th) + 0.5).astype(jnp.int32)
-        # int32 constants: weak python ints trace as i64 under x64, which
-        # Mosaic's convert lowering cannot handle.
         p105, n105 = jnp.int32(105), jnp.int32(-105)
         for k in _SIN_QUIRK_POS:
             ts = jnp.where(idx == k, p105, ts)
@@ -97,15 +103,17 @@ def _synth_tile_kernel(
         for k in _COS_QUIRK_POS:
             tc = jnp.where(idx == k, p105, tc)
         for k in _COS_QUIRK_NEG:
-            tc = jnp.where(idx == k, n105, tc)
+            tc = jnp.where(idx == k, -105, tc)
 
-        # ---- exact trunc(gain * LUT) in split Q44, apply sign, sum ----
+        # ---- exact trunc(gain * LUT) in split Q44, fold signs via select
+        # (trunc is odd: compute on |t|, negate where sbit^sign(t) says so).
         ga = ga_ref[0, c]
         gb = gb_ref[0, c]
         for t, acc in ((tc, "i"), (ts, "q")):
             ta = jnp.abs(t)
             mag = ((ga * ta) + ((gb * ta) >> 22)) >> 22
-            v = s * jnp.sign(t) * mag
+            neg = (spos == 0) ^ (t < 0)
+            v = jnp.where(neg, -mag, mag)
             if acc == "i":
                 i_acc = i_acc + v
             else:

@@ -48,6 +48,24 @@ def test_jax_kernel_int_nco(fixtures_dir):
         assert np.array_equal(a, b)
 
 
+def test_pallas_kernel_bit_exact(sim_plans):
+    """Fused Pallas stage B (interpret mode on CPU) vs the parity path."""
+    import jax
+
+    from gpssim_tpu.ops.synth_jax import LANES
+    from gpssim_tpu.ops.synth_pallas import synth_blocks_batch_pallas
+    from gpssim_tpu.parallel.blocks import collate_plans
+
+    plans = sim_plans[:3]
+    n_rows = -(-plans[0].num_samples // LANES)
+    batch = collate_plans(plans)
+    out = np.asarray(jax.device_get(synth_blocks_batch_pallas(
+        **batch.args, n_rows=n_rows, num_samples=batch.num_samples,
+    )))
+    ref = np.stack([synth_block_numpy(p) for p in plans])
+    assert np.array_equal(out, ref)
+
+
 def test_quantize_8bit_shift():
     x = np.array([-2048, -17, -16, -1, 0, 15, 16, 2047], dtype=np.int16)
     q = quantize_iq(x, 8)
