@@ -377,4 +377,33 @@ def data_bit(dwrd: np.ndarray, iword: int, ibit: int) -> int:
     return int((int(dwrd[iword]) >> (29 - ibit)) & 0x1) * 2 - 1
 
 
+# IS-GPS-200 parity hamming vectors for D25..D30 over (D29*, D30*, d1..d24).
+# Used for the runtime parity self-check, independently of compute_checksum
+# (the same role the reference's validate_parityN/decode_wordN pair plays,
+# gps.c:907-1001, called on every emitted word via gps.c:1070).
+_HAMMING = (
+    0xBB1F3480, 0x5D8F9A40, 0xAEC7CD00,
+    0x5763E680, 0x6BB1F340, 0x8B7A89C0,
+)
+
+
+def validate_parity(word: int) -> bool:
+    """True if a 32-bit nav word (D29*,D30*,d1..d24,D25..D30) is parity-clean.
+
+    Independent re-derivation from the standard's vectors — shares no code
+    with compute_checksum so it can catch its bugs."""
+    w = word & 0xFFFFFFFF
+    if w & 0x40000000:  # D30* set: data bits arrive inverted
+        w ^= 0x3FFFFFC0
+    parity = 0
+    for mask in _HAMMING:
+        parity = (parity << 1) | (bin(w & mask & ~0x3F).count("1") & 1)
+    return parity == (word & 0x3F)
+
+
+def validate_frame(dwrd: np.ndarray) -> list[int]:
+    """Indices of parity-failing words in a dwrd buffer (empty == clean)."""
+    return [i for i in range(len(dwrd)) if not validate_parity(int(dwrd[i]))]
+
+
 assert N_DWRD == 60

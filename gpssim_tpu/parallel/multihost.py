@@ -1,0 +1,140 @@
+"""Multi-host (multi-process) scaling over DCN + ICI.
+
+The reference is a single-process program; its only scaling axis is one CPU
+core (SURVEY §2.3). Here the block axis scales across hosts with ZERO
+cross-host traffic (blocks are independent — the block-boundary carrier
+phase is chained on the host side in parallel/blocks.py), and the channel
+axis stays inside a host so its psum rides ICI:
+
+    mesh = (blocks = all_hosts x local_blocks, chan = intra-host)
+
+Workflow per process:
+  1. ``initialize()`` — jax.distributed rendezvous (TPU pods auto-detect;
+     CPU/GPU need coordinator/num_processes/process_id).
+  2. Every process runs the same deterministic Simulation and plans the
+     same timeline (host planning is cheap, ~1 ms/block, and this keeps
+     the design stateless — no plan broadcast needed).
+  3. ``scatter_batch`` builds global device arrays from each process's
+     local shard of the block batch.
+  4. The shard_map'd synthesizer (parallel/shard.py) runs one jit across
+     the global mesh; each process gets back its addressable output shard
+     and streams it to its own sink.
+
+Tested without a cluster in tests/test_multihost.py: two OS processes,
+each with 4 virtual CPU devices, rendezvous over localhost and must each
+reproduce the single-process NumPy reference bit-exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.synth_jax import ARG_ORDER
+from .shard import _CHAN_AXIS, make_sharded_synth
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids=None,
+) -> None:
+    """jax.distributed rendezvous (no-op if already initialized)."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already initialized" not in str(e):
+            raise
+
+
+def global_mesh(chan_shards: int = 1) -> Mesh:
+    """(blocks, chan) mesh over ALL processes' devices.
+
+    Devices are taken in jax.devices() order (grouped by process), so the
+    chan axis — the only axis with a collective — stays within a process
+    as long as chan_shards divides the local device count.
+    """
+    devices = np.asarray(jax.devices())
+    n_local = len(jax.local_devices())
+    assert n_local % chan_shards == 0, (
+        f"chan_shards={chan_shards} must divide local devices {n_local} "
+        "so the psum stays on ICI"
+    )
+    return Mesh(
+        devices.reshape(devices.size // chan_shards, chan_shards),
+        ("blocks", "chan"),
+    )
+
+
+def process_block_slice(n_blocks: int, mesh: Mesh) -> slice:
+    """The contiguous block range this process owns on the blocks axis.
+
+    n_blocks must be padded to a multiple of the mesh blocks dimension
+    (see shard.pad_batch)."""
+    blocks_dim = mesh.shape["blocks"]
+    assert n_blocks % blocks_dim == 0
+    per_shard = n_blocks // blocks_dim
+    # Rows of the mesh owned by this process, in device order.
+    pid = jax.process_index()
+    rows = [
+        i
+        for i in range(blocks_dim)
+        if mesh.devices[i, 0].process_index == pid
+    ]
+    assert rows == list(range(rows[0], rows[0] + len(rows))), (
+        "process's mesh rows must be contiguous"
+    )
+    return slice(rows[0] * per_shard, (rows[-1] + 1) * per_shard)
+
+
+def scatter_batch(batch: dict, mesh: Mesh) -> dict:
+    """Per-process local shards → global device arrays for the mesh.
+
+    Every process passes the SAME full batch (deterministic planning);
+    each hands JAX its own block slice — the process-local data — and the
+    pieces assemble into one global array per arg."""
+    n_blocks = batch["gain_a"].shape[0]
+    sl = process_block_slice(n_blocks, mesh)
+    out = {}
+    for k in ARG_ORDER:
+        v = batch[k]
+        spec = [None] * v.ndim
+        spec[0] = "blocks"
+        if mesh.shape["chan"] > 1:
+            spec[_CHAN_AXIS[k]] = "chan"
+        sharding = NamedSharding(mesh, P(*spec))
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(v[sl]), global_shape=v.shape
+        )
+    return out
+
+
+def synthesize_multihost(
+    batch: dict, mesh: Mesh, n_rows: int, num_samples: int
+) -> tuple[np.ndarray, slice]:
+    """Run the sharded synthesizer across the global mesh.
+
+    Returns (local_blocks_int16, block_slice): the IQ blocks this process
+    owns and where they sit in the global batch."""
+    fn = make_sharded_synth(mesh, n_rows, num_samples)
+    global_out = fn(scatter_batch(batch, mesh))
+
+    n_blocks = batch["gain_a"].shape[0]
+    sl = process_block_slice(n_blocks, mesh)
+    # The output is replicated over 'chan'; keep one shard per block range.
+    uniq = {
+        (s.index[0].start or 0): s for s in global_out.addressable_shards
+    }
+    local = np.concatenate(
+        [np.asarray(uniq[k].data) for k in sorted(uniq)], axis=0
+    )
+    assert local.shape[0] == sl.stop - sl.start
+    return local, sl

@@ -44,7 +44,7 @@ from .core.motion import (
     read_user_motion,
     static_xyz,
 )
-from .core.navmsg import eph2sbf, generate_nav_msg
+from .core.navmsg import eph2sbf, generate_nav_msg, validate_frame
 from .core.ranging import compute_code_phase, compute_range
 from .ops.plan import BlockPlan
 
@@ -308,6 +308,17 @@ class Simulation:
                     ch.g0, ch.ipage = generate_nav_msg(
                         grx, ch.sbf, ch.dwrd, ch.ipage, init=False
                     )
+                    if cfg.verbose:
+                        # Runtime parity self-check on every regenerated
+                        # frame (reference validate_parityN, gps.c:926-1001).
+                        bad = validate_frame(ch.dwrd)
+                        if bad:
+                            import warnings
+
+                            warnings.warn(
+                                f"PRN{ch.prn}: nav parity check failed at "
+                                f"words {bad}"
+                            )
 
             # Advance the ephemeris set when the next toc comes within 1 h;
             # the reference checks only the first valid SV of the next set.

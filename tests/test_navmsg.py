@@ -49,6 +49,20 @@ def test_checksum_self_consistent():
         assert parity_ok(word), hex(src)
 
 
+def test_library_validator_agrees_and_catches_corruption():
+    from gpssim_tpu.core.navmsg import validate_frame, validate_parity
+
+    rng = np.random.RandomState(3)
+    words = np.zeros(20, dtype=np.uint32)
+    for i in range(20):
+        src = int(rng.randint(0, 1 << 32, dtype=np.uint64))
+        words[i] = compute_checksum(src, nib=False)
+        assert validate_parity(int(words[i])) == parity_ok(int(words[i]))
+    assert validate_frame(words) == []
+    words[7] ^= 1 << 11  # flip a data bit
+    assert 7 in validate_frame(words)
+
+
 def test_checksum_nib_zeroes_trailing_parity():
     rng = np.random.RandomState(1)
     for _ in range(100):
