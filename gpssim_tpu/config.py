@@ -91,6 +91,10 @@ class SimConfig:
     backend: SynthBackend = SynthBackend.JAX
     parity_exact: bool = True  # mirror C quirks (xyz[0] realloc etc.)
     verbose: bool = False
+    # Blocks per device dispatch for the offline (non-realtime) JAX/Pallas
+    # path; device compute of batch k+1 overlaps D2H + sink of batch k.
+    # Realtime/interactive runs force 1 (0.1 s control latency).
+    dispatch_blocks: int = 25
 
     # Sink
     sink: str = "iqfile"

@@ -59,7 +59,14 @@ def run_simulation(
     """Run a full scenario to the configured sink. Returns throughput stats.
 
     on_block(stats, sim, plan) is called after each block is written (TUI
-    refresh, checkpointing); stop() → True aborts cleanly between blocks."""
+    refresh, checkpointing); stop() → True aborts cleanly between blocks.
+
+    Offline device runs (JAX/Pallas backend, not realtime/interactive)
+    take the pipelined batched path: one jit dispatch per
+    cfg.dispatch_blocks blocks, with device compute of batch k+1
+    overlapped against D2H + sink write of batch k. Realtime and
+    interactive runs stay block-by-block (0.1 s control latency, exactly
+    the reference's cadence)."""
     if sim is None:
         sim = Simulation(cfg)
     if sink is None:
@@ -68,6 +75,14 @@ def run_simulation(
             kwargs = {"path": cfg.out_file, "fifo_depth": cfg.fifo_depth}
         sink = make_sink(cfg.sink, **kwargs)
     sink.init(cfg)
+
+    if (
+        cfg.backend is not SynthBackend.NUMPY
+        and cfg.dispatch_blocks > 1
+        and not cfg.realtime
+        and not cfg.interactive
+    ):
+        return _run_batched(cfg, sink, sim, on_block, stop)
 
     synth_fn = make_synth_fn(cfg)
     bits = cfg.sample_format.value
@@ -98,6 +113,73 @@ def run_simulation(
                 if ahead > 0.1 * cfg.fifo_depth:
                     time.sleep(ahead - 0.1 * cfg.fifo_depth)
             tp = time.perf_counter()
+    finally:
+        sink.close()
+    stats.wall_seconds = time.perf_counter() - t0
+    return stats
+
+
+def _run_batched(
+    cfg: SimConfig, sink: Sink, sim: Simulation, on_block, stop
+) -> RunStats:
+    """Pipelined batched device path (see run_simulation docstring).
+
+    This is the TPU equivalent of the reference's producer/consumer FIFO
+    (fifo.c): the bounded in-flight window (2 batches) is the pipeline
+    depth, and jax dispatch asynchrony provides the overlap.
+    """
+    import itertools
+    from collections import deque
+
+    import jax
+
+    from .config import CarrierMode
+    from .ops.synth_jax import LANES
+    from .parallel.blocks import collate_plans
+
+    int_nco = cfg.carrier_mode is CarrierMode.INT_NCO
+    if cfg.backend is SynthBackend.PALLAS:
+        from .ops.synth_pallas import synth_blocks_batch_pallas as kernel
+    else:
+        from .ops.synth_jax import synth_blocks_batch as kernel
+
+    n_rows = -(-cfg.samples_per_epoch // LANES)
+    bits = cfg.sample_format.value
+    W = cfg.dispatch_blocks
+
+    stats = RunStats()
+    t0 = time.perf_counter()
+    it = sim.iter_plans()
+    pending: deque = deque()  # (device_out, plans)
+    try:
+        while True:
+            ts = time.perf_counter()
+            plans = list(itertools.islice(it, W))
+            tp = time.perf_counter()
+            stats.plan_seconds += tp - ts
+            if plans:
+                batch = collate_plans(plans, int_nco=int_nco)
+                out = kernel(
+                    **batch.args,
+                    n_rows=n_rows,
+                    num_samples=batch.num_samples,
+                )  # async dispatch
+                pending.append((out, plans))
+                stats.synth_seconds += time.perf_counter() - tp
+            if (not plans and pending) or len(pending) >= 2:
+                out, done_plans = pending.popleft()
+                host = np.asarray(jax.device_get(out))
+                for i, plan in enumerate(done_plans):
+                    sink.write(quantize_iq(host[i], bits))
+                    stats.blocks += 1
+                    stats.samples += plan.num_samples
+                stats.wall_seconds = time.perf_counter() - t0
+                if on_block is not None:
+                    on_block(stats, sim, done_plans[-1])
+            if not plans and not pending:
+                break
+            if stop is not None and stop():
+                break
     finally:
         sink.close()
     stats.wall_seconds = time.perf_counter() - t0
