@@ -97,6 +97,21 @@ def test_16bit_iono_almanac(oracle_bin, fixtures_dir, tmp_path):
 
 
 @pytest.mark.golden
+def test_iono_disabled(oracle_bin, fixtures_dir, tmp_path):
+    """--disable-iono (spacecraft scenario) path, reference gps.c:1901-1903."""
+    nav = f"{fixtures_dir}/brdc_test.22n"
+    ref = run_oracle(
+        oracle_bin, nav, "ref.bin", str(tmp_path), fixtures_dir,
+        duration=2, bits=8, iono=0, almanac=0, **TOKYO,
+    )
+    cfg = SimConfig(
+        nav_file=nav, duration_sec=2.0, almanac_enable=False,
+        ionosphere_enable=False,
+    )
+    assert_parity(run_mine(cfg), ref, np.int8)
+
+
+@pytest.mark.golden
 def test_motion_file(oracle_bin, fixtures_dir, tmp_path):
     nav = f"{fixtures_dir}/brdc_test.22n"
     motion = f"{fixtures_dir}/circle_motion.csv"
