@@ -285,45 +285,59 @@ def row_bases_device(args: dict, n_rows: int) -> dict:
     )
 
 
-# The carrier LUTs are round-half-away(250*sin/cos(2pi(k+0.5)/512)) except
-# four half-way entries where the reference's table holds 105 (see
-# core/constants.py). Every other entry is >= 5.8e-3 away from a rounding
-# boundary while f32 trig is accurate to ~2e-4, so on-device trig plus these
-# fixups reproduces the tables exactly (asserted in tests).
-_SIN_QUIRK_POS = (35, 220)
-_SIN_QUIRK_NEG = (291, 476)
-_COS_QUIRK_POS = (419, 92)  # = (k - 128) mod 512 of the sin quirks
-_COS_QUIRK_NEG = (163, 348)
+# The carrier LUTs (512-entry, amplitude 250, gps.c:145-213) have a 4-fold
+# symmetry: |table[idx]| = M(m) with m = u or 127-u per quadrant, where
+# M(m) = round(250*sin(pi*(m+0.5)/256)) for every m except m == 35 — the
+# tables' four half-way quirk entries (105 where round gives 106) ALL fold
+# onto m == 35. M is evaluated with a degree-9 odd minimax polynomial whose
+# f32 error (2.9e-5) is 20x below the tables' tightest rounding margin
+# (6.3e-4), so the reproduction is exact for all 512 entries on any IEEE
+# f32 evaluator regardless of FMA contraction (exhaustively asserted in
+# tests/test_synth.py::test_lut_poly_matches_tables).
+_LUT_POLY = tuple(
+    np.float32(v)
+    for v in (
+        785.3981323242188, -1291.927001953125, 637.5127563476562,
+        -149.54039001464844, 19.36177635192871,
+    )
+)
 
 
-def _lut_values(idx):
-    """(sin_table[idx], cos_table[idx]) via VPU trig — no gathers."""
-    th = (idx.astype(jnp.float32) + 0.5) * np.float32(2.0 * np.pi / 512.0)
-    ts = jnp.floor(250.0 * jnp.sin(th) + 0.5).astype(jnp.int32)
-    tc = jnp.floor(250.0 * jnp.cos(th) + 0.5).astype(jnp.int32)
-    for k in _SIN_QUIRK_POS:
-        ts = jnp.where(idx == k, 105, ts)
-    for k in _SIN_QUIRK_NEG:
-        ts = jnp.where(idx == k, -105, ts)
-    for k in _COS_QUIRK_POS:
-        tc = jnp.where(idx == k, 105, tc)
-    for k in _COS_QUIRK_NEG:
-        tc = jnp.where(idx == k, -105, tc)
-    return ts, tc
+def lut_mag_neg(idx):
+    """(|sin_t[idx]|, sin<0, |cos_t[idx]|, cos<0) — poly LUT, no gathers.
+
+    Magnitudes are non-negative int32; the booleans carry the table signs
+    so callers fold them into their own sign logic (one select, no
+    multiplies)."""
+    u = idx & 127
+    quad = idx >> 7  # 0..3
+    mo = 127 - u
+    m_s = jnp.where((quad & 1) == 1, mo, u)
+    m_c = jnp.where((quad & 1) == 1, u, mo)
+
+    def mag(m):
+        x = (m.astype(jnp.float32) + 0.5) * np.float32(1.0 / 256.0)
+        x2 = x * x
+        p = _LUT_POLY[4]
+        for c in (_LUT_POLY[3], _LUT_POLY[2], _LUT_POLY[1], _LUT_POLY[0]):
+            p = c + x2 * p
+        t = jnp.floor(x * p + 0.5).astype(jnp.int32)
+        return jnp.where(m == 35, 105, t)  # the half-way quirk entries
+
+    neg_s = quad >= 2
+    neg_c = (quad == 1) | (quad == 2)  # cos quadrant = quad + 1 (mod 4)
+    return mag(m_s), neg_s, mag(m_c), neg_c
 
 
-def _gain_trunc(t, ga, gb):
-    """Exact trunc(gain * t) with gain in split Q44 (ga: Q22 high, gb: low).
+def _gain_trunc_mag(ta, ga, gb):
+    """Exact trunc(gain * ta), ta >= 0, gain in split Q44 (ga hi / gb lo).
 
-    floor(g*2^44)*|t| >> 44 differs from the f64 product by < |t|*2^-44,
+    floor(g*2^44)*ta >> 44 differs from the f64 product by < ta*2^-44,
     flipping a truncation only with ~1e-11 probability per distinct value.
-    trunc is odd, so compute on |t| and restore the sign.
-    """
-    ta = jnp.abs(t)
-    hi = ga * ta  # < 2^31 for gain < 2.0, |t| <= 250
+    trunc is odd, so callers apply the sign afterwards (select)."""
+    hi = ga * ta  # < 2^31 for gain < 2.0, ta <= 250
     lo = gb * ta
-    mag = (hi + (lo >> 22)) >> 22
-    return jnp.sign(t) * mag
+    return (hi + (lo >> 22)) >> 22
 
 
 def _lane_samples(bases, gain_a, gain_b):
@@ -353,22 +367,25 @@ def _lane_samples(bases, gain_a, gain_b):
         jnp.where(bitpos < 64, rc(bases["w1"]), rc(bases["w2"])),
     )
     chipbit = jax.lax.shift_right_logical(word, bitpos & 31) & 1
-    chip = chipbit * 2 - 1
 
+    # dataBit*codeCA sign as one XOR: chip = 2*chipbit-1 is negative when
+    # chipbit == 0; dbit (±1) is negative when (dbit >> 1) & 1 == 1.
     dbit = jnp.where(wrapped, rc(bases["bit_next"]), rc(bases["bit_now"]))
-    s = dbit * chip  # ±1
+    spos = chipbit ^ ((dbit >> 1) & 1)  # 1 where the product is POSITIVE
 
     # ---- carrier LUT index ----
     klo = rc(bases["c_lo"]) + r * kB
     kH = rc(bases["c_hi"]) + r * kA + (klo >> 23)
     idx = (kH >> 21) & 511  # (R, C, L)
 
-    # ---- LUT values via trig, exact gain fold, channel accumulation ----
-    ts, tc = _lut_values(idx)
+    # ---- LUT magnitudes via poly, exact gain fold, channel accumulation
+    ta_s, neg_s, ta_c, neg_c = lut_mag_neg(idx)
     ga = gain_a[None, :, None]
     gb = gain_b[None, :, None]
-    iv = s * _gain_trunc(tc, ga, gb)
-    qv = s * _gain_trunc(ts, ga, gb)
+    mag_i = _gain_trunc_mag(ta_c, ga, gb)
+    mag_q = _gain_trunc_mag(ta_s, ga, gb)
+    iv = jnp.where((spos == 0) ^ neg_c, -mag_i, mag_i)
+    qv = jnp.where((spos == 0) ^ neg_s, -mag_q, mag_q)
 
     i_acc = jnp.sum(iv, axis=1, dtype=jnp.int32).reshape(-1)  # (R*L,)
     q_acc = jnp.sum(qv, axis=1, dtype=jnp.int32).reshape(-1)

@@ -23,14 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.constants import CA_SEQ_LEN
-from .synth_jax import (
-    _COS_QUIRK_NEG,
-    _COS_QUIRK_POS,
-    _SIN_QUIRK_NEG,
-    _SIN_QUIRK_POS,
-    finalize_iq,
-    row_bases_device,
-)
+from .synth_jax import finalize_iq, lut_mag_neg, row_bases_device
 
 LANES = 128
 TILE_R = 64  # rows per kernel invocation (64*128 = 8192 samples; best
@@ -91,28 +84,15 @@ def _synth_tile_kernel(
         kH = col("c_hi") + rv * csplit_ref[2, c] + (klo >> 23)
         idx = (kH >> 21) & 511
 
-        # ---- LUT values via trig + quirk fixups (see synth_jax) ----
-        th = (idx.astype(jnp.float32) + 0.5) * np.float32(2.0 * np.pi / 512.0)
-        ts = jnp.floor(250.0 * jnp.sin(th) + 0.5).astype(jnp.int32)
-        tc = jnp.floor(250.0 * jnp.cos(th) + 0.5).astype(jnp.int32)
-        p105, n105 = jnp.int32(105), jnp.int32(-105)
-        for k in _SIN_QUIRK_POS:
-            ts = jnp.where(idx == k, p105, ts)
-        for k in _SIN_QUIRK_NEG:
-            ts = jnp.where(idx == k, n105, ts)
-        for k in _COS_QUIRK_POS:
-            tc = jnp.where(idx == k, p105, tc)
-        for k in _COS_QUIRK_NEG:
-            tc = jnp.where(idx == k, -105, tc)
+        # ---- LUT magnitudes via the folded poly (see synth_jax) ----
+        ta_s, neg_s, ta_c, neg_c = lut_mag_neg(idx)
 
-        # ---- exact trunc(gain * LUT) in split Q44, fold signs via select
-        # (trunc is odd: compute on |t|, negate where sbit^sign(t) says so).
+        # ---- exact trunc(gain * |LUT|) in split Q44, signs via select ----
         ga = ga_ref[0, c]
         gb = gb_ref[0, c]
-        for t, acc in ((tc, "i"), (ts, "q")):
-            ta = jnp.abs(t)
+        for ta, neg_t, acc in ((ta_c, neg_c, "i"), (ta_s, neg_s, "q")):
             mag = ((ga * ta) + ((gb * ta) >> 22)) >> 22
-            neg = (spos == 0) ^ (t < 0)
+            neg = (spos == 0) ^ neg_t
             v = jnp.where(neg, -mag, mag)
             if acc == "i":
                 i_acc = i_acc + v

@@ -48,6 +48,22 @@ def test_jax_kernel_int_nco(fixtures_dir):
         assert np.array_equal(a, b)
 
 
+def test_lut_poly_matches_tables():
+    """The folded degree-9 polynomial must reproduce ALL 512 entries of
+    both reference carrier tables exactly (gps.c:145-213)."""
+    import jax.numpy as jnp
+
+    from gpssim_tpu.core.constants import COS_TABLE_512, SIN_TABLE_512
+    from gpssim_tpu.ops.synth_jax import lut_mag_neg
+
+    idx = jnp.arange(512, dtype=jnp.int32)
+    ta_s, neg_s, ta_c, neg_c = (np.asarray(v) for v in lut_mag_neg(idx))
+    sin_v = np.where(neg_s, -ta_s, ta_s)
+    cos_v = np.where(neg_c, -ta_c, ta_c)
+    assert np.array_equal(sin_v, np.array(SIN_TABLE_512))
+    assert np.array_equal(cos_v, np.array(COS_TABLE_512))
+
+
 def test_pallas_kernel_bit_exact(sim_plans):
     """Fused Pallas stage B (interpret mode on CPU) vs the parity path."""
     import jax
