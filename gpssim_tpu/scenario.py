@@ -11,6 +11,7 @@ parity path, XLA, Pallas) and are the unit of time-block parallelism.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -121,10 +122,24 @@ class Simulation:
         if self.ieph < 0:
             raise ScenarioError("No current set of ephemerides has been found")
 
-        # --- almanac ------------------------------------------------------
+        # --- almanac (gps.c:2610-2657: use_ftp → download, else read
+        # ./almanac.sem; failures warn and continue with no almanac) -------
         self.alm = Almanac()
-        if cfg.almanac_enable and cfg.almanac_file is not None:
-            self.alm = read_sem_almanac(cfg.almanac_file)
+        alm_file = cfg.almanac_file
+        if cfg.almanac_enable and alm_file is None:
+            if cfg.use_ftp:
+                try:
+                    from .io.fetch import fetch_almanac
+
+                    alm_file = fetch_almanac()
+                except Exception as e:  # network optional
+                    import warnings
+
+                    warnings.warn(f"almanac download failed: {e}")
+            elif os.path.exists("almanac.sem"):
+                alm_file = "almanac.sem"
+        if cfg.almanac_enable and alm_file is not None:
+            self.alm = read_sem_almanac(alm_file)
         if cfg.almanac_enable and self.alm.valid:
             for sv in range(MAX_SAT):
                 a = self.alm.sv[sv]

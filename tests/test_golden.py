@@ -161,6 +161,34 @@ def test_target_offset(oracle_bin, fixtures_dir, tmp_path):
 
 
 @pytest.mark.golden
+def test_int_nco_carrier_mode(oracle_bin, fixtures_dir, tmp_path):
+    """Integer-NCO carrier mode vs the reference compiled WITHOUT
+    FLOAT_CARR_PHASE (gps.h:17 removed; 9.16 fixed-point NCO path,
+    gps.h:221-223, gps.c:2745-2828)."""
+    from gpssim_tpu.config import CarrierMode
+
+    intnco_bin = oracle_bin + "-intnco"
+    if not os.path.exists(intnco_bin):
+        pytest.skip("int-NCO oracle not built")
+    nav = f"{fixtures_dir}/brdc_test.22n"
+    ref = run_oracle(
+        intnco_bin, nav, "ref.bin", str(tmp_path), fixtures_dir,
+        duration=2, bits=8, iono=1, almanac=0, **TOKYO,
+    )
+    cfg = SimConfig(
+        nav_file=nav, duration_sec=2.0, almanac_enable=False,
+        carrier_mode=CarrierMode.INT_NCO,
+    )
+    sim = Simulation(cfg)
+    mine = np.concatenate([
+        quantize_iq(synth_block_numpy(p, int_nco=True), 8)
+        for p in sim.iter_plans()
+    ])
+    ref_arr = np.fromfile(ref, dtype=np.int8)
+    assert np.array_equal(mine, ref_arr), "int-NCO mode must be bit-exact"
+
+
+@pytest.mark.golden
 @pytest.mark.slow
 def test_nav_regen_30s_crossing(oracle_bin, fixtures_dir, tmp_path):
     """Cross the 30 s nav-message regeneration + reallocation boundary."""

@@ -26,6 +26,22 @@ cp "$HERE/gui.h" "$HERE/gui_stub.c" "$HERE/curl_stub.c" "$HERE/main_oracle.c" \
    "$HERE/fifo_impl.c" "$BUILD/"
 cp "$HERE/curl/curl.h" "$BUILD/curl/"
 
+# Integer-NCO variant: same sources with FLOAT_CARR_PHASE removed
+# (gps.h:17), golden reference for the framework's --int-nco carrier mode.
+mkdir -p "$BUILD/intnco/curl"
+for f in gps.c gps-sim.h sdr.h fifo.h almanac.h almanac.c; do
+    cp "$REF/$f" "$BUILD/intnco/"
+done
+sed '/#define FLOAT_CARR_PHASE/d' "$REF/gps.h" > "$BUILD/intnco/gps.h"
+cp "$HERE/gui.h" "$HERE/gui_stub.c" "$HERE/curl_stub.c" "$HERE/main_oracle.c" \
+   "$HERE/fifo_impl.c" "$BUILD/intnco/"
+cp "$HERE/curl/curl.h" "$BUILD/intnco/curl/"
+
+cd "$BUILD/intnco"
+cc -std=c11 -Og -g -W -Wall -D_GNU_SOURCE -I. \
+    gps.c fifo_impl.c almanac.c gui_stub.c curl_stub.c main_oracle.c \
+    -o "$BUILD/gps-sim-oracle-intnco" -lm -lpthread -lz
+
 cd "$BUILD"
 cc -std=c11 -Og -g -W -Wall -D_GNU_SOURCE -I. \
     gps.c fifo_impl.c almanac.c gui_stub.c curl_stub.c main_oracle.c \
