@@ -43,10 +43,15 @@ def _verbose_block_hook(cfg: SimConfig, out=sys.stderr):
     """Per-30 s channel table print (reference gps.c:2911-2928)."""
     from .tui import format_channel_rows, format_position
 
+    state = {"saved_at": 0}
+
     def hook(stats, sim, plan):
-        if cfg.checkpoint_file and stats.blocks % 300 == 0:
+        # Snapshot on every crossing of a 30 s boundary (robust to the
+        # batched runner reporting several blocks per callback).
+        if cfg.checkpoint_file and stats.blocks // 300 > state["saved_at"]:
             from .checkpoint import save_checkpoint
 
+            state["saved_at"] = stats.blocks // 300
             save_checkpoint(cfg.checkpoint_file, sim)
         if cfg.verbose and stats.blocks % 300 == 0:
             print(

@@ -124,6 +124,17 @@ def plan_to_args(plan: BlockPlan, int_nco: bool = False) -> dict:
     # --- data-bit window: all bits any row of this block can touch ---
     tcu0 = (plan.iword * 600 + plan.ibit * 20 + plan.icode).astype(np.int64)
     bidx0 = tcu0 // 20
+    # The 8-bit window must cover every data bit any row (incl. tile
+    # padding, ≤ +32640 samples) can touch: tcu spans ≤ wraps_max + 1.
+    wraps_max = int(
+        np.max(
+            np.where(act, (plan.code_phase + (plan.num_samples + 32768)
+                           * step) // CA_SEQ_LEN, 0)
+        )
+    )
+    assert np.all((tcu0 + wraps_max + 1) // 20 - bidx0 <= 7), (
+        "data-bit window overflow: block too long for the 8-bit window"
+    )
     bits8 = np.zeros(C, dtype=np.int32)
     for c in range(C):
         w = 0

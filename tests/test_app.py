@@ -1,0 +1,55 @@
+"""App lifecycle: headless run, profiling capture, checkpoint cadence."""
+
+import os
+
+import numpy as np
+
+from gpssim_tpu.app import run_app
+from gpssim_tpu.config import SimConfig, SynthBackend
+
+
+def _cfg(fixtures_dir, tmp_path, **kw):
+    kw.setdefault("duration_sec", 0.4)
+    kw.setdefault("backend", SynthBackend.NUMPY)
+    return SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n",
+        almanac_enable=False,
+        sink="iqfile",
+        out_file=str(tmp_path / "iq.bin"),
+        **kw,
+    )
+
+
+def test_headless_run_writes_output(fixtures_dir, tmp_path):
+    cfg = _cfg(fixtures_dir, tmp_path)
+    assert run_app(cfg) == 0
+    data = np.fromfile(cfg.out_file, dtype=np.int8)
+    assert data.size == 3 * 600_000 and np.any(data)
+
+
+def test_profile_capture(fixtures_dir, tmp_path):
+    prof = tmp_path / "trace"
+    cfg = _cfg(
+        fixtures_dir, tmp_path, backend=SynthBackend.JAX,
+        profile_dir=str(prof),
+    )
+    assert run_app(cfg) == 0
+    # jax.profiler.trace writes a plugins/profile tree with a .xplane.pb
+    found = [f for _, _, fs in os.walk(prof) for f in fs]
+    assert any(f.endswith(".xplane.pb") for f in found), found
+
+
+def test_checkpoint_written_at_30s_cadence(fixtures_dir, tmp_path):
+    ckpt = tmp_path / "state.npz"
+    cfg = _cfg(
+        fixtures_dir, tmp_path, duration_sec=31.0,
+        backend=SynthBackend.JAX, checkpoint_file=str(ckpt),
+        dispatch_blocks=25,
+    )
+    assert run_app(cfg) == 0
+    assert ckpt.exists()
+    from gpssim_tpu.checkpoint import load_checkpoint
+
+    _, sim = load_checkpoint(str(ckpt))
+    # final save happens at end-of-run with the full scenario consumed
+    assert sim._iumd == 310
