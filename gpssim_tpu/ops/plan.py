@@ -43,6 +43,7 @@ class BlockPlan:
     iword: np.ndarray  # i64[C]
     ibit: np.ndarray  # i64[C]
     icode: np.ndarray  # i64[C]
+    prn: np.ndarray  # i64[C] PRN per slot (0 = inactive)
     ca: np.ndarray  # int8[C, 1023] chips {0,1}
     dwrd: np.ndarray  # uint32[C, 60]
 

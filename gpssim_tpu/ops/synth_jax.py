@@ -51,15 +51,147 @@ _M23 = (1 << 23) - 1
 # ---------------------------------------------------------------------------
 
 
-def _limbs3(vals: list[int]) -> np.ndarray:
-    """Python ints (exact, non-negative) → int32[C, 3] base-2^23 limbs."""
-    out = np.zeros((len(vals), 3), np.int32)
-    for i, v in enumerate(vals):
-        v = int(v)
-        out[i, 0] = v & _M23
-        out[i, 1] = (v >> 23) & _M23
-        out[i, 2] = v >> 46
-    return out
+def _limbs3(v: np.ndarray) -> np.ndarray:
+    """Non-negative int64 array (..., ) → int32 (..., 3) base-2^23 limbs."""
+    v = np.asarray(v, dtype=np.int64)
+    return np.stack(
+        [v & _M23, (v >> 23) & _M23, v >> 46], axis=-1
+    ).astype(np.int32)
+
+
+def _limbs_shl(l: np.ndarray, s: int, mod_bits: int | None = None) -> np.ndarray:
+    """Shift a base-2^23 limb vector left by s (< 23) bits, exactly.
+
+    Values like step128*4096 overflow int64, so scaling happens in limb
+    space with explicit carries. mod_bits (e.g. 53 for the carrier) drops
+    bits at and above 2^mod_bits."""
+    l = l.astype(np.int64)
+    l0 = (l[..., 0] << s) & _M23
+    c0 = l[..., 0] >> (23 - s)
+    l1 = ((l[..., 1] << s) | c0) & _M23
+    c1 = l[..., 1] >> (23 - s)
+    l2 = (l[..., 2] << s) | c1
+    if mod_bits is not None:
+        l2 &= (1 << (mod_bits - 46)) - 1
+    return np.stack([l0, l1, l2], axis=-1).astype(np.int32)
+
+
+def args_from_arrays(
+    active: np.ndarray,
+    code_phase: np.ndarray,
+    f_code: np.ndarray,
+    carr_phase: np.ndarray,
+    f_carr: np.ndarray,
+    carr_phase_i: np.ndarray,
+    carr_step_i: np.ndarray,
+    gain: np.ndarray,
+    iword: np.ndarray,
+    ibit: np.ndarray,
+    icode: np.ndarray,
+    prn: np.ndarray,
+    dwrd: np.ndarray,
+    num_samples: int,
+    delt: float,
+    int_nco: bool = False,
+) -> dict:
+    """Vectorized plan→kernel-args conversion over arbitrary leading dims.
+
+    Per-channel arrays are (..., C); dwrd is (..., C, 60).
+    Returns the device-args dict (see plan_to_args) with the same leading
+    dims — pure NumPy, no python-object arithmetic, so converting a whole
+    window of blocks costs the same handful of array ops as one block.
+    """
+    act = np.asarray(active)
+    step = f_code * delt  # chips / sample, f64 (exactly as C forms it)
+    assert np.all(
+        np.where(act, step, 0.0) * num_samples < (1 << 17)
+    ), "block too long"
+
+    code0_q = np.rint(code_phase * (1 << _Q_CODE)).astype(np.int64)
+    cstep_q = np.rint(step * (1 << _Q_CODE)).astype(np.int64)
+
+    if int_nco:
+        # The reference's integer NCO counts 2^25 per carrier cycle in a
+        # uint32 and indexes with (phase >> 16) & 511 (gps.h:221-223,
+        # gps.c:2777). Embedding mod-2^25 phase in Q53 (<< 28) reproduces
+        # both the index and the 128-cycle wrap exactly.
+        carr0_q = (carr_phase_i.astype(np.int64) & ((1 << 25) - 1)) << (
+            _Q_CARR - 25
+        )
+        kstep_q = carr_step_i.astype(np.int64) << (_Q_CARR - 25)
+    else:
+        carr0_q = np.rint(carr_phase * (1 << _Q_CARR)).astype(np.int64)
+        kstep_q = np.rint((f_carr * delt) * float(1 << _Q_CARR)).astype(
+            np.int64
+        )
+
+    # --- limb decomposition; ×128/×64 scalings happen in limb space with
+    # explicit carries because step128*4096 overflows int64 ---
+    mod = np.int64(1) << _Q_CARR
+    c1 = _limbs_shl(_limbs3(cstep_q), 7)  # step128 (kstep_q<<7 fits int64,
+    k1 = _limbs3((kstep_q << 7) % mod)    # cstep_q<<7 does too)
+    c64, k64 = _limbs_shl(c1, 6), _limbs_shl(k1, 6, _Q_CARR)
+    code_l = np.stack(
+        [_limbs3(code0_q), c1, c64, _limbs_shl(c64, 6)], axis=-3
+    )  # (..., 4, C, 3)
+    carr_l = np.stack(
+        [_limbs3(carr0_q % mod), k1, k64, _limbs_shl(k64, 6, _Q_CARR)],
+        axis=-3,
+    )
+
+    # --- per-lane split steps (stage B) ---
+    lane_steps = np.stack([
+        (cstep_q >> 23).astype(np.int32),
+        (cstep_q & _M23).astype(np.int32),
+        (kstep_q >> 23).astype(np.int32),  # arithmetic shift for negatives
+        (kstep_q & _M23).astype(np.int32),
+    ], axis=-2)  # (..., 4, C)
+
+    # --- data-bit window: all bits any row of this block can touch ---
+    tcu0 = (iword * 600 + ibit * 20 + icode).astype(np.int64)
+    bidx0 = tcu0 // 20
+    # The 8-bit window must cover every data bit any row (incl. tile
+    # padding, ≤ +32640 samples) can touch: tcu spans ≤ wraps_max + 1.
+    wraps_max = int(
+        np.max(
+            np.where(act, (code_phase + (num_samples + 32768) * step)
+                     // CA_SEQ_LEN, 0)
+        )
+    )
+    assert np.all((tcu0 + wraps_max + 1) // 20 - bidx0 <= 7), (
+        "data-bit window overflow: block too long for the 8-bit window"
+    )
+    bidx = bidx0[..., None] + np.arange(8, dtype=np.int64)  # (..., C, 8)
+    iw = np.minimum(bidx // 30, 59)  # defensive clamp (see navmsg notes)
+    ib = bidx - (bidx // 30) * 30
+    wsel = np.take_along_axis(dwrd.astype(np.int64), iw, axis=-1)
+    bits = (wsel >> (29 - ib)) & 1
+    bits8 = (bits << np.arange(8, dtype=np.int64)).sum(-1).astype(np.int32)
+    nav = np.stack([
+        tcu0.astype(np.int32), bidx0.astype(np.int32), bits8
+    ], axis=-2)  # (..., 3, C)
+
+    # Gain in Q44 fixed point, split into two int32 halves (22 bits each)
+    # so trunc(gain * LUT) is computed exactly on device without gathers:
+    # the LUT values themselves come from the on-device poly (lut_mag_neg).
+    g = np.where(act, gain, 0.0)
+    g44 = np.floor(g * float(1 << 44))
+    ga = np.floor(g * float(1 << 22)).astype(np.int32)  # high 22+ bits
+    gb = (g44 - ga.astype(np.float64) * float(1 << 22)).astype(np.int32)
+
+    # Bit-packed C/A chips from the cached per-PRN table (wrap-extended);
+    # packing 1023 chips per block would dominate collation otherwise.
+    ca_packed = _packed_table0()[np.where(act, prn, 0)]
+
+    return dict(
+        code_l=code_l,
+        carr_l=carr_l,
+        nav=nav,
+        lane_steps=lane_steps,
+        ca_packed=ca_packed,
+        gain_a=ga,
+        gain_b=gb,
+    )
 
 
 def plan_to_args(plan: BlockPlan, int_nco: bool = False) -> dict:
@@ -73,116 +205,25 @@ def plan_to_args(plan: BlockPlan, int_nco: bool = False) -> dict:
       ca_packed uint32[C,35] — bit-packed C/A chips (wrap-extended)
       gain_a/gain_b int32[C] — split Q44 gain
     """
-    act = plan.active
-    C = len(act)
-    step = plan.f_code * plan.delt  # chips / sample, f64 (exactly as C forms it)
-    assert np.all(step[act] * plan.num_samples < (1 << 17)), "block too long"
-
-    code0_q = np.rint(plan.code_phase * (1 << _Q_CODE)).astype(np.int64)
-    cstep_q = np.rint(step * (1 << _Q_CODE)).astype(np.int64)
-
-    if int_nco:
-        # The reference's integer NCO counts 2^25 per carrier cycle in a
-        # uint32 and indexes with (phase >> 16) & 511 (gps.h:221-223,
-        # gps.c:2777). Embedding mod-2^25 phase in Q53 (<< 28) reproduces
-        # both the index and the 128-cycle wrap exactly.
-        carr0_q = ((plan.carr_phase_i.astype(np.int64) & ((1 << 25) - 1))
-                   << (_Q_CARR - 25)).astype(np.int64)
-        kstep_q = (plan.carr_step_i.astype(np.int64) << (
-            _Q_CARR - 25)).astype(np.int64)
-    else:
-        carr0_q = np.rint(plan.carr_phase * (1 << _Q_CARR)).astype(np.int64)
-        kstep_q = np.rint((plan.f_carr * plan.delt) * float(1 << _Q_CARR)).astype(
-            np.int64
-        )
-
-    # --- limb decomposition (python-int exact; step128*4096 > 2^63) ---
-    mod = 1 << _Q_CARR
-    code_rows, carr_rows = [], []
-    for mult in (None, 1, 64, 4096):
-        if mult is None:
-            code_rows.append(_limbs3([int(v) for v in code0_q]))
-            carr_rows.append(_limbs3([int(v) % mod for v in carr0_q]))
-        else:
-            code_rows.append(
-                _limbs3([int(v) * LANES * mult for v in cstep_q])
-            )
-            carr_rows.append(
-                _limbs3([(int(v) * LANES * mult) % mod for v in kstep_q])
-            )
-    code_l = np.stack(code_rows)  # (4, C, 3)
-    carr_l = np.stack(carr_rows)
-
-    # --- per-lane split steps (stage B) ---
-    lane_steps = np.stack([
-        (cstep_q >> 23).astype(np.int32),
-        (cstep_q & _M23).astype(np.int32),
-        (kstep_q >> 23).astype(np.int32),  # arithmetic shift for negatives
-        (kstep_q & _M23).astype(np.int32),
-    ])  # (4, C)
-
-    # --- data-bit window: all bits any row of this block can touch ---
-    tcu0 = (plan.iword * 600 + plan.ibit * 20 + plan.icode).astype(np.int64)
-    bidx0 = tcu0 // 20
-    # The 8-bit window must cover every data bit any row (incl. tile
-    # padding, ≤ +32640 samples) can touch: tcu spans ≤ wraps_max + 1.
-    wraps_max = int(
-        np.max(
-            np.where(act, (plan.code_phase + (plan.num_samples + 32768)
-                           * step) // CA_SEQ_LEN, 0)
-        )
-    )
-    assert np.all((tcu0 + wraps_max + 1) // 20 - bidx0 <= 7), (
-        "data-bit window overflow: block too long for the 8-bit window"
-    )
-    bits8 = np.zeros(C, dtype=np.int32)
-    for c in range(C):
-        w = 0
-        for k in range(8):
-            bidx = int(bidx0[c]) + k
-            iw = min(bidx // 30, 59)  # defensive clamp (see navmsg notes)
-            ib = bidx - (bidx // 30) * 30
-            w |= ((int(plan.dwrd[c, iw]) >> (29 - ib)) & 1) << k
-        bits8[c] = w
-    nav = np.stack([
-        tcu0.astype(np.int32), bidx0.astype(np.int32), bits8
-    ])  # (3, C)
-
-    # Gain in Q44 fixed point, split into two int32 halves (22 bits each)
-    # so trunc(gain * LUT) is computed exactly on device without gathers:
-    # the LUT values themselves come from on-device trig (see _lut_values).
-    gain = np.where(act, plan.gain, 0.0)
-    g44 = np.floor(gain * float(1 << 44))
-    ga = np.floor(gain * float(1 << 22)).astype(np.int32)  # high 22+ bits
-    gb = (g44 - ga.astype(np.float64) * float(1 << 22)).astype(np.int32)
-
-    # Bit-packed C/A chips (wraparound-extended), built from the plan's chips.
-    ca = plan.ca.astype(np.uint32)
-    ext = np.concatenate([ca, ca[:, : 35 * 32 - CA_SEQ_LEN]], axis=1)
-    weights = np.uint32(1) << np.arange(32, dtype=np.uint32)
-    ca_packed = (ext.reshape(ca.shape[0], 35, 32) * weights).sum(
-        axis=2, dtype=np.uint32
+    return args_from_arrays(
+        plan.active, plan.code_phase, plan.f_code, plan.carr_phase,
+        plan.f_carr, plan.carr_phase_i, plan.carr_step_i, plan.gain,
+        plan.iword, plan.ibit, plan.icode, plan.prn, plan.dwrd,
+        plan.num_samples, plan.delt, int_nco=int_nco,
     )
 
-    return dict(
-        code_l=code_l,
-        carr_l=carr_l,
-        nav=nav,
-        lane_steps=lane_steps,
-        ca_packed=ca_packed,
-        gain_a=ga,
-        gain_b=gb,
+
+@functools.cache
+def _packed_table0() -> np.ndarray:
+    """uint32[33, 35]: zero row (inactive) + packed chips per PRN."""
+    return np.concatenate(
+        [np.zeros((1, 35), np.uint32), ca_table_packed()], axis=0
     )
 
 
 def packed_ca_for_prns(prns: np.ndarray) -> np.ndarray:
     """uint32[C, 35] packed chips for a PRN vector (0 = inactive → zeros)."""
-    table = ca_table_packed()
-    out = np.zeros((len(prns), 35), dtype=np.uint32)
-    for i, p in enumerate(prns):
-        if p > 0:
-            out[i] = table[p - 1]
-    return out
+    return _packed_table0()[np.maximum(np.asarray(prns), 0)]
 
 
 # ---------------------------------------------------------------------------
@@ -440,13 +481,6 @@ def _synth_block_jit(
 def synth_block_device(*args, n_rows: int, num_samples: int):
     """One block on device → interleaved int16[2*num_samples]."""
     return _synth_block_jit(*args, n_rows=n_rows, num_samples=num_samples)
-
-
-def stack_args(arg_dicts: list[dict]) -> dict:
-    """Stack per-block arg dicts into batched arrays with a leading B axis."""
-    return {
-        k: np.stack([d[k] for d in arg_dicts], axis=0) for k in arg_dicts[0]
-    }
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "num_samples"))

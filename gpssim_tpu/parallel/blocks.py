@@ -15,7 +15,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..ops.plan import BlockPlan
-from ..ops.synth_jax import plan_to_args, stack_args
+from ..ops.synth_jax import args_from_arrays
 
 
 def chain_carrier_phases(
@@ -45,9 +45,19 @@ class PlanBatch:
 
 
 def collate_plans(plans: list[BlockPlan], int_nco: bool = False) -> PlanBatch:
-    dicts = [plan_to_args(p, int_nco=int_nco) for p in plans]
+    """Stack plans and convert to kernel args in one vectorized pass."""
+
+    def f(name):
+        return np.stack([getattr(p, name) for p in plans], axis=0)
+
+    args = args_from_arrays(
+        f("active"), f("code_phase"), f("f_code"), f("carr_phase"),
+        f("f_carr"), f("carr_phase_i"), f("carr_step_i"), f("gain"),
+        f("iword"), f("ibit"), f("icode"), f("prn"), f("dwrd"),
+        plans[0].num_samples, plans[0].delt, int_nco=int_nco,
+    )
     return PlanBatch(
-        args=stack_args(dicts),
+        args=args,
         num_samples=plans[0].num_samples,
         n_blocks=len(plans),
     )

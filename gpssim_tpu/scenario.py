@@ -177,6 +177,7 @@ class Simulation:
         self.grx = inc_gps_time(self.grx, 0.1)
         self._iumd = 1
         self._xyz_prev = self._xyz_at(0)
+        self._win = None  # buffered vectorized planning window
 
     # ------------------------------------------------------------------
     def _xyz_at(self, iumd: int) -> np.ndarray:
@@ -293,6 +294,7 @@ class Simulation:
             iword=iword,
             ibit=ibit,
             icode=icode,
+            prn=np.array([c.prn for c in self.channels.chan], dtype=np.int64),
             ca=self.channels.ca_chips(),
             dwrd=self.channels.dwrd_array(),
         )
@@ -372,6 +374,205 @@ class Simulation:
         self.grx = inc_gps_time(grx, 0.1)
 
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # Windowed vectorized planning (static/motion modes).
+    #
+    # Between 30 s boundaries the channel set, nav words and ephemeris set
+    # are fixed, so every per-epoch quantity of the window is computable in
+    # one vectorized f64 pass with IDENTICAL elementwise op order to the
+    # sequential path (the goldens assert bit-exactness). Channel state is
+    # still applied one epoch at a time when the plan is handed out, so a
+    # checkpoint between steps stays consistent ("blocks 1..N done").
+    # ------------------------------------------------------------------
+
+    def _fill_window(self) -> None:
+        cfg = self.cfg
+        iumd0 = self._iumd
+        igrx0 = int(self.grx.sec * 10.0 + 0.5)
+        K = min(self.numd - iumd0, (300 - igrx0 % 300) % 300 + 1)
+        C = self.channels.num_channels
+
+        # grx chain: identical repeated inc_gps_time (ms rounding included).
+        gs = []
+        g = self.grx
+        for _ in range(K):
+            gs.append(g)
+            g = inc_gps_time(g, 0.1)
+        weeks = np.array([t.week for t in gs], dtype=np.int64)
+        secs = np.array([t.sec for t in gs], dtype=np.float64)
+
+        if self.xyz is not None:
+            xyz = np.asarray(self.xyz[iumd0 : iumd0 + K], dtype=np.float64)
+        else:
+            xyz = np.broadcast_to(self.xyz0, (K, 3))
+
+        slots = self.channels.active_slots()
+        S = len(slots)
+        shape = (K, C)
+        active = np.zeros(shape, dtype=bool)
+        cp0 = np.zeros(shape)
+        f_code = np.zeros(shape)
+        carr0 = np.zeros(shape)
+        f_carr = np.zeros(shape)
+        carr0_i = np.zeros(shape, dtype=np.uint32)
+        step_i = np.zeros(shape, dtype=np.int32)
+        gain = np.zeros(shape)
+        iword = np.zeros(shape, dtype=np.int64)
+        ibit = np.zeros(shape, dtype=np.int64)
+        icode = np.zeros(shape, dtype=np.int64)
+        win: dict = {"slots": slots, "K": K}
+
+        if S:
+            chans = [self.channels.chan[i] for i in slots]
+            svs = np.array([c.prn - 1 for c in chans])
+            rho = compute_range(
+                self.nav.sets[self.ieph], self.ionoutc,
+                weeks[:, None], secs[:, None], xyz[:, None, :], svs,
+            )
+
+            # Epoch-to-epoch pseudorange chaining: row j uses row j-1's
+            # observation; row 0 uses the channels' pre-window rho0.
+            prev_week = np.concatenate(
+                [np.array([[c.rho0_g.week for c in chans]]), rho.g_week[:-1]]
+            )
+            prev_sec = np.concatenate(
+                [np.array([[c.rho0_g.sec for c in chans]]), rho.g_sec[:-1]]
+            )
+            prev_range = np.concatenate(
+                [np.array([[c.rho0_range for c in chans]]), rho.range[:-1]]
+            )
+            cps = compute_code_phase(
+                prev_week, prev_sec, prev_range, rho.range,
+                np.array([c.g0.week for c in chans], dtype=np.int64),
+                np.array([c.g0.sec for c in chans], dtype=np.float64),
+                0.1,
+            )
+            fc = cps.f_carr + self.f_carr_offset
+            fcode = cps.f_code
+            # _c_round (floor(x+0.5) / ceil(x-0.5)) vectorized
+            x = 512.0 * 65536.0 * fc * self.delt
+            stp = np.where(
+                x >= 0.0, np.floor(x + 0.5), np.ceil(x - 0.5)
+            ).astype(np.int32)
+
+            # Carrier phase chained sequentially in f64 — the exact
+            # end_carr_phase recurrence, not a cumsum (rounding differs).
+            cstart = np.empty((K, S))
+            cstart_i = np.empty((K, S), dtype=np.uint32)
+            cp = np.array([c.carr_phase for c in chans], dtype=np.float64)
+            cpi = np.array(
+                [c.carr_phase_i & 0xFFFFFFFF for c in chans], dtype=np.uint64
+            )
+            for j in range(K):
+                cstart[j] = cp
+                cstart_i[j] = cpi.astype(np.uint32)
+                if cfg.carrier_mode is CarrierMode.FLOAT:
+                    c = cp + self.num_samples * (fc[j] * self.delt)
+                    cp = c - np.floor(c)
+                else:
+                    cpi = (
+                        cpi
+                        + np.uint64(self.num_samples)
+                        * stp[j].astype(np.int64).astype(np.uint64)
+                    ) & np.uint64(0xFFFFFFFF)
+
+            # Signal gain: path loss x antenna pattern (gps.c:2748-2763).
+            path_loss = PATH_LOSS_NUMERATOR / rho.d
+            ibs = ((90.0 - rho.azel[..., 1] * R2D) / 5.0).astype(np.int64)
+            gn = path_loss * self.ant_pat[ibs]
+            if cfg.pluto_gain_boost:
+                gn = gn * 2
+
+            active[:, slots] = True
+            cp0[:, slots] = cps.code_phase
+            f_code[:, slots] = fcode
+            carr0[:, slots] = cstart
+            f_carr[:, slots] = fc
+            carr0_i[:, slots] = cstart_i
+            step_i[:, slots] = stp
+            gain[:, slots] = gn
+            iword[:, slots] = cps.iword
+            ibit[:, slots] = cps.ibit
+            icode[:, slots] = cps.icode
+
+            win.update(
+                rho=rho, f_carr=fc, f_code=fcode, cps=cps, step_i=stp,
+                carr_end_f=None, chans=chans,
+            )
+            # State after each epoch: phase at the END of block j is the
+            # START of block j+1 (cstart[j+1]); the last epoch's end phase
+            # is the live cp/cpi value.
+            win["carr_next"] = np.concatenate([cstart[1:], cp[None]], axis=0)
+            win["carr_i_next"] = np.concatenate(
+                [cstart_i[1:], cpi.astype(np.uint32)[None]], axis=0
+            )
+
+        # Shared per-window arrays (nav words fixed between boundaries).
+        prn = np.array(
+            [c.prn for c in self.channels.chan], dtype=np.int64
+        )
+        ca = self.channels.ca_chips()
+        dwrd = self.channels.dwrd_array()
+        win["plans"] = [
+            BlockPlan(
+                num_samples=self.num_samples,
+                delt=self.delt,
+                active=active[j],
+                code_phase=cp0[j],
+                f_code=f_code[j],
+                carr_phase=carr0[j],
+                f_carr=f_carr[j],
+                carr_phase_i=carr0_i[j],
+                carr_step_i=step_i[j],
+                gain=gain[j],
+                iword=iword[j],
+                ibit=ibit[j],
+                icode=icode[j],
+                prn=prn,
+                ca=ca,
+                dwrd=dwrd,
+            )
+            for j in range(K)
+        ]
+        win["xyz"] = xyz
+        win["pos"] = 0
+        self._win = win
+
+    def _apply_window_epoch(self) -> BlockPlan:
+        """Hand out the next buffered plan and commit its state effects."""
+        win = self._win
+        j = win["pos"]
+        win["pos"] = j + 1
+        cfg = self.cfg
+        if win["slots"]:
+            rho, cps = win["rho"], win["cps"]
+            for k, slot in enumerate(win["slots"]):
+                ch = self.channels.chan[slot]
+                ch.azel = (float(rho.azel[j, k, 0]), float(rho.azel[j, k, 1]))
+                ch.f_carr = float(win["f_carr"][j, k])
+                ch.f_code = float(win["f_code"][j, k])
+                ch.code_phase = float(cps.code_phase[j, k])
+                ch.iword = int(cps.iword[j, k])
+                ch.ibit = int(cps.ibit[j, k])
+                ch.icode = int(cps.icode[j, k])
+                ch.carr_phasestep_i = int(win["step_i"][j, k])
+                ch.rho0_g = GpsTime(
+                    int(rho.g_week[j, k]), float(rho.g_sec[j, k])
+                )
+                ch.rho0_range = float(rho.range[j, k])
+                ch.rho0_rate = float(rho.rate[j, k])
+                ch.rho0_d = float(rho.d[j, k])
+                ch.rho0_iono = float(rho.iono_delay[j, k])
+                if cfg.carrier_mode is CarrierMode.FLOAT:
+                    ch.carr_phase = float(win["carr_next"][j, k])
+                else:
+                    ch.carr_phase_i = int(win["carr_i_next"][j, k])
+        self._xyz_prev = np.asarray(win["xyz"][j], dtype=np.float64)
+        plan = win["plans"][j]
+        if win["pos"] >= win["K"]:
+            self._win = None
+        return plan
+
     def step(self) -> BlockPlan | None:
         """Produce the next epoch's plan and advance scenario state past it.
 
@@ -382,7 +583,12 @@ class Simulation:
         if self._iumd >= self.numd:
             return None
         iumd = self._iumd
-        plan = self._plan_epoch(iumd)
+        if self.cfg.interactive:
+            plan = self._plan_epoch(iumd)
+        else:
+            if self._win is None:
+                self._fill_window()
+            plan = self._apply_window_epoch()
         self._post_block(iumd)
         self._iumd = iumd + 1
         return plan
