@@ -79,12 +79,19 @@ class TuiApp:
         # Reference target_t units: speed counts 0.01 m/s (gps-sim.c:386-393),
         # bearing in millidegrees.
         self._speed_units = 0.0
+        self.show_help = False
 
     # --- key handling (gps-sim.c:332-414) -----------------------------
     def handle_key(self, ch: int) -> None:
         ia = self.sim.interactive
+        if self.show_help and ch not in (ord("x"), ord("X")):
+            # Any key dismisses the popup (gps-sim.c:407-414).
+            self.show_help = False
+            return
         if ch in (ord("x"), ord("X")):
             self.stop_flag.set()
+        elif ch in (ord("h"), ord("H"), ord("?"), ord("i"), ord("I")):
+            self.show_help = True
         elif ch == ord("a"):
             b = ia.bearing_millideg - 127.0
             if b < 0:
@@ -150,8 +157,26 @@ class TuiApp:
         for k, line in enumerate(self.log.tail(h - log_top - 2)):
             put(log_top + 1 + k, 1, line)
         put(h - 1, 1,
-            "[a/d] bearing  [w/s] vspeed  [e/q] speed  [t/g] gain  [x] exit",
+            "[a/d] bearing  [w/s] vspeed  [e/q] speed  [t/g] gain  "
+            "[h] help  [x] exit",
             curses.A_DIM)
+        if self.show_help:
+            lines = [
+                "gpssim-tpu — interactive controls",
+                "",
+                "  a / d   bearing -/+ 0.127 deg (wraps at 360)",
+                "  w / s   vertical speed +/- 1 m/s",
+                "  e / q   speed +/- 0.01 m/s units",
+                "  t / g   TX gain +/- 1 dB (sink-clamped)",
+                "  h/?/i   this help",
+                "  x       exit",
+                "",
+                "any key to close",
+            ]
+            top = max(1, (h - len(lines)) // 2 - 1)
+            left = max(2, (w - 44) // 2)
+            for k, line in enumerate(lines):
+                put(top + k, left, line.ljust(44), curses.A_REVERSE)
         scr.refresh()
 
     # --- main loop --------------------------------------------------------

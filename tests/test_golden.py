@@ -161,6 +161,34 @@ def test_target_offset(oracle_bin, fixtures_dir, tmp_path):
 
 
 @pytest.mark.golden
+def test_start_time_and_overwrite(oracle_bin, fixtures_dir, tmp_path):
+    """Scenario start within the ephemeris span, and the '--start now'
+    time-overwrite relocation (gps.c:2507-2608)."""
+    from gpssim_tpu.core.ephemeris import nav_time_span, read_rinex_nav
+    from gpssim_tpu.core.gpstime import gps2date, inc_gps_time
+
+    nav = f"{fixtures_dir}/brdc_test.22n"
+    gmin, _ = nav_time_span(read_rinex_nav(nav, version=2))
+
+    for shift, overwrite in ((1800.0, 0), (-364 * 86400.0, 1)):
+        t = gps2date(inc_gps_time(gmin, shift))
+        start_s = f"{t.y}/{t.m}/{t.d},{t.hh}:{t.mm}:{t.sec:.0f}"
+        ref = run_oracle(
+            oracle_bin, nav, f"ref{overwrite}.bin", str(tmp_path),
+            fixtures_dir, duration=2, bits=8, iono=1, almanac=0,
+            start=start_s, overwrite=overwrite, **TOKYO,
+        )
+        cfg = SimConfig(
+            nav_file=nav, duration_sec=2.0, almanac_enable=False,
+            start=t, time_overwrite=bool(overwrite),
+        )
+        ref_arr = np.fromfile(ref, dtype=np.int8)
+        assert np.array_equal(run_mine(cfg), ref_arr), (
+            f"start={start_s} overwrite={overwrite}"
+        )
+
+
+@pytest.mark.golden
 def test_int_nco_carrier_mode(oracle_bin, fixtures_dir, tmp_path):
     """Integer-NCO carrier mode vs the reference compiled WITHOUT
     FLOAT_CARR_PHASE (gps.h:17 removed; 9.16 fixed-point NCO path,

@@ -76,6 +76,14 @@ def test_gain_clamped_by_sink(app):
     assert pluto.set_gain(5) == 0 and pluto.set_gain(-100) == -80
 
 
+def test_help_popup_toggles(app):
+    key(app, "h")
+    assert app.show_help
+    key(app, "d")  # any key dismisses; the keystroke is swallowed
+    assert not app.show_help
+    assert app.sim.interactive.bearing_millideg == 0.0
+
+
 def test_exit_key_sets_stop(app):
     key(app, "x")
     assert app.stop_flag.is_set()
