@@ -54,6 +54,16 @@ def _c_round(x: float) -> int:
     return int(math.floor(x + 0.5)) if x >= 0.0 else int(math.ceil(x - 0.5))
 
 
+def _c_int32(x: np.ndarray) -> np.ndarray:
+    """C `(int)` cast of a double, x86 semantics: out-of-range / NaN →
+    INT32_MIN (cvttsd2si). Reachable when consecutive ephemeris sets are
+    discontinuous — huge Doppler for one epoch, as in the reference."""
+    x = np.asarray(x, dtype=np.float64)
+    bad = ~np.isfinite(x) | (x >= 2147483648.0) | (x < -2147483648.0)
+    safe = np.trunc(np.where(bad, 0.0, x)).astype(np.int64).astype(np.int32)
+    return np.where(bad, np.int32(-(2**31)), safe)
+
+
 @dataclass
 class ScenarioError(Exception):
     message: str
@@ -252,8 +262,10 @@ class Simulation:
                 ch.iword = int(cps.iword)
                 ch.ibit = int(cps.ibit)
                 ch.icode = int(cps.icode)
-                ch.carr_phasestep_i = _c_round(
-                    512.0 * 65536.0 * ch.f_carr * self.delt
+                ch.carr_phasestep_i = int(
+                    _c_int32(
+                        float(_c_round(512.0 * 65536.0 * ch.f_carr * self.delt))
+                    )
                 )
                 ch.rho0_g = GpsTime(int(rho.g_week[k]), float(rho.g_sec[k]))
                 ch.rho0_range = float(rho.range[k])
@@ -449,11 +461,11 @@ class Simulation:
             )
             fc = cps.f_carr + self.f_carr_offset
             fcode = cps.f_code
-            # _c_round (floor(x+0.5) / ceil(x-0.5)) vectorized
+            # (int) round(...) vectorized: C round is half-away-from-zero
             x = 512.0 * 65536.0 * fc * self.delt
-            stp = np.where(
-                x >= 0.0, np.floor(x + 0.5), np.ceil(x - 0.5)
-            ).astype(np.int32)
+            stp = _c_int32(
+                np.where(x >= 0.0, np.floor(x + 0.5), np.ceil(x - 0.5))
+            )
 
             # Carrier phase chained sequentially in f64 — the exact
             # end_carr_phase recurrence, not a cumsum (rounding differs).
