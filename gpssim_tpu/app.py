@@ -43,17 +43,24 @@ def _verbose_block_hook(cfg: SimConfig, out=sys.stderr):
     """Per-30 s channel table print (reference gps.c:2911-2928)."""
     from .tui import format_channel_rows, format_position
 
-    state = {"saved_at": 0}
+    state = {"saved_at": 0, "printed_at": 0}
 
     def hook(stats, sim, plan):
-        # Snapshot on every crossing of a 30 s boundary (robust to the
-        # batched runner reporting several blocks per callback).
+        # Act on every crossing of a 30 s boundary (robust to the batched
+        # runner reporting several blocks per callback).
         if cfg.checkpoint_file and stats.blocks // 300 > state["saved_at"]:
-            from .checkpoint import save_checkpoint
+            from .checkpoint import capture_state, write_state
 
             state["saved_at"] = stats.blocks // 300
-            save_checkpoint(cfg.checkpoint_file, sim)
-        if cfg.verbose and stats.blocks % 300 == 0:
+            # Prefer the runner's drain-time snapshot: the pipelined
+            # planner runs ahead of the written blocks.
+            snap = getattr(sim, "consistent_snapshot", None)
+            write_state(
+                cfg.checkpoint_file,
+                snap if snap is not None else capture_state(sim),
+            )
+        if cfg.verbose and stats.blocks // 300 > state["printed_at"]:
+            state["printed_at"] = stats.blocks // 300
             print(
                 f"[{stats.blocks * 0.1:8.1f} s] {format_position(sim)} "
                 f"({stats.samples_per_second / 1e6:.2f} Msps)",
@@ -81,25 +88,34 @@ def run_app(cfg: SimConfig, sim: Simulation | None = None,
 
     sink = _make_configured_sink(cfg)
 
+    rc = 0
+    stats = None
     with _maybe_profile(cfg.profile_dir):
         if use_tui and sys.stdout.isatty():
             from .tui import TuiApp
 
-            return TuiApp(cfg, sim, sink).run()
+            rc = TuiApp(cfg, sim, sink).run(on_block=_verbose_block_hook(cfg))
+        else:
+            stats = run_simulation(
+                cfg, sink=sink, sim=sim, on_block=_verbose_block_hook(cfg)
+            )
 
-        stats = run_simulation(
-            cfg, sink=sink, sim=sim, on_block=_verbose_block_hook(cfg)
+    if stats is not None:
+        print(
+            f"done: {stats.blocks} blocks ({stats.blocks * 0.1:.1f} s of "
+            f"signal) in {stats.wall_seconds:.2f} s wall "
+            f"= {stats.samples_per_second / 1e6:.2f} Msps "
+            f"(x{stats.realtime_factor:.1f} realtime)",
+            file=sys.stderr,
         )
-
-    print(
-        f"done: {stats.blocks} blocks ({stats.blocks * 0.1:.1f} s of signal) "
-        f"in {stats.wall_seconds:.2f} s wall "
-        f"= {stats.samples_per_second / 1e6:.2f} Msps "
-        f"(x{stats.realtime_factor:.1f} realtime)",
-        file=sys.stderr,
-    )
     if cfg.checkpoint_file:
-        from .checkpoint import save_checkpoint
+        from .checkpoint import capture_state, write_state
 
-        save_checkpoint(cfg.checkpoint_file, sim)
-    return 0
+        # On an interrupted pipelined run the planner may be ahead of the
+        # written blocks; prefer the runner's last drain-time snapshot.
+        snap = getattr(sim, "consistent_snapshot", None)
+        write_state(
+            cfg.checkpoint_file,
+            snap if snap is not None else capture_state(sim),
+        )
+    return rc

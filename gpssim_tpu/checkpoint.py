@@ -86,6 +86,16 @@ def _config_from_json(s: str) -> SimConfig:
 
 def save_checkpoint(path: str, sim) -> None:
     """Snapshot a Simulation (scenario.Simulation) to ``path`` (.npz)."""
+    write_state(path, capture_state(sim))
+
+
+def capture_state(sim) -> dict:
+    """In-memory snapshot of the full generator state (~a few KB).
+
+    Cheap enough to capture at every dispatch boundary; the pipelined
+    runner captures right after planning a batch so the snapshot it hands
+    to checkpoint hooks matches the blocks actually written, even while
+    the planner runs ahead (see runner._run_batched)."""
     chans = sim.channels.chan
     C = len(chans)
     arrays: dict[str, np.ndarray] = {}
@@ -112,13 +122,13 @@ def save_checkpoint(path: str, sim) -> None:
     arrays["ch_has_sbf"] = np.array(
         [c.sbf is not None for c in chans], dtype=bool
     )
-    arrays["allocated_sat"] = sim.channels.allocated_sat
+    arrays["allocated_sat"] = sim.channels.allocated_sat.copy()
 
     arrays["grx"] = np.array([sim.grx.week, sim.grx.sec], dtype=np.float64)
     arrays["g0"] = np.array([sim.g0.week, sim.g0.sec], dtype=np.float64)
     arrays["ieph"] = np.array(sim.ieph, dtype=np.int64)
     arrays["iumd"] = np.array(sim._iumd, dtype=np.int64)
-    arrays["xyz_prev"] = np.asarray(sim._xyz_prev, dtype=np.float64)
+    arrays["xyz_prev"] = np.array(sim._xyz_prev, dtype=np.float64)
     arrays["interactive"] = np.array(
         [
             sim.interactive.bearing_millideg,
@@ -128,9 +138,12 @@ def save_checkpoint(path: str, sim) -> None:
         dtype=np.float64,
     )
     arrays["config_json"] = np.array(_config_to_json(sim.cfg))
+    return arrays
 
+
+def write_state(path: str, state: dict) -> None:
     with open(path, "wb") as fp:
-        np.savez(fp, **arrays)
+        np.savez(fp, **state)
 
 
 def load_checkpoint(path: str):

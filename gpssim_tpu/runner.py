@@ -147,10 +147,12 @@ def _run_batched(
     bits = cfg.sample_format.value
     W = cfg.dispatch_blocks
 
+    from .checkpoint import capture_state
+
     stats = RunStats()
     t0 = time.perf_counter()
     it = sim.iter_plans()
-    pending: deque = deque()  # (device_out, plans)
+    pending: deque = deque()  # (device_out, plans, state_snapshot)
     try:
         while True:
             ts = time.perf_counter()
@@ -164,10 +166,15 @@ def _run_batched(
                     n_rows=n_rows,
                     num_samples=batch.num_samples,
                 )  # async dispatch
-                pending.append((out, plans))
+                # Snapshot NOW: sim state currently matches "all planned
+                # blocks done". By the time this batch drains, the planner
+                # has run ahead — hooks must see the state matching the
+                # blocks actually written, or a checkpoint would skip the
+                # in-flight window on resume.
+                pending.append((out, plans, capture_state(sim)))
                 stats.synth_seconds += time.perf_counter() - tp
             if (not plans and pending) or len(pending) >= 2:
-                out, done_plans = pending.popleft()
+                out, done_plans, snap = pending.popleft()
                 host = np.asarray(jax.device_get(out))
                 for i, plan in enumerate(done_plans):
                     sink.write(quantize_iq(host[i], bits))
@@ -175,10 +182,17 @@ def _run_batched(
                     stats.samples += plan.num_samples
                 stats.wall_seconds = time.perf_counter() - t0
                 if on_block is not None:
+                    sim.consistent_snapshot = snap
                     on_block(stats, sim, done_plans[-1])
             if not plans and not pending:
+                # Normal completion: live state matches the written blocks
+                # again, so later checkpoints can use it directly.
+                sim.consistent_snapshot = None
                 break
             if stop is not None and stop():
+                # Stopped with a batch in flight: keep the last drain-time
+                # snapshot so a final checkpoint doesn't skip unwritten
+                # blocks.
                 break
     finally:
         sink.close()

@@ -188,6 +188,9 @@ class Simulation:
         self._iumd = 1
         self._xyz_prev = self._xyz_at(0)
         self._win = None  # buffered vectorized planning window
+        # Set by the pipelined runner while its planner runs ahead: the
+        # state snapshot matching the blocks actually written so far.
+        self.consistent_snapshot: dict | None = None
 
     # ------------------------------------------------------------------
     def _xyz_at(self, iumd: int) -> np.ndarray:
@@ -262,10 +265,9 @@ class Simulation:
                 ch.iword = int(cps.iword)
                 ch.ibit = int(cps.ibit)
                 ch.icode = int(cps.icode)
+                x = 512.0 * 65536.0 * ch.f_carr * self.delt
                 ch.carr_phasestep_i = int(
-                    _c_int32(
-                        float(_c_round(512.0 * 65536.0 * ch.f_carr * self.delt))
-                    )
+                    _c_int32(float(_c_round(x)) if math.isfinite(x) else x)
                 )
                 ch.rho0_g = GpsTime(int(rho.g_week[k]), float(rho.g_sec[k]))
                 ch.rho0_range = float(rho.range[k])

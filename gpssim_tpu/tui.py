@@ -180,13 +180,17 @@ class TuiApp:
         scr.refresh()
 
     # --- main loop --------------------------------------------------------
-    def run(self) -> int:
+    def run(self, on_block=None) -> int:
         import curses
 
         from .runner import run_simulation
 
-        def on_block(stats, sim, plan):
+        chained = on_block
+
+        def on_block(stats, sim, plan):  # noqa: F811
             self.stats = stats
+            if chained is not None:
+                chained(stats, sim, plan)
 
         err: list[BaseException] = []
 

@@ -66,7 +66,8 @@ print(f"process {{pid}} OK: blocks [{{sl.start}}, {{sl.stop}})")
 
 
 @pytest.mark.skipif(
-    os.environ.get("GPSSIM_TEST_TPU"), reason="CPU multiprocess test"
+    os.environ.get("GPSSIM_TEST_TPU", "") not in ("", "0"),
+    reason="CPU multiprocess test",
 )
 def test_two_process_mesh_bit_identical(fixtures_dir, tmp_path):
     with socket.socket() as s:

@@ -58,6 +58,45 @@ def test_batched_on_block_and_stop(fixtures_dir):
     assert sink.blocks == 10
 
 
+def test_batched_checkpoint_consistent_with_written_blocks(
+    fixtures_dir, tmp_path
+):
+    """The pipelined planner runs ahead; a checkpoint taken from the
+    drain-time snapshot must resume at exactly the next unwritten block."""
+    from gpssim_tpu.checkpoint import load_checkpoint, write_state
+    from gpssim_tpu.ops.synth_numpy import synth_block_numpy
+    from gpssim_tpu.scenario import Simulation
+
+    snaps = []
+
+    def hook(stats, sim, plan):
+        assert sim.consistent_snapshot is not None
+        snaps.append((stats.blocks, sim.consistent_snapshot))
+
+    sink = CaptureSink()
+    run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=5),
+        sink=sink,
+        on_block=hook,
+        stop=lambda: len(snaps) >= 2,
+    )
+    blocks_written, snap = snaps[-1]
+    assert blocks_written == 10
+
+    ckpt = str(tmp_path / "state.npz")
+    write_state(ckpt, snap)
+    _, sim2 = load_checkpoint(ckpt)
+    assert sim2._iumd == blocks_written + 1
+
+    # The resumed stream must continue with block 11 of a straight run.
+    ref_sim = Simulation(_cfg(fixtures_dir, backend=SynthBackend.NUMPY))
+    ref_plans = list(ref_sim.iter_plans())
+    nxt = next(sim2.iter_plans())
+    assert np.array_equal(
+        synth_block_numpy(nxt), synth_block_numpy(ref_plans[blocks_written])
+    )
+
+
 def test_realtime_pacing(fixtures_dir):
     cfg = _cfg(
         fixtures_dir, duration_sec=1.6, backend=SynthBackend.NUMPY,
