@@ -9,4 +9,37 @@ samples, channels, and time blocks.
 
 __version__ = "0.1.0"
 
-from .config import CarrierMode, SampleFormat, SimConfig, SynthBackend  # noqa: F401
+from .config import (  # noqa: F401
+    CarrierMode,
+    LocationConfig,
+    SampleFormat,
+    SimConfig,
+    SynthBackend,
+    TargetConfig,
+)
+
+__all__ = [
+    "CarrierMode", "LocationConfig", "SampleFormat", "SimConfig",
+    "SynthBackend", "TargetConfig", "Simulation", "run_simulation",
+    "run_app", "save_checkpoint", "load_checkpoint",
+]
+
+
+def __getattr__(name):  # lazy: keep `import gpssim_tpu` light
+    if name == "Simulation":
+        from .scenario import Simulation
+
+        return Simulation
+    if name == "run_simulation":
+        from .runner import run_simulation
+
+        return run_simulation
+    if name == "run_app":
+        from .app import run_app
+
+        return run_app
+    if name in ("save_checkpoint", "load_checkpoint"):
+        from . import checkpoint
+
+        return getattr(checkpoint, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -96,9 +96,33 @@ def run_app(cfg: SimConfig, sim: Simulation | None = None,
 
             rc = TuiApp(cfg, sim, sink).run(on_block=_verbose_block_hook(cfg))
         else:
-            stats = run_simulation(
-                cfg, sink=sink, sim=sim, on_block=_verbose_block_hook(cfg)
-            )
+            # Clean shutdown on SIGINT/SIGTERM: finish the in-flight block,
+            # drain the sink, write the final checkpoint (the reference
+            # installs the same handlers, gps-sim.c:273-275).
+            import signal
+
+            stop_flag = {"stop": False}
+
+            def _sig(signum, frame):
+                stop_flag["stop"] = True
+
+            prev = {}
+            for s in (signal.SIGINT, signal.SIGTERM):
+                try:
+                    prev[s] = signal.signal(s, _sig)
+                except ValueError:  # not the main thread
+                    pass
+            try:
+                stats = run_simulation(
+                    cfg, sink=sink, sim=sim,
+                    on_block=_verbose_block_hook(cfg),
+                    stop=lambda: stop_flag["stop"],
+                )
+            finally:
+                for s, h in prev.items():
+                    signal.signal(s, h)
+            if stop_flag["stop"]:
+                rc = 130
 
     if stats is not None:
         print(
