@@ -46,8 +46,8 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    duration = float(os.environ.get("BENCH_DURATION_SEC", "120"))
-    batch_blocks = int(os.environ.get("BENCH_BATCH_BLOCKS", "400"))
+    duration = float(os.environ.get("BENCH_DURATION_SEC", "180"))
+    batch_blocks = int(os.environ.get("BENCH_BATCH_BLOCKS", "800"))
 
     cfg = SimConfig(nav_file=nav, duration_sec=duration, almanac_enable=False)
     sim = Simulation(cfg)

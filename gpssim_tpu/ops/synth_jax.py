@@ -346,11 +346,18 @@ def row_bases_device(args: dict, n_rows: int) -> dict:
 # (6.3e-4), so the reproduction is exact for all 512 entries on any IEEE
 # f32 evaluator regardless of FMA contraction (exhaustively asserted in
 # tests/test_synth.py::test_lut_poly_matches_tables).
-_LUT_POLY = tuple(
+_LUT_POLY_SIN = tuple(
     np.float32(v)
     for v in (
         785.3981323242188, -1291.927001953125, 637.5127563476562,
         -149.54039001464844, 19.36177635192871,
+    )
+)
+_LUT_POLY_COS = tuple(
+    np.float32(v)
+    for v in (
+        250.0, -1233.7005615234375, 1014.6774291992188,
+        -333.8047180175781, 58.742950439453125, -6.1140522956848145,
     )
 )
 
@@ -360,25 +367,30 @@ def lut_mag_neg(idx):
 
     Magnitudes are non-negative int32; the booleans carry the table signs
     so callers fold them into their own sign logic (one select, no
-    multiplies)."""
+    multiplies). |cos_t[idx]| = M(127 - m) = round(250*cos(pi*x(m))) is an
+    EVEN polynomial of the same reduced argument, so both magnitudes share
+    one argument reduction and one x^2 (its quirk entry sits at m == 92)."""
     u = idx & 127
     quad = idx >> 7  # 0..3
-    mo = 127 - u
-    m_s = jnp.where((quad & 1) == 1, mo, u)
-    m_c = jnp.where((quad & 1) == 1, u, mo)
+    m = jnp.where((quad & 1) == 1, 127 - u, u)
 
-    def mag(m):
-        x = (m.astype(jnp.float32) + 0.5) * np.float32(1.0 / 256.0)
-        x2 = x * x
-        p = _LUT_POLY[4]
-        for c in (_LUT_POLY[3], _LUT_POLY[2], _LUT_POLY[1], _LUT_POLY[0]):
-            p = c + x2 * p
-        t = jnp.floor(x * p + 0.5).astype(jnp.int32)
-        return jnp.where(m == 35, 105, t)  # the half-way quirk entries
+    x = (m.astype(jnp.float32) + 0.5) * np.float32(1.0 / 256.0)
+    x2 = x * x
+    p = _LUT_POLY_SIN[4]
+    for c in _LUT_POLY_SIN[3::-1]:
+        p = c + x2 * p
+    q = _LUT_POLY_COS[5]
+    for c in _LUT_POLY_COS[4::-1]:
+        q = c + x2 * q
+    ts = jnp.floor(x * p + 0.5).astype(jnp.int32)
+    tc = jnp.floor(q + 0.5).astype(jnp.int32)
+    # The tables' half-way quirk entries (105 where round gives 106).
+    ts = jnp.where(m == 35, 105, ts)
+    tc = jnp.where(m == 92, 105, tc)
 
     neg_s = quad >= 2
     neg_c = (quad == 1) | (quad == 2)  # cos quadrant = quad + 1 (mod 4)
-    return mag(m_s), neg_s, mag(m_c), neg_c
+    return ts, neg_s, tc, neg_c
 
 
 def _gain_trunc_mag(ta, ga, gb):

@@ -99,8 +99,10 @@ def _synth_tile_kernel(
             else:
                 q_acc = q_acc + v
 
-    i_ref[:] = i_acc
-    q_ref[:] = q_acc
+    # (short) cast of the int accumulator, in-kernel (gps.c:2834-2835):
+    # halves the HBM footprint/traffic of the per-sample outputs.
+    i_ref[:] = i_acc.astype(jnp.int16)
+    q_ref[:] = q_acc.astype(jnp.int16)
 
 
 @functools.partial(
@@ -141,8 +143,8 @@ def _stage_b_pallas(
         + [row_spec] * len(_BASE_NAMES),
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n_rows_pad, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((n_rows_pad, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows_pad, LANES), jnp.int16),
+            jax.ShapeDtypeStruct((n_rows_pad, LANES), jnp.int16),
         ],
         interpret=interpret,
     )(csplit, gain_a[None, :], gain_b[None, :], *base_arrs)
