@@ -473,40 +473,54 @@ def accumulate_block(
     return _lane_samples(bases, gain_a, gain_b)
 
 
-def finalize_iq(i_acc, q_acc, num_samples: int):
-    """Interleave and cast to int16 with C wraparound semantics."""
+def finalize_iq(i_acc, q_acc, num_samples: int, out_bits: int = 16):
+    """Interleave and cast to int16 (C wraparound), or quantize to int8.
+
+    out_bits=8 applies the reference's arithmetic >>4 (gps.c:2841-2845) on
+    device, halving the D2H transfer for the default 8-bit output mode."""
     iq = jnp.stack([i_acc, q_acc], axis=-1).reshape(*i_acc.shape[:-1], -1)
-    return iq[..., : 2 * num_samples].astype(jnp.int16)
+    iq16 = iq[..., : 2 * num_samples].astype(jnp.int16)
+    if out_bits == 8:
+        return (iq16 >> 4).astype(jnp.int8)
+    return iq16
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "num_samples"))
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "num_samples", "out_bits")
+)
 def _synth_block_jit(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
-    *, n_rows: int, num_samples: int,
+    *, n_rows: int, num_samples: int, out_bits: int,
 ):
     i_acc, q_acc = accumulate_block(
         code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b, n_rows
     )
-    return finalize_iq(i_acc, q_acc, num_samples)
+    return finalize_iq(i_acc, q_acc, num_samples, out_bits)
 
 
-def synth_block_device(*args, n_rows: int, num_samples: int):
-    """One block on device → interleaved int16[2*num_samples]."""
-    return _synth_block_jit(*args, n_rows=n_rows, num_samples=num_samples)
+def synth_block_device(*args, n_rows: int, num_samples: int,
+                       out_bits: int = 16):
+    """One block on device → interleaved int16 (or >>4 int8)."""
+    return _synth_block_jit(
+        *args, n_rows=n_rows, num_samples=num_samples, out_bits=out_bits
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "num_samples"))
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "num_samples", "out_bits")
+)
 def _synth_batch_jit(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
-    *, n_rows: int, num_samples: int,
+    *, n_rows: int, num_samples: int, out_bits: int,
 ):
     i_acc, q_acc = jax.vmap(
         lambda *a: accumulate_block(*a, n_rows)
     )(code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b)
-    return finalize_iq(i_acc, q_acc, num_samples)
+    return finalize_iq(i_acc, q_acc, num_samples, out_bits)
 
 
-def synth_blocks_batch(*args, n_rows: int, num_samples: int, **kw):
+def synth_blocks_batch(*args, n_rows: int, num_samples: int,
+                       out_bits: int = 16, **kw):
     """Batch of B independent blocks → int16[B, 2*num_samples].
 
     Blocks are embarrassingly parallel (ops/plan.py); vmap turns the block
@@ -514,7 +528,9 @@ def synth_blocks_batch(*args, n_rows: int, num_samples: int, **kw):
     """
     if kw:
         args = tuple(kw[k] for k in ARG_ORDER)
-    return _synth_batch_jit(*args, n_rows=n_rows, num_samples=num_samples)
+    return _synth_batch_jit(
+        *args, n_rows=n_rows, num_samples=num_samples, out_bits=out_bits
+    )
 
 
 class JaxBlockSynth:

@@ -106,11 +106,12 @@ def _synth_tile_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows", "num_samples", "interpret")
+    jax.jit,
+    static_argnames=("n_rows", "num_samples", "interpret", "out_bits"),
 )
 def _stage_b_pallas(
     bases: dict, gain_a, gain_b,
-    *, n_rows: int, num_samples: int, interpret: bool,
+    *, n_rows: int, num_samples: int, interpret: bool, out_bits: int = 16,
 ):
     """Fused Pallas stage B over padded row tiles (traced without x64)."""
     C = gain_a.shape[0]
@@ -151,7 +152,7 @@ def _stage_b_pallas(
 
     return finalize_iq(
         i_acc.reshape(-1)[: num_samples], q_acc.reshape(-1)[: num_samples],
-        num_samples,
+        num_samples, out_bits,
     )
 
 
@@ -196,11 +197,12 @@ def _batched_row_bases_jit(n_rows: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows", "num_samples", "interpret")
+    jax.jit,
+    static_argnames=("n_rows", "num_samples", "interpret", "out_bits"),
 )
 def _synth_batch_pallas_jit(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
-    *, n_rows, num_samples, interpret,
+    *, n_rows, num_samples, interpret, out_bits,
 ):
     """Single fused dispatch: batched stage A + Pallas stage B + finalize."""
     from .synth_jax import _row_bases
@@ -211,14 +213,15 @@ def _synth_batch_pallas_jit(
     return jax.vmap(
         lambda bs, ga, gb: _stage_b_pallas(
             bs, ga, gb, n_rows=n_rows, num_samples=num_samples,
-            interpret=interpret,
+            interpret=interpret, out_bits=out_bits,
         )
     )(bases, gain_a, gain_b)
 
 
 def synth_blocks_batch_pallas(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
-    *, n_rows: int, num_samples: int, interpret: bool | None = None, **_,
+    *, n_rows: int, num_samples: int, interpret: bool | None = None,
+    out_bits: int = 16, **_,
 ):
     """Batch of B blocks: one fused jit (stage A + Pallas stage B)."""
     if interpret is None:
@@ -227,4 +230,5 @@ def synth_blocks_batch_pallas(
         code_l, carr_l, nav, lane_steps, ca_packed,
         jnp.asarray(gain_a), jnp.asarray(gain_b),
         n_rows=n_rows, num_samples=num_samples, interpret=interpret,
+        out_bits=out_bits,
     )
