@@ -43,7 +43,7 @@ def _verbose_block_hook(cfg: SimConfig, out=sys.stderr):
     """Per-30 s channel table print (reference gps.c:2911-2928)."""
     from .tui import format_channel_rows, format_position
 
-    state = {"saved_at": 0, "printed_at": 0}
+    state = {"saved_at": 0, "printed_at": 0, "metrics_at": 0}
 
     def hook(stats, sim, plan):
         # Act on every crossing of a 30 s boundary (robust to the batched
@@ -68,6 +68,27 @@ def _verbose_block_hook(cfg: SimConfig, out=sys.stderr):
             )
             for row in format_channel_rows(sim):
                 print(row, file=out)
+        if cfg.metrics_file and stats.blocks // 300 > state["metrics_at"]:
+            state["metrics_at"] = stats.blocks // 300
+            import json
+
+            llh = sim.current_llh()
+            rec = {
+                "signal_s": round(stats.blocks * 0.1, 1),
+                "blocks": stats.blocks,
+                "wall_s": round(stats.wall_seconds, 3),
+                "msps": round(stats.samples_per_second / 1e6, 3),
+                "realtime_x": round(stats.realtime_factor, 2),
+                "retries": stats.retries,
+                "lat": float(llh[0]) * R2D,
+                "lon": float(llh[1]) * R2D,
+                "height": float(llh[2]),
+                "channels": [
+                    ch.prn for ch in sim.channels.chan if ch.prn > 0
+                ],
+            }
+            with open(cfg.metrics_file, "a") as fp:
+                fp.write(json.dumps(rec) + "\n")
 
     return hook
 

@@ -153,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", metavar="path",
                    help="Capture a JAX profiler trace of the run into this "
                         "directory")
+    p.add_argument("--metrics-file", metavar="path",
+                   help="Append a JSONL metrics record (throughput, "
+                        "position, channels) every 30 s of signal")
     return p
 
 
@@ -180,6 +183,7 @@ def args_to_config(args: argparse.Namespace) -> SimConfig:
     cfg.pluto_hostname = args.network
     cfg.checkpoint_file = args.checkpoint
     cfg.profile_dir = args.profile_dir
+    cfg.metrics_file = args.metrics_file
 
     if args.sample_rate is not None:
         cfg.sample_rate = args.sample_rate

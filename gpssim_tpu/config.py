@@ -83,9 +83,10 @@ class SimConfig:
     pluto_uri: str | None = None
     pluto_hostname: str = "pluto.local"
 
-    # Checkpoint / profiling
+    # Checkpoint / profiling / metrics
     checkpoint_file: str | None = None
     profile_dir: str | None = None
+    metrics_file: str | None = None  # JSONL, one record per 30 s of signal
 
     # Execution
     backend: SynthBackend = SynthBackend.JAX

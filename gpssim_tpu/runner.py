@@ -20,6 +20,7 @@ class RunStats:
     wall_seconds: float = 0.0
     synth_seconds: float = 0.0
     plan_seconds: float = 0.0
+    retries: int = 0  # batches re-dispatched after a device error
 
     @property
     def samples_per_second(self) -> float:
@@ -161,22 +162,33 @@ def _run_batched(
             stats.plan_seconds += tp - ts
             if plans:
                 batch = collate_plans(plans, int_nco=int_nco)
-                out = kernel(
-                    **batch.args,
-                    n_rows=n_rows,
-                    num_samples=batch.num_samples,
-                    out_bits=bits,  # 8-bit quantize on device: halves D2H
-                )  # async dispatch
+
+                def dispatch(b=batch):
+                    return kernel(
+                        **b.args,
+                        n_rows=n_rows,
+                        num_samples=batch.num_samples,
+                        out_bits=bits,  # 8-bit quantize on device
+                    )  # async dispatch
+
+                out = dispatch()
                 # Snapshot NOW: sim state currently matches "all planned
                 # blocks done". By the time this batch drains, the planner
                 # has run ahead — hooks must see the state matching the
                 # blocks actually written, or a checkpoint would skip the
                 # in-flight window on resume.
-                pending.append((out, plans, capture_state(sim)))
+                pending.append((out, dispatch, plans, capture_state(sim)))
                 stats.synth_seconds += time.perf_counter() - tp
             if (not plans and pending) or len(pending) >= 2:
-                out, done_plans, snap = pending.popleft()
-                host = np.asarray(jax.device_get(out))  # already quantized
+                out, redispatch, done_plans, snap = pending.popleft()
+                try:
+                    host = np.asarray(jax.device_get(out))  # quantized
+                except jax.errors.JaxRuntimeError:
+                    # Transient device failure: every block is a pure
+                    # function of its plan, so the batch simply re-runs
+                    # (SURVEY §5 — per-block state is recomputable).
+                    stats.retries += 1
+                    host = np.asarray(jax.device_get(redispatch()))
                 for i, plan in enumerate(done_plans):
                     sink.write(host[i])
                     stats.blocks += 1

@@ -39,12 +39,15 @@ def test_profile_capture(fixtures_dir, tmp_path):
     assert any(f.endswith(".xplane.pb") for f in found), found
 
 
-def test_checkpoint_written_at_30s_cadence(fixtures_dir, tmp_path):
+def test_checkpoint_and_metrics_at_30s_cadence(fixtures_dir, tmp_path):
+    import json
+
     ckpt = tmp_path / "state.npz"
+    metrics = tmp_path / "metrics.jsonl"
     cfg = _cfg(
         fixtures_dir, tmp_path, duration_sec=31.0,
         backend=SynthBackend.JAX, checkpoint_file=str(ckpt),
-        dispatch_blocks=25,
+        metrics_file=str(metrics), dispatch_blocks=25,
     )
     assert run_app(cfg) == 0
     assert ckpt.exists()
@@ -53,3 +56,8 @@ def test_checkpoint_written_at_30s_cadence(fixtures_dir, tmp_path):
     _, sim = load_checkpoint(str(ckpt))
     # final save happens at end-of-run with the full scenario consumed
     assert sim._iumd == 310
+
+    recs = [json.loads(line) for line in metrics.read_text().splitlines()]
+    assert len(recs) == 1 and recs[0]["blocks"] >= 300
+    assert recs[0]["channels"] and recs[0]["retries"] == 0
+    assert abs(recs[0]["lat"] - 35.681298) < 1e-3
