@@ -13,7 +13,6 @@ from __future__ import annotations
 import gzip
 from dataclasses import dataclass, field
 
-import numpy as np
 
 from .atmosphere import IonoUtc
 from .constants import EPHEM_ARRAY_SIZE, MAX_SAT, SECONDS_IN_HOUR

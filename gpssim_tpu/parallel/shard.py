@@ -20,14 +20,11 @@ and chan to an ICI dimension (one small psum per block).
 
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.synth_jax import accumulate_block, finalize_iq
+from ..ops.synth_jax import ARG_ORDER, accumulate_block, finalize_iq
 
 
 def make_mesh(
@@ -45,9 +42,6 @@ def make_mesh(
     return Mesh(
         devices.reshape(n_blocks_shards, n_chan_shards), ("blocks", "chan")
     )
-
-
-from ..ops.synth_jax import ARG_ORDER
 
 
 def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int):

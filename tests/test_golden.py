@@ -97,6 +97,32 @@ def test_16bit_iono_almanac(oracle_bin, fixtures_dir, tmp_path):
 
 
 @pytest.mark.golden
+@pytest.mark.parametrize(
+    "loc",
+    [
+        dict(lat=-33.865143, lon=151.209900, height=58.0),  # Sydney
+        dict(lat=78.223172, lon=15.626572, height=10.0),  # Svalbard
+        dict(lat=-0.5, lon=179.9, height=0.0),  # equator/antimeridian
+    ],
+    ids=["southern", "high-lat", "antimeridian"],
+)
+def test_location_diversity(oracle_bin, fixtures_dir, tmp_path, loc):
+    """Different geometry regimes (visibility sets, az/el quadrants,
+    Klobuchar geomagnetic latitudes) must all stay bit-exact."""
+    nav = f"{fixtures_dir}/brdc_test.22n"
+    ref = run_oracle(
+        oracle_bin, nav, "ref.bin", str(tmp_path), fixtures_dir,
+        duration=1, bits=8, iono=1, almanac=0, **loc,
+    )
+    cfg = SimConfig(
+        nav_file=nav, duration_sec=1.0, almanac_enable=False,
+        location=LocationConfig(**loc),
+    )
+    ref_arr = np.fromfile(ref, dtype=np.int8)
+    assert np.array_equal(run_mine(cfg), ref_arr)
+
+
+@pytest.mark.golden
 def test_iono_disabled(oracle_bin, fixtures_dir, tmp_path):
     """--disable-iono (spacecraft scenario) path, reference gps.c:1901-1903."""
     nav = f"{fixtures_dir}/brdc_test.22n"
