@@ -25,10 +25,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.constants import CA_SEQ_LEN
 from .synth_jax import finalize_iq, lut_mag_neg, row_bases_device
 
+import os
+
 LANES = 128
-TILE_R = 64  # rows per kernel invocation (64*128 = 8192 samples; best
-# measured tile on v5e — small tiles keep all live (TILE_R, LANES) int32
-# intermediates of the 12-channel unroll resident in VMEM/registers)
+# Rows per kernel invocation (TILE_R*128 samples). Small tiles keep all
+# live (TILE_R, LANES) int32 intermediates of the 12-channel unroll
+# resident in VMEM; 32/64/128 measure within ~10% on v5e — overridable for
+# tuning on other TPU generations.
+TILE_R = int(os.environ.get("GPSSIM_TILE_R", "32"))
 
 _BASE_NAMES = (
     "chip_base", "f_hi", "f_lo", "c_hi", "c_lo",
