@@ -68,11 +68,24 @@ def _verbose_block_hook(cfg: SimConfig, out=sys.stderr):
             )
             for row in format_channel_rows(sim):
                 print(row, file=out)
+        # One record per callback that crosses a 30 s boundary (drain
+        # granularity: large dispatch windows report fewer, larger steps).
         if cfg.metrics_file and stats.blocks // 300 > state["metrics_at"]:
             state["metrics_at"] = stats.blocks // 300
             import json
 
-            llh = sim.current_llh()
+            # Position/channels must match the blocks the record covers;
+            # on the pipelined path the live sim has planned ahead, so use
+            # the runner's drain-time snapshot when present.
+            snap = getattr(sim, "consistent_snapshot", None)
+            if snap is not None:
+                from .core.frames import xyz2llh
+
+                llh = xyz2llh(snap["xyz_prev"])
+                prns = [int(p) for p in snap["ch_prn"] if p > 0]
+            else:
+                llh = sim.current_llh()
+                prns = [ch.prn for ch in sim.channels.chan if ch.prn > 0]
             rec = {
                 "signal_s": round(stats.blocks * 0.1, 1),
                 "blocks": stats.blocks,
@@ -83,9 +96,7 @@ def _verbose_block_hook(cfg: SimConfig, out=sys.stderr):
                 "lat": float(llh[0]) * R2D,
                 "lon": float(llh[1]) * R2D,
                 "height": float(llh[2]),
-                "channels": [
-                    ch.prn for ch in sim.channels.chan if ch.prn > 0
-                ],
+                "channels": prns,
             }
             with open(cfg.metrics_file, "a") as fp:
                 fp.write(json.dumps(rec) + "\n")
@@ -125,6 +136,12 @@ def run_app(cfg: SimConfig, sim: Simulation | None = None,
             stop_flag = {"stop": False}
 
             def _sig(signum, frame):
+                if stop_flag["stop"]:
+                    # Second signal: stop being graceful (a wedged device
+                    # call must remain interruptible).
+                    for s, h in prev.items():
+                        signal.signal(s, h)
+                    raise KeyboardInterrupt
                 stop_flag["stop"] = True
 
             prev = {}

@@ -155,7 +155,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "directory")
     p.add_argument("--metrics-file", metavar="path",
                    help="Append a JSONL metrics record (throughput, "
-                        "position, channels) every 30 s of signal")
+                        "position, channels) at each 30 s-of-signal "
+                        "boundary crossing (dispatch-window granularity)")
     return p
 
 

@@ -28,11 +28,28 @@ from .synth_jax import finalize_iq, lut_mag_neg, row_bases_device
 import os
 
 LANES = 128
+
+
+def _tile_rows() -> int:
+    """GPSSIM_TILE_R override, validated at import (the int16 outputs need
+    at least a (16, 128) tile; keep it a multiple of 16)."""
+    raw = os.environ.get("GPSSIM_TILE_R", "32")
+    try:
+        t = int(raw)
+    except ValueError:
+        raise ValueError(f"GPSSIM_TILE_R={raw!r} is not an integer") from None
+    if t < 16 or t % 16:
+        raise ValueError(
+            f"GPSSIM_TILE_R={t} must be a multiple of 16 (minimum int16 "
+            "sublane tile)"
+        )
+    return t
+
+
 # Rows per kernel invocation (TILE_R*128 samples). Small tiles keep all
 # live (TILE_R, LANES) int32 intermediates of the 12-channel unroll
-# resident in VMEM; 32/64/128 measure within ~10% on v5e — overridable for
-# tuning on other TPU generations.
-TILE_R = int(os.environ.get("GPSSIM_TILE_R", "32"))
+# resident in VMEM; 32/64/128 measure within ~10% on v5e.
+TILE_R = _tile_rows()
 
 _BASE_NAMES = (
     "chip_base", "f_hi", "f_lo", "c_hi", "c_lo",

@@ -153,7 +153,7 @@ def _run_batched(
     stats = RunStats()
     t0 = time.perf_counter()
     it = sim.iter_plans()
-    pending: deque = deque()  # (device_out, plans, state_snapshot)
+    pending: deque = deque()  # (device_out, redispatch_fn, plans, snapshot)
     try:
         while True:
             ts = time.perf_counter()
@@ -167,7 +167,7 @@ def _run_batched(
                     return kernel(
                         **b.args,
                         n_rows=n_rows,
-                        num_samples=batch.num_samples,
+                        num_samples=b.num_samples,
                         out_bits=bits,  # 8-bit quantize on device
                     )  # async dispatch
 
@@ -183,7 +183,12 @@ def _run_batched(
                 out, redispatch, done_plans, snap = pending.popleft()
                 try:
                     host = np.asarray(jax.device_get(out))  # quantized
-                except jax.errors.JaxRuntimeError:
+                except jax.errors.JaxRuntimeError as e:
+                    # Deterministic failures re-fail identically; don't
+                    # waste a synchronous re-run on them.
+                    msg = str(e)
+                    if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg:
+                        raise
                     # Transient device failure: every block is a pure
                     # function of its plan, so the batch simply re-runs
                     # (SURVEY §5 — per-block state is recomputable).
