@@ -207,6 +207,9 @@ def args_to_config(args: argparse.Namespace) -> SimConfig:
     if args.geo_loc:
         lat, lon, height = _parse_triple(args.geo_loc, "location")
         cfg.location = LocationConfig(lat, lon, height)
+    else:
+        # Reference default location is 0,0,0 (gps-sim.c:193-195).
+        cfg.location = LocationConfig(0.0, 0.0, 0.0)
     if args.target:
         dist, bearing, height = _parse_triple(args.target, "target")
         # Bearing stored in millidegrees exactly as the reference does
@@ -219,6 +222,10 @@ def args_to_config(args: argparse.Namespace) -> SimConfig:
             raise SystemExit("ERROR: Invalid duration.")
         # epochs = round(seconds * 10) (gps-sim.c:131-141)
         cfg.duration_sec = int(args.duration * 10.0 + 0.5) / 10.0
+    else:
+        # Reference default runs the full motion buffer: 24 h
+        # (gps-sim.c:190, USER_MOTION_SIZE epochs).
+        cfg.duration_sec = USER_MOTION_SIZE / 10.0
     if args.motion:
         cfg.motion_file = args.motion
         cfg.interactive = False  # motion file overrides (gps-sim.c:63-68)

@@ -24,6 +24,10 @@ def test_defaults():
     assert cfg.backend is SynthBackend.JAX
     assert cfg.carrier_mode is CarrierMode.FLOAT
     assert cfg.parity_exact
+    # Reference defaults: location 0,0,0 and a full 24 h run
+    # (gps-sim.c:190-195).
+    assert (cfg.location.lat, cfg.location.lon, cfg.location.height) == (0, 0, 0)
+    assert cfg.duration_sec == 86400.0
 
 
 def test_reference_options():
