@@ -48,6 +48,39 @@ def test_jax_kernel_int_nco(fixtures_dir):
         assert np.array_equal(a, b)
 
 
+@pytest.mark.parametrize("rate", [2_600_000, 10_000_000])
+def test_sample_rate_configurable(fixtures_dir, rate):
+    """The reference is hard-wired to 3.0 Msps (sdr.h:21); the framework
+    makes rate a parameter (BASELINE.md note), including rates where
+    samples/epoch is not a multiple of 128.
+
+    At 2.6 Msps the integer kernel is bit-identical to the f64 path. At
+    10 Msps (1 M samples/block) the f64 closed form's own rounding
+    (~phase*2^-53) and the Q53 step rounding (~n*2^-54) can land a LUT
+    index astride a boundary for a handful of samples — both paths stay
+    within the ±1 LSB contract of each other."""
+    from gpssim_tpu.ops.synth_jax import JaxBlockSynth
+
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n",
+        duration_sec=0.3,
+        almanac_enable=False,
+        sample_rate=rate,
+    )
+    sim = Simulation(cfg)
+    synth = JaxBlockSynth(num_samples=cfg.samples_per_epoch, num_channels=12)
+    for plan in sim.iter_plans():
+        assert plan.num_samples == rate // 10
+        a = synth_block_numpy(plan)
+        b = synth(plan)
+        if rate == 2_600_000:
+            assert np.array_equal(a, b)
+        else:
+            d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+            assert d.max() <= 1
+            assert (d != 0).mean() < 1e-5
+
+
 def test_lut_poly_matches_tables():
     """The folded degree-9 polynomial must reproduce ALL 512 entries of
     both reference carrier tables exactly (gps.c:145-213)."""
