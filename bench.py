@@ -113,6 +113,7 @@ def main() -> None:
         "metric": "IQ samples/s/chip (3.0 Msps L1 scenario, 12 channels)",
         "value": round(sps, 1),
         "unit": "samples/s",
+        "device": f"{dev.platform} {getattr(dev, 'device_kind', '?')}",
         "vs_baseline": round(sps / 3.0e6, 2),
         "rms_error_vs_reference_lsb16": rms,
         "bit_exact_sample_check": exact,
