@@ -8,6 +8,22 @@ from gpssim_tpu.core.gpstime import GpsTime, gps2date
 from gpssim_tpu.scenario import Simulation
 
 
+def test_almanac_download_failure_warns_and_continues(fixtures_dir):
+    """Network failure on the almanac fetch must not kill the scenario —
+    the reference prints a red status line and runs without almanac pages
+    (gps.c:2622-2635)."""
+    import pytest
+
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=0.3,
+        almanac_enable=True, use_ftp=True,
+    )
+    with pytest.warns(UserWarning, match="almanac download failed"):
+        sim = Simulation(cfg)
+    assert not sim.alm.valid
+    assert next(sim.iter_plans()) is not None
+
+
 def test_ephemeris_set_advance(fixtures_dir):
     """When the next set's toc comes within 1 h, ieph advances and the
     channels' subframe buffers are rebuilt (gps.c:2878-2906)."""
