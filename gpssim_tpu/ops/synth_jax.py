@@ -291,8 +291,10 @@ def _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows):
     bit_now = bit_at(tcu)
     bit_next = bit_at(tcu + 1)
 
-    # ---- C/A words covering chips [chip_base, chip_base+96) ----
-    # wordpos ∈ [0, 31]; select-sum over the 35-word table (no gathers).
+    # ---- C/A chip window [chip_base, chip_base+64) pre-shifted ----
+    # wordpos ∈ [0, 31]; select-sum over the 35-word table (no gathers),
+    # then re-base to chip_base so stage B indexes with chip_off (< 45)
+    # directly: one select between two words instead of two among three.
     wordpos = chip_base >> 5
     cap = ca_packed.astype(jnp.int32)  # (C, 35), bit-identical reinterpret
     zero = jnp.zeros_like(wordpos)
@@ -306,6 +308,13 @@ def _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows):
         w2 = w2 + jnp.where(m, cap[None, :, j + 2], 0)
     bitoff = (chip_base & 31).astype(jnp.int32)
 
+    def shl_safe(w, k):  # w << k with k == 32 → 0 (XLA shift-by-32 is UB)
+        return jnp.where(k >= 32, 0, w << jnp.minimum(k, 31))
+
+    inv = 32 - bitoff
+    wA = jax.lax.shift_right_logical(w0, bitoff) | shl_safe(w1, inv)
+    wB = jax.lax.shift_right_logical(w1, bitoff) | shl_safe(w2, inv)
+
     return dict(
         chip_base=chip_base,
         f_hi=f_hi,
@@ -314,10 +323,8 @@ def _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows):
         c_lo=c_lo,
         bit_now=bit_now,
         bit_next=bit_next,
-        w0=w0,
-        w1=w1,
-        w2=w2,
-        bitoff=bitoff,
+        wA=wA,
+        wB=wB,
         # per-channel split steps for stage B (already int32 halves)
         cA=lane_steps[0],
         cB=lane_steps[1],
@@ -424,13 +431,8 @@ def _lane_samples(bases, gain_a, gain_b):
     chip_idx = rc(bases["chip_base"]) + chip_off
     wrapped = chip_idx >= CA_SEQ_LEN
 
-    bitpos = rc(bases["bitoff"]) + chip_off  # 0..75
-    word = jnp.where(
-        bitpos < 32,
-        rc(bases["w0"]),
-        jnp.where(bitpos < 64, rc(bases["w1"]), rc(bases["w2"])),
-    )
-    chipbit = jax.lax.shift_right_logical(word, bitpos & 31) & 1
+    word = jnp.where(chip_off < 32, rc(bases["wA"]), rc(bases["wB"]))
+    chipbit = jax.lax.shift_right_logical(word, chip_off & 31) & 1
 
     # dataBit*codeCA sign as one XOR: chip = 2*chipbit-1 is negative when
     # chipbit == 0; dbit (±1) is negative when (dbit >> 1) & 1 == 1.

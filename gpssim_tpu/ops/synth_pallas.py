@@ -53,7 +53,7 @@ TILE_R = _tile_rows()
 
 _BASE_NAMES = (
     "chip_base", "f_hi", "f_lo", "c_hi", "c_lo",
-    "bit_now", "bit_next", "w0", "w1", "w2", "bitoff",
+    "bit_now", "bit_next", "wA", "wB",
 )
 
 
@@ -84,14 +84,9 @@ def _synth_tile_kernel(
         chip_off = H >> 23  # 0..44
 
         wrapped = (col("chip_base") + chip_off) >= CA_SEQ_LEN
-        bitpos = col("bitoff") + chip_off  # 0..75
-        word = jnp.where(
-            bitpos < 32,
-            col("w0"),
-            jnp.where(bitpos < 64, col("w1"), col("w2")),
-        )
+        word = jnp.where(chip_off < 32, col("wA"), col("wB"))
         chipbit = (
-            jax.lax.shift_right_logical(word, bitpos & 31) & 1
+            jax.lax.shift_right_logical(word, chip_off & 31) & 1
         ).astype(jnp.int32)
         # Data bit as a {0,1} bit too, so the combined sign is one XOR
         # (the reference multiplies dataBit*codeCA, both ±1). chip is
