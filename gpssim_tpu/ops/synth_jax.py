@@ -280,16 +280,17 @@ def _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows):
     bidx0 = nav[1][None, :]
     bits = nav[2][None, :]
 
-    def bit_at(t):
+    def bit_neg(t):
+        """1 where the data bit is -1 (bit value 0) at code period t."""
         # floor(t/20) via the same f32 trick (t < 2^24, margin 0.025).
         bidx = jnp.floor(
             (t.astype(jnp.float32) + 0.5) * np.float32(1.0 / 20.0)
         ).astype(jnp.int32)
         j = bidx - bidx0  # 0..7 by construction (see plan_to_args)
-        return (jax.lax.shift_right_logical(bits, j) & 1) * 2 - 1
+        return (jax.lax.shift_right_logical(bits, j) & 1) ^ 1
 
-    bit_now = bit_at(tcu)
-    bit_next = bit_at(tcu + 1)
+    neg_now = bit_neg(tcu)
+    neg_next = bit_neg(tcu + 1)
 
     # ---- C/A chip window [chip_base, chip_base+64) pre-shifted ----
     # wordpos ∈ [0, 31]; select-sum over the 35-word table (no gathers),
@@ -315,16 +316,30 @@ def _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows):
     wA = jax.lax.shift_right_logical(w0, bitoff) | shl_safe(w1, inv)
     wB = jax.lax.shift_right_logical(w1, bitoff) | shl_safe(w2, inv)
 
+    # ---- fold the data-bit sign into the window ----
+    # Window bit j becomes chipbit ^ dbit_neg(chip_base + j): the data bit
+    # flips exactly at the code wrap (chip 1023), i.e. at window offset
+    # wrap_off = 1023 - chip_base (< 64 only near the end of a code
+    # period). Stage B then reads the full ±sign of dataBit*codeCA as ONE
+    # bit — no wrap compare, no bit selects per sample.
+    wrap_off = CA_SEQ_LEN - chip_base  # 1..1023
+    xor_now = -neg_now  # 0 or 0xFFFFFFFF
+    xor_flip = -(neg_now ^ neg_next)
+    maskA = shl_safe(jnp.full_like(wrap_off, -1), wrap_off)
+    wo_b = wrap_off - 32
+    maskB = jnp.where(
+        wo_b <= 0, -1, shl_safe(jnp.full_like(wo_b, -1), wo_b)
+    )
+    sA = wA ^ xor_now ^ (maskA & xor_flip)
+    sB = wB ^ xor_now ^ (maskB & xor_flip)
+
     return dict(
-        chip_base=chip_base,
         f_hi=f_hi,
         f_lo=f_lo,
         c_hi=c_hi,
         c_lo=c_lo,
-        bit_now=bit_now,
-        bit_next=bit_next,
-        wA=wA,
-        wB=wB,
+        sA=sA,
+        sB=sB,
         # per-channel split steps for stage B (already int32 halves)
         cA=lane_steps[0],
         cB=lane_steps[1],
@@ -423,21 +438,14 @@ def _lane_samples(bases, gain_a, gain_b):
     def rc(x):  # (R, C) → (R, C, 1)
         return x[:, :, None]
 
-    # ---- code: chips advanced within the row ----
+    # ---- code: chips advanced within the row; the sign-folded window
+    # bit IS the full dataBit*codeCA sign (see _row_bases) ----
     lo = rc(bases["f_lo"]) + r * cB
     H = rc(bases["f_hi"]) + r * cA + (lo >> 23)
     chip_off = H >> 23  # 0..44
 
-    chip_idx = rc(bases["chip_base"]) + chip_off
-    wrapped = chip_idx >= CA_SEQ_LEN
-
-    word = jnp.where(chip_off < 32, rc(bases["wA"]), rc(bases["wB"]))
-    chipbit = jax.lax.shift_right_logical(word, chip_off & 31) & 1
-
-    # dataBit*codeCA sign as one XOR: chip = 2*chipbit-1 is negative when
-    # chipbit == 0; dbit (±1) is negative when (dbit >> 1) & 1 == 1.
-    dbit = jnp.where(wrapped, rc(bases["bit_next"]), rc(bases["bit_now"]))
-    spos = chipbit ^ ((dbit >> 1) & 1)  # 1 where the product is POSITIVE
+    word = jnp.where(chip_off < 32, rc(bases["sA"]), rc(bases["sB"]))
+    spos = jax.lax.shift_right_logical(word, chip_off & 31) & 1
 
     # ---- carrier LUT index ----
     klo = rc(bases["c_lo"]) + r * kB

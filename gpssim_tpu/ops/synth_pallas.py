@@ -33,7 +33,7 @@ LANES = 128
 def _tile_rows() -> int:
     """GPSSIM_TILE_R override, validated at import (the int16 outputs need
     at least a (16, 128) tile; keep it a multiple of 16)."""
-    raw = os.environ.get("GPSSIM_TILE_R", "32")
+    raw = os.environ.get("GPSSIM_TILE_R", "64")
     try:
         t = int(raw)
     except ValueError:
@@ -51,10 +51,7 @@ def _tile_rows() -> int:
 # resident in VMEM; 32/64/128 measure within ~10% on v5e.
 TILE_R = _tile_rows()
 
-_BASE_NAMES = (
-    "chip_base", "f_hi", "f_lo", "c_hi", "c_lo",
-    "bit_now", "bit_next", "wA", "wB",
-)
+_BASE_NAMES = ("f_hi", "f_lo", "c_hi", "c_lo", "sA", "sB")
 
 
 def _synth_tile_kernel(
@@ -78,22 +75,16 @@ def _synth_tile_kernel(
     for c in range(C):
         col = lambda name: bases[name][:, c : c + 1]  # noqa: E731 (TILE_R, 1)
 
-        # ---- code phase: chips advanced within the row ----
+        # ---- code phase: chips advanced within the row; the sign-folded
+        # window bit IS the full dataBit*codeCA sign (see synth_jax) ----
         lo = col("f_lo") + rv * csplit_ref[1, c]
         H = col("f_hi") + rv * csplit_ref[0, c] + (lo >> 23)
         chip_off = H >> 23  # 0..44
 
-        wrapped = (col("chip_base") + chip_off) >= CA_SEQ_LEN
-        word = jnp.where(chip_off < 32, col("wA"), col("wB"))
-        chipbit = (
+        word = jnp.where(chip_off < 32, col("sA"), col("sB"))
+        spos = (
             jax.lax.shift_right_logical(word, chip_off & 31) & 1
-        ).astype(jnp.int32)
-        # Data bit as a {0,1} bit too, so the combined sign is one XOR
-        # (the reference multiplies dataBit*codeCA, both ±1). chip is
-        # negative when chipbit == 0; dbit (∈ {-1,+1}) is negative when
-        # (dbit >> 1) & 1 == 1 — so the product is positive iff they differ.
-        dbit = jnp.where(wrapped, col("bit_next"), col("bit_now"))
-        spos = chipbit ^ ((dbit >> 1) & 1)  # 1 where product is POSITIVE
+        ).astype(jnp.int32)  # 1 where product is POSITIVE
 
         # ---- carrier LUT index ----
         klo = col("c_lo") + rv * csplit_ref[3, c]
