@@ -325,11 +325,10 @@ def _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows):
     wrap_off = CA_SEQ_LEN - chip_base  # 1..1023
     xor_now = -neg_now  # 0 or 0xFFFFFFFF
     xor_flip = -(neg_now ^ neg_next)
-    maskA = shl_safe(jnp.full_like(wrap_off, -1), wrap_off)
+    all1 = jnp.int32(-1)
+    maskA = shl_safe(all1, wrap_off)
     wo_b = wrap_off - 32
-    maskB = jnp.where(
-        wo_b <= 0, -1, shl_safe(jnp.full_like(wo_b, -1), wo_b)
-    )
+    maskB = jnp.where(wo_b <= 0, -1, shl_safe(all1, wo_b))
     sA = wA ^ xor_now ^ (maskA & xor_flip)
     sB = wB ^ xor_now ^ (maskB & xor_flip)
 

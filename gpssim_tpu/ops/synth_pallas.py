@@ -5,8 +5,8 @@ all (rows × lanes × channels) intermediates live in registers/VMEM, so HBM
 traffic is just the tiny per-row bases in and the int16 IQ tile out (the
 hot loop becomes output-bandwidth-bound, per SURVEY §6's speed-of-light
 goal). Math is identical to ops/synth_jax._lane_samples: int32 split-Q
-phase arithmetic, bit-packed C/A chip windows, VPU trig with half-way
-fixups, exact split-Q44 gain truncation.
+phase arithmetic, sign-folded pre-shifted chip windows, polynomial carrier
+LUT magnitudes, exact split-Q44 gain truncation.
 
 Layout: rows = sublanes (tile TILE_R), samples-in-row = 128 lanes; the
 channel loop is unrolled (static 12).
@@ -15,17 +15,14 @@ channel loop is unrolled (static 12).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.constants import CA_SEQ_LEN
 from .synth_jax import finalize_iq, lut_mag_neg, row_bases_device
-
-import os
 
 LANES = 128
 
