@@ -106,6 +106,12 @@ def args_from_arrays(
     assert np.all(
         np.where(act, step, 0.0) * num_samples < (1 << 17)
     ), "block too long"
+    # A 128-lane row must stay inside its pre-shifted 64-chip window
+    # (stage B: chip_off = frac + 127*step < 64) ⇒ sample rates below
+    # ~2.1 Msps need a smaller LANES or a wider window.
+    assert np.all(np.where(act, step, 0.0) * (LANES - 1) < 63.0), (
+        "sample rate too low for the 64-chip row window"
+    )
 
     code0_q = np.rint(code_phase * (1 << _Q_CODE)).astype(np.int64)
     cstep_q = np.rint(step * (1 << _Q_CODE)).astype(np.int64)

@@ -138,3 +138,87 @@ def synthesize_multihost(
     )
     assert local.shape[0] == sl.stop - sl.start
     return local, sl
+
+
+def run_scenario_multihost(
+    cfg, chan_shards: int = 1, window_blocks: int = 64
+) -> str:
+    """Full scenario across all processes → per-process part file + index.
+
+    Every process plans the same deterministic scenario, synthesizes its
+    share of each window over the global mesh, and streams its (quantized)
+    blocks to ``{out_file}.part{pid}`` with a JSON index of global block
+    ranges. ``merge_parts`` assembles the reference-compatible stream.
+    jax.distributed must be initialized first (see ``initialize``)."""
+    import json
+
+    from ..ops.synth_jax import LANES
+    from ..ops.synth_numpy import quantize_iq
+    from ..scenario import Simulation
+    from .shard import pad_batch, pad_channels
+
+    from .blocks import collate_plans
+
+    mesh = global_mesh(chan_shards)
+    sim = Simulation(cfg)
+    n_rows = -(-cfg.samples_per_epoch // LANES)
+    bits = cfg.sample_format.value
+
+    pid = jax.process_index()
+    part = f"{cfg.out_file}.part{pid}"
+    ranges = []
+    it = sim.iter_plans()
+    base = 0
+    with open(part, "wb") as fp:
+        while True:
+            import itertools
+
+            plans = list(itertools.islice(it, window_blocks))
+            if not plans:
+                break
+            batch = collate_plans(plans)
+            padded = pad_channels(batch.args, chan_shards)
+            padded, pad = pad_batch(padded, mesh.shape["blocks"])
+            local, sl = synthesize_multihost(
+                padded, mesh, n_rows, batch.num_samples
+            )
+            # Drop padding blocks and record the global range this
+            # process wrote for this window.
+            lo = base + sl.start
+            hi = min(base + sl.stop, base + len(plans))
+            if hi > lo:
+                quantize_iq(local[: hi - lo], bits).tofile(fp)
+                ranges.append([lo, hi])
+            base += len(plans)
+    with open(f"{part}.idx", "w") as fp:
+        json.dump({"ranges": ranges, "total_blocks": base,
+                   "samples_per_block": cfg.samples_per_epoch,
+                   "bits": bits}, fp)
+    return part
+
+
+def merge_parts(out_file: str, n_parts: int) -> str:
+    """Assemble part files (written by run_scenario_multihost) into the
+    single interleaved IQ stream the reference produces."""
+    import json
+
+    segs = []
+    for pid in range(n_parts):
+        part = f"{out_file}.part{pid}"
+        with open(f"{part}.idx") as fp:
+            idx = json.load(fp)
+        dtype = np.int8 if idx["bits"] == 8 else np.int16
+        blk = 2 * idx["samples_per_block"]
+        data = np.fromfile(part, dtype=dtype).reshape(-1, blk)
+        pos = 0
+        for lo, hi in idx["ranges"]:
+            segs.append((lo, data[pos : pos + (hi - lo)]))
+            pos += hi - lo
+    segs.sort(key=lambda s: s[0])
+    with open(out_file, "wb") as fp:
+        expect = 0
+        for lo, d in segs:
+            assert lo == expect, f"gap at block {expect}"
+            d.tofile(fp)
+            expect = lo + d.shape[0]
+    return out_file
