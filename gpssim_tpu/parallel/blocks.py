@@ -44,16 +44,45 @@ class PlanBatch:
     n_blocks: int
 
 
-def collate_plans(plans: list[BlockPlan], int_nco: bool = False) -> PlanBatch:
-    """Stack plans and convert to kernel args in one vectorized pass."""
+def collate_plans(
+    plans: list[BlockPlan], int_nco: bool = False, compact: bool = True
+) -> PlanBatch:
+    """Stack plans and convert to kernel args in one vectorized pass.
+
+    With ``compact`` (default), each block's ACTIVE channels are moved to
+    the front and the channel axis is trimmed to the batch's maximum
+    active count: the kernel's channel loop is fully dense instead of
+    computing zero-gain slots (typically 9-11 of 12 are active). The
+    cross-channel sum is exact int32 addition — commutative and
+    associative — so reordering/trimming is bit-identical.
+    """
 
     def f(name):
         return np.stack([getattr(p, name) for p in plans], axis=0)
 
+    fields = dict(
+        active=f("active"), code_phase=f("code_phase"), f_code=f("f_code"),
+        carr_phase=f("carr_phase"), f_carr=f("f_carr"),
+        carr_phase_i=f("carr_phase_i"), carr_step_i=f("carr_step_i"),
+        gain=f("gain"), iword=f("iword"), ibit=f("ibit"), icode=f("icode"),
+        prn=f("prn"), dwrd=f("dwrd"),
+    )
+    if compact:
+        act = fields["active"]
+        k = max(1, int(act.sum(axis=1).max()))
+        # Stable order with active slots first, per block.
+        order = np.argsort(~act, axis=1, kind="stable")[:, :k]
+        for name, v in fields.items():
+            idx = order
+            if v.ndim == 3:  # dwrd (B, C, 60)
+                idx = order[..., None]
+            fields[name] = np.take_along_axis(v, idx, axis=1)
+
     args = args_from_arrays(
-        f("active"), f("code_phase"), f("f_code"), f("carr_phase"),
-        f("f_carr"), f("carr_phase_i"), f("carr_step_i"), f("gain"),
-        f("iword"), f("ibit"), f("icode"), f("prn"), f("dwrd"),
+        fields["active"], fields["code_phase"], fields["f_code"],
+        fields["carr_phase"], fields["f_carr"], fields["carr_phase_i"],
+        fields["carr_step_i"], fields["gain"], fields["iword"],
+        fields["ibit"], fields["icode"], fields["prn"], fields["dwrd"],
         plans[0].num_samples, plans[0].delt, int_nco=int_nco,
     )
     return PlanBatch(
