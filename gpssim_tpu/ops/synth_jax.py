@@ -14,13 +14,15 @@ TPU-first design (not a translation of the C loop):
   is pure int32 adds/shifts/masks — exact, and within 2^-46 chips of the
   float64 reference path, far below any quantization boundary (≤1 LSB
   parity holds; see tests/test_synth.py).
-* The 1023-chip C/A sequence is bit-packed; a row touches ≤96 consecutive
-  bits, selected as three 32-bit words in Stage A (select-sum over the
-  35-word table — no gathers anywhere), so Stage B does shifts. Data bits
-  for the whole block live in one host-packed 8-bit window per channel.
-  The carrier LUT is evaluated with VPU trig (exact vs the reference's
-  512-entry tables, incl. their four half-way quirks) and gain-folded in
-  split-Q44 integer arithmetic (trunc(LUT*gain) exactly as the C cast).
+* The 1023-chip C/A sequence is bit-packed; Stage A assembles each row's
+  64-chip window (select-sum over the 35-word table — no gathers anywhere)
+  pre-shifted to the row's first chip and XORs the data-bit sign in (it
+  flips exactly at the code wrap), so Stage B reads the full
+  dataBit*codeCA sign as one window bit. The carrier LUT is evaluated
+  with quadrant-folded minimax polynomials (exact vs the reference's
+  512-entry tables, incl. their four half-way quirks — see lut_mag_neg)
+  and gain-folded in split-Q44 integer arithmetic (trunc(LUT*gain)
+  exactly as the C cast).
 * Channel accumulation is a sum over the channel axis; blocks are
   independent → vmap/shard_map over blocks for multi-chip scaling.
 
