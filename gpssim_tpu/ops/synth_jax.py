@@ -248,18 +248,22 @@ def _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows):
     """
     q = jnp.arange(n_rows, dtype=jnp.int32)[:, None]  # (R, 1)
     q0, q1, q2 = q & 63, (q >> 6) & 63, q >> 12
+    # n_rows is static under jit: drop digit terms that are all-zero
+    # (q2 only matters above 4096 rows ≈ 5.2 Msps; q1 above 64 rows).
+    digits = [(q0, 1)]
+    if n_rows > 64:
+        digits.append((q1, 2))
+    if n_rows > 4096:
+        digits.append((q2, 3))
 
     def poly(L):
         """base + q0*s1 + q1*s64 + q2*s4096 in base-2^23 limbs → p0, p1, p2."""
-        b, s1, s64, s4096 = L[0], L[1], L[2], L[3]  # each (C, 3)
 
         def term(i):
-            return (
-                b[None, :, i]
-                + q0 * s1[None, :, i]
-                + q1 * s64[None, :, i]
-                + q2 * s4096[None, :, i]
-            )
+            t = L[0][None, :, i]
+            for d, row in digits:
+                t = t + d * L[row][None, :, i]
+            return t
 
         p0 = term(0)
         p1 = term(1) + (p0 >> 23)
