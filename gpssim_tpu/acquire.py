@@ -99,6 +99,104 @@ def acquire(
     return out
 
 
+def demodulate_bits(
+    x: np.ndarray, plans, slot: int, sample_rate: float = 3_000_000.0
+):
+    """Coherently demodulate one channel's nav bits from baseband IQ.
+
+    Wipes code and carrier with the channel's exact per-block parameters
+    (plans from scenario.Simulation), integrates per code period, and
+    slices 20 ms bits on the channel's icode boundary. Returns
+    (bits uint8[N], start_bit) where start_bit indexes the channel's dwrd
+    stream (iword*30 + ibit at the first plan, +1 if the first bit was
+    partial)."""
+    n = plans[0].num_samples
+    ca = plans[0].ca[slot]
+    # Integrate per GLOBAL code period: the chip stream is continuous
+    # across blocks, so a period split by a block boundary accumulates
+    # from both fragments (per-block handling would count it twice).
+    total = len(plans) * n // int(sample_rate // 1000) + 4
+    acc = np.zeros(total, dtype=np.complex128)
+    cnt = np.zeros(total, dtype=np.int64)
+    base = 0
+    for b, plan in enumerate(plans):
+        tgrid = np.arange(n, dtype=np.float64)
+        code_phase = plan.code_phase[slot] + tgrid * (
+            plan.f_code[slot] * plan.delt
+        )
+        chips = ca[(code_phase % CA_SEQ_LEN).astype(np.int64)].astype(
+            np.float64
+        ) * 2.0 - 1.0
+        carr = plan.carr_phase[slot] + tgrid * (
+            plan.f_carr[slot] * plan.delt
+        )
+        wiped = x[b * n : (b + 1) * n] * chips * np.exp(-2j * np.pi * carr)
+        period = (code_phase // CA_SEQ_LEN).astype(np.int64)
+        gid = base + (period - period[0])
+        np.add.at(acc, gid, wiped)
+        np.add.at(cnt, gid, 1)
+        base += int(period[-1]) - int(period[0])
+    full = 0.9 * sample_rate * 1e-3
+    corr = acc[cnt > full]
+
+    ms_bits = np.sign(corr.real).astype(np.int64)
+    # corr[0] is the first FULL code period: the block-start period is
+    # fractional and was dropped by the count filter, so the ms counter
+    # starts at tcu0 + 1 (tcu = iword*600 + ibit*20 + icode, gps.h:230).
+    tcu0 = (
+        int(plans[0].iword[slot]) * 600
+        + int(plans[0].ibit[slot]) * 20
+        + int(plans[0].icode[slot])
+    )
+    start_ms = tcu0 + 1
+    j0 = (-start_ms) % 20  # first 20 ms-aligned entry
+    usable = ms_bits[j0:]
+    nbits = len(usable) // 20
+    groups = usable[: nbits * 20].reshape(nbits, 20)
+    bits = (groups.sum(axis=1) > 0).astype(np.uint8)
+    start_bit = (start_ms + j0) // 20
+    return bits, start_bit
+
+
+_PREAMBLE = np.array([1, 0, 0, 0, 1, 0, 1, 1], dtype=np.uint8)
+
+
+def decode_tow(bits: np.ndarray) -> list[tuple[int, int]]:
+    """Find subframes in a demodulated bit stream and decode their TOW.
+
+    Scans for the TLM preamble (IS-GPS-200 10001011, possibly inverted by
+    D30*), validates both TLM and HOW word parity, and returns
+    [(bit_offset, tow_count), ...]. tow_count*6 is the GPS
+    second-of-week of the NEXT subframe boundary."""
+    from .core.navmsg import validate_parity
+
+    out = []
+    n = len(bits)
+    for i in range(n - 60):
+        seg = bits[i : i + 8]
+        inverted = np.array_equal(seg, 1 - _PREAMBLE)
+        if not inverted and not np.array_equal(seg, _PREAMBLE):
+            continue
+        if i + 60 > n:
+            break
+        # Rebuild the two 30-bit words; D29*/D30* come from the previous
+        # word's last two bits (unavailable for the very first bits).
+        if i < 2:
+            continue
+        d2930 = bits[i - 2 : i]
+        tlm = int("".join(map(str, bits[i : i + 30])), 2)
+        how = int("".join(map(str, bits[i + 30 : i + 60])), 2)
+        tlm |= (int(d2930[0]) << 31) | (int(d2930[1]) << 30)
+        how |= (int(bits[i + 28]) << 31) | (int(bits[i + 29]) << 30)
+        if not (validate_parity(tlm) and validate_parity(how)):
+            continue
+        # Data bits are inverted on the wire when D30* is set.
+        hbits = bits[i + 30 : i + 47] ^ int(bits[i + 29])
+        tow = int("".join(map(str, hbits)), 2)
+        out.append((i, tow))
+    return out
+
+
 def main(argv=None) -> int:
     import argparse
 

@@ -53,10 +53,9 @@ def test_all_simulated_prns_acquired(generated):
 
 def test_nav_bits_demodulate(fixtures_dir, tmp_path):
     """Coherent demodulation recovers the exact transmitted nav-message
-    bits: wipe one channel with its known code/carrier, integrate 1 ms
-    sums, slice 20 ms bits, and compare to the channel's dwrd stream
-    (validates bit timing, word chaining, and D30 inversion end-to-end)."""
-    from gpssim_tpu.core.constants import CA_SEQ_LEN, CODE_FREQ
+    bits (validates bit timing, word chaining, and D30 inversion)."""
+    from gpssim_tpu.acquire import demodulate_bits
+    from gpssim_tpu.core.navmsg import data_bit
 
     out = str(tmp_path / "iq.bin")
     cfg = SimConfig(
@@ -64,59 +63,61 @@ def test_nav_bits_demodulate(fixtures_dir, tmp_path):
         almanac_enable=False, backend=SynthBackend.NUMPY,
         sink="iqfile", out_file=out,
     )
-    probe = Simulation(cfg)
-    plans = list(probe.iter_plans())
+    plans = list(Simulation(cfg).iter_plans())
     run_simulation(cfg)
     x = load_iq(out, 8)
 
     slot = int(np.nonzero(plans[0].active)[0][0])
-    n = 300_000  # samples per 0.1 s block
-    corr = []  # one coherent sum per code period (1 ms)
-    for b, plan in enumerate(plans):
-        tgrid = np.arange(n, dtype=np.float64)
-        code_phase = plan.code_phase[slot] + tgrid * (
-            plan.f_code[slot] * plan.delt
-        )
-        chips = plans[0].ca[slot][
-            (code_phase % CA_SEQ_LEN).astype(np.int64)
-        ].astype(np.float64) * 2.0 - 1.0
-        carr = plan.carr_phase[slot] + tgrid * (
-            plan.f_carr[slot] * plan.delt
-        )
-        wiped = x[b * n : (b + 1) * n] * chips * np.exp(-2j * np.pi * carr)
-        # integrate per code period boundary (code_phase crosses 1023)
-        period = (code_phase // CA_SEQ_LEN).astype(np.int64)
-        for k in range(int(period[0]), int(period[-1])):
-            seg = wiped[period == k]
-            if len(seg) > 2500:  # whole periods only
-                corr.append(seg.sum())
-    corr = np.array(corr)
+    bits, start_bit = demodulate_bits(x, plans, slot)
+    assert len(bits) >= 70
 
-    # 1 ms sums → ±1 chips of the data stream; group 20 per bit using the
-    # channel's icode offset at the first block.
-    ms_bits = np.sign(corr.real).astype(int)
-    icode0 = int(plans[0].icode[slot])
-    first_full = (20 - icode0) % 20
-    usable = ms_bits[first_full:]
-    nbits = len(usable) // 20
-    groups = usable[: nbits * 20].reshape(nbits, 20)
-    # every 1 ms sum inside a bit must agree (clean signal)
-    assert np.all(np.abs(groups.sum(axis=1)) == 20)
-    demod = (groups[:, 0] > 0).astype(int)
-
-    # expected bits from dwrd at the channel's word/bit counters
-    from gpssim_tpu.core.navmsg import data_bit
-
-    iword = int(plans[0].iword[slot])
-    ibit = int(plans[0].ibit[slot])
-    start_bit = iword * 30 + ibit + (1 if first_full else 0)
     dwrd = plans[0].dwrd[slot]
     expect = np.array([
         (data_bit(dwrd, (start_bit + k) // 30, (start_bit + k) % 30) + 1)
         // 2
-        for k in range(nbits)
-    ])
-    assert np.array_equal(demod, expect), "demodulated bits != dwrd stream"
+        for k in range(len(bits))
+    ], dtype=np.uint8)
+    assert np.array_equal(bits, expect), "demodulated bits != dwrd stream"
+
+
+def test_subframe_tow_decode(fixtures_dir, tmp_path):
+    """Full receiver chain to time decode: find TLM preambles in the
+    demodulated stream, validate TLM/HOW parity, and check the decoded
+    TOW counts are consecutive and consistent with the scenario clock —
+    the information a real receiver needs for a fix."""
+    from gpssim_tpu.acquire import decode_tow, demodulate_bits
+
+    out = str(tmp_path / "iq.bin")
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=13.0,
+        almanac_enable=False, backend=SynthBackend.NUMPY,
+        sink="iqfile", out_file=out,
+    )
+    sim = Simulation(cfg)
+    g0 = sim.g0
+    plans = list(sim.iter_plans())
+    run_simulation(cfg)
+    x = load_iq(out, 8)
+
+    slot = int(np.nonzero(plans[0].active)[0][0])
+    bits, start_bit = demodulate_bits(x, plans, slot)
+    subframes = decode_tow(bits)
+    assert len(subframes) >= 2, "no decodable subframes in 13 s"
+
+    # Preambles are 300 bits (6 s) apart with consecutive TOW counts.
+    offs = [o for o, _ in subframes]
+    tows = [t for _, t in subframes]
+    assert all(b - a == 300 for a, b in zip(offs, offs[1:]))
+    assert all(b - a == 1 for a, b in zip(tows, tows[1:]))
+
+    # The decoded time must match the scenario clock. dwrd[0] bit 0 is
+    # transmitted at g0 - 6 s (the reference's code-phase origin includes
+    # a +6 s subframe offset, gps.c:2046), and the HOW holds the TOW count
+    # of the NEXT subframe's leading edge (IS-GPS-200).
+    sub_start = g0.sec - 6.0 + (start_bit + offs[0]) * 0.020
+    assert abs((tows[0] * 6.0 - (sub_start + 6.0)) % 604800.0) < 1e-6, (
+        tows[0] * 6.0, sub_start
+    )
 
 
 def test_no_false_positives_on_noise():
