@@ -265,13 +265,19 @@ def test_everything_on(oracle_bin, fixtures_dir, tmp_path):
 
 @pytest.mark.golden
 def test_fuzz_random_scenarios(oracle_bin, fixtures_dir, tmp_path):
-    """Seeded random draws over (location, iono, bits): combinations the
-    fixed matrix doesn't cover must stay within the parity contract."""
+    """Seeded random draws over (location, iono, bits, target, start):
+    combinations the fixed matrix doesn't cover must stay within the
+    parity contract."""
     import random
+
+    from gpssim_tpu.config import TargetConfig
+    from gpssim_tpu.core.ephemeris import nav_time_span, read_rinex_nav
+    from gpssim_tpu.core.gpstime import gps2date, inc_gps_time
 
     rng = random.Random(20260816)
     nav = f"{fixtures_dir}/brdc_test.22n"
-    for trial in range(5):
+    gmin, _ = nav_time_span(read_rinex_nav(nav, version=2))
+    for trial in range(8):
         loc = dict(
             lat=rng.uniform(-75.0, 75.0),
             lon=rng.uniform(-180.0, 180.0),
@@ -279,20 +285,33 @@ def test_fuzz_random_scenarios(oracle_bin, fixtures_dir, tmp_path):
         )
         bits = rng.choice((8, 16))
         iono = rng.choice((0, 1))
+        extra: dict = {}
+        cfg_kw: dict = {}
+        if rng.random() < 0.4:
+            dist = rng.uniform(10.0, 5000.0)
+            bear = rng.uniform(0.0, 360.0)
+            th = rng.uniform(-50.0, 50.0)
+            extra.update(tdist=dist, tbear=bear, theight=th)
+            cfg_kw["target"] = TargetConfig(dist, bear * 1000.0, th, True)
+        if rng.random() < 0.4:
+            shift = rng.uniform(60.0, 3000.0)
+            t = gps2date(inc_gps_time(gmin, round(shift)))
+            extra["start"] = f"{t.y}/{t.m}/{t.d},{t.hh}:{t.mm}:{t.sec:.0f}"
+            cfg_kw["start"] = t
         ref = run_oracle(
             oracle_bin, nav, f"ref{trial}.bin", str(tmp_path), fixtures_dir,
-            duration=1, bits=bits, iono=iono, almanac=0, **loc,
+            duration=1, bits=bits, iono=iono, almanac=0, **loc, **extra,
         )
         cfg = SimConfig(
             nav_file=nav, duration_sec=1.0, almanac_enable=False,
             ionosphere_enable=bool(iono),
             sample_format=SampleFormat.SC16 if bits == 16 else SampleFormat.SC08,
-            location=LocationConfig(**loc),
+            location=LocationConfig(**loc), **cfg_kw,
         )
         dtype = np.int16 if bits == 16 else np.int8
         assert_parity(
             run_mine(cfg), ref, dtype, max_lsb=3 if bits == 16 else 1
-        ), f"trial {trial}: {loc} bits={bits} iono={iono}"
+        ), f"trial {trial}: {loc} bits={bits} iono={iono} {extra}"
 
 
 @pytest.mark.golden
