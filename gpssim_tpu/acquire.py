@@ -60,41 +60,47 @@ def acquire(
     1 ms segments against the local code and sums their power. Returns
     detections sorted by SNR."""
     n = int(round(sample_rate * 1e-3))  # samples per code period
-    need = n * (noncoherent_ms + 1)
+    need = n * noncoherent_ms
     if len(x) < need:
         raise ValueError(f"need at least {need} samples, got {len(x)}")
-    codes = _resampled_codes(sample_rate, n)
-    code_fft = np.conj(np.fft.fft(codes, axis=1))  # (32, n)
+    prns = list(range(1, 33)) if prns is None else list(prns)
+    codes = _resampled_codes(sample_rate, n)[np.asarray(prns) - 1]
+    code_fft = np.conj(np.fft.fft(codes, axis=1))  # (P, n)
 
-    t = np.arange(n * noncoherent_ms, dtype=np.float64) / sample_rate
+    t = np.arange(need, dtype=np.float64) / sample_rate
     bins = np.arange(-max_doppler_hz, max_doppler_hz + 1, doppler_step_hz)
-    prns = range(1, 33) if prns is None else prns
+    seg = x[:need]
 
-    seg = x[: n * noncoherent_ms]
+    # The Doppler wipe + forward FFTs depend only on the bin: hoist them
+    # and correlate all PRNs per bin in one vectorized ifft.
+    best = np.zeros((len(prns), 3))  # (ratio, doppler, lag) per PRN
+    for fd in bins:
+        wiped = (seg * np.exp(-2j * np.pi * fd * t)).reshape(
+            noncoherent_ms, n
+        )
+        wf = np.fft.fft(wiped, axis=1)  # (ms, n)
+        corr = np.fft.ifft(
+            wf[None, :, :] * code_fft[:, None, :], axis=2
+        )  # (P, ms, n)
+        power = (corr.real**2 + corr.imag**2).sum(axis=1)  # (P, n)
+        lag = np.argmax(power, axis=1)
+        peak = power[np.arange(len(prns)), lag]
+        total = power.sum(axis=1)
+        for k in range(len(prns)):
+            lo, hi = max(0, int(lag[k]) - 2), int(lag[k]) + 3
+            off = total[k] - power[k, lo:hi].sum()
+            ratio = float(peak[k]) / (off / (n - (hi - lo)))
+            if ratio > best[k, 0]:
+                best[k] = (ratio, float(fd), float(lag[k]))
+
     out = []
-    for prn in prns:
-        cf = code_fft[prn - 1]
-        best = (0.0, 0.0, 0)  # (power_ratio, doppler, lag)
-        for fd in bins:
-            wiped = (seg * np.exp(-2j * np.pi * fd * t)).reshape(
-                noncoherent_ms, n
-            )
-            corr = np.abs(
-                np.fft.ifft(np.fft.fft(wiped, axis=1) * cf, axis=1)
-            ) ** 2
-            power = corr.sum(axis=0)
-            lag = int(np.argmax(power))
-            peak = float(power[lag])
-            # off-peak mean, excluding ±2 samples around the peak
-            mask = np.ones(n, dtype=bool)
-            mask[max(0, lag - 2) : lag + 3] = False
-            ratio = peak / float(power[mask].mean())
-            if ratio > best[0]:
-                best = (ratio, float(fd), lag)
-        if best[0] >= snr_threshold:
+    for k, prn in enumerate(prns):
+        if best[k, 0] >= snr_threshold:
             # lag samples until the code START → code phase in chips
-            phase = (-best[2] % n) * (CODE_FREQ / sample_rate) % CA_SEQ_LEN
-            out.append(Detection(prn, best[1], phase, best[0]))
+            phase = (
+                (-int(best[k, 2]) % n) * (CODE_FREQ / sample_rate)
+            ) % CA_SEQ_LEN
+            out.append(Detection(prn, best[k, 1], phase, float(best[k, 0])))
     out.sort(key=lambda d: -d.snr)
     return out
 
@@ -107,9 +113,8 @@ def demodulate_bits(
     Wipes code and carrier with the channel's exact per-block parameters
     (plans from scenario.Simulation), integrates per code period, and
     slices 20 ms bits on the channel's icode boundary. Returns
-    (bits uint8[N], start_bit) where start_bit indexes the channel's dwrd
-    stream (iword*30 + ibit at the first plan, +1 if the first bit was
-    partial)."""
+    (bits uint8[N], start_bit) where start_bit is the index of bits[0] in
+    the channel's dwrd bit stream (word*30 + bit)."""
     n = plans[0].num_samples
     ca = plans[0].ca[slot]
     # Integrate per GLOBAL code period: the chip stream is continuous
@@ -137,18 +142,20 @@ def demodulate_bits(
         np.add.at(cnt, gid, 1)
         base += int(period[-1]) - int(period[0])
     full = 0.9 * sample_rate * 1e-3
-    corr = acc[cnt > full]
+    kept = np.nonzero(cnt > full)[0]
+    corr = acc[kept]
 
     ms_bits = np.sign(corr.real).astype(np.int64)
-    # corr[0] is the first FULL code period: the block-start period is
-    # fractional and was dropped by the count filter, so the ms counter
-    # starts at tcu0 + 1 (tcu = iword*600 + ibit*20 + icode, gps.h:230).
+    # corr[0] is the first KEPT code period; gid 0 (the block-start
+    # period) survives the count filter only when the starting code phase
+    # is small enough that its fragment is nearly whole. The ms counter
+    # is tcu0 + first kept gid (tcu = iword*600 + ibit*20 + icode).
     tcu0 = (
         int(plans[0].iword[slot]) * 600
         + int(plans[0].ibit[slot]) * 20
         + int(plans[0].icode[slot])
     )
-    start_ms = tcu0 + 1
+    start_ms = tcu0 + int(kept[0])
     j0 = (-start_ms) % 20  # first 20 ms-aligned entry
     usable = ms_bits[j0:]
     nbits = len(usable) // 20
@@ -172,16 +179,12 @@ def decode_tow(bits: np.ndarray) -> list[tuple[int, int]]:
 
     out = []
     n = len(bits)
-    for i in range(n - 60):
+    # D29*/D30* come from the 2 bits before the preamble, and TLM+HOW
+    # need 60 bits from i — hence the scan bounds.
+    for i in range(2, n - 59):
         seg = bits[i : i + 8]
         inverted = np.array_equal(seg, 1 - _PREAMBLE)
         if not inverted and not np.array_equal(seg, _PREAMBLE):
-            continue
-        if i + 60 > n:
-            break
-        # Rebuild the two 30-bit words; D29*/D30* come from the previous
-        # word's last two bits (unavailable for the very first bits).
-        if i < 2:
             continue
         d2930 = bits[i - 2 : i]
         tlm = int("".join(map(str, bits[i : i + 30])), 2)

@@ -115,9 +115,8 @@ def test_subframe_tow_decode(fixtures_dir, tmp_path):
     # a +6 s subframe offset, gps.c:2046), and the HOW holds the TOW count
     # of the NEXT subframe's leading edge (IS-GPS-200).
     sub_start = g0.sec - 6.0 + (start_bit + offs[0]) * 0.020
-    assert abs((tows[0] * 6.0 - (sub_start + 6.0)) % 604800.0) < 1e-6, (
-        tows[0] * 6.0, sub_start
-    )
+    dmod = (tows[0] * 6.0 - (sub_start + 6.0)) % 604800.0
+    assert min(dmod, 604800.0 - dmod) < 1e-6, (tows[0] * 6.0, sub_start)
 
 
 def test_no_false_positives_on_noise():

@@ -47,7 +47,7 @@ def run_mine(cfg):
     )
 
 
-def assert_parity(mine, ref_path, dtype, max_lsb=1, max_frac=1e-6):
+def assert_parity(mine, ref_path, dtype, max_lsb=1, max_frac=1e-6, ctx=""):
     """Parity contract vs the reference:
 
     - ≤ max_frac of samples differ at all (measured ~1e-8, LUT-index flips);
@@ -56,18 +56,21 @@ def assert_parity(mine, ref_path, dtype, max_lsb=1, max_frac=1e-6):
       integer (~1e-8 of samples, each a sub-ns chip-timing jitter — at
       16-bit such a flip shows the full chip amplitude, ~2*gain*250):
       their count must stay below 1e-7;
-    - RMS error ≤ 0.1 LSB (a couple of full-amplitude boundary events in
-      millions of samples; 0.01 when none occur).
+    - RMS error ≤ 0.01 LSB, relaxed to 0.1 only when full-amplitude
+      boundary events actually occurred (a couple in millions of samples
+      at 16-bit).
     """
     ref = np.fromfile(ref_path, dtype=dtype)
-    assert len(mine) == len(ref), (len(mine), len(ref))
+    assert len(mine) == len(ref), (ctx, len(mine), len(ref))
     d = mine.astype(np.int32) - ref.astype(np.int32)
     nbad = int((d != 0).sum())
     nbig = int((np.abs(d) > max_lsb).sum())
-    assert nbad <= max(max_frac * len(ref), 4), f"{nbad} samples differ"
-    assert nbig <= max(1e-7 * len(ref), 2), f"{nbig} samples differ > {max_lsb}"
+    assert nbad <= max(max_frac * len(ref), 4), f"{ctx}: {nbad} samples differ"
+    assert nbig <= max(1e-7 * len(ref), 2), (
+        f"{ctx}: {nbig} samples differ > {max_lsb}"
+    )
     rms = float(np.sqrt(np.mean(d.astype(np.float64) ** 2)))
-    assert rms <= 0.1, f"RMS {rms}"
+    assert rms <= (0.1 if nbig else 0.01), f"{ctx}: RMS {rms}"
 
 
 @pytest.mark.golden
@@ -310,8 +313,9 @@ def test_fuzz_random_scenarios(oracle_bin, fixtures_dir, tmp_path):
         )
         dtype = np.int16 if bits == 16 else np.int8
         assert_parity(
-            run_mine(cfg), ref, dtype, max_lsb=3 if bits == 16 else 1
-        ), f"trial {trial}: {loc} bits={bits} iono={iono} {extra}"
+            run_mine(cfg), ref, dtype, max_lsb=3 if bits == 16 else 1,
+            ctx=f"trial {trial}: {loc} bits={bits} iono={iono} {extra}",
+        )
 
 
 @pytest.mark.golden
