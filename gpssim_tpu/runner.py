@@ -77,13 +77,17 @@ def run_simulation(
         sink = make_sink(cfg.sink, **kwargs)
     sink.init(cfg)
 
-    if (
-        cfg.backend is not SynthBackend.NUMPY
-        and cfg.dispatch_blocks > 1
-        and not cfg.realtime
-        and not cfg.interactive
-    ):
-        return _run_batched(cfg, sink, sim, on_block, stop)
+    # Device backends run the pipelined batched path. Realtime/interactive
+    # runs cap the dispatch window at the FIFO depth: the producer runs at
+    # most fifo_depth blocks (0.1 s each) ahead — exactly the reference's
+    # 8-buffer pipeline latency (sdr.h:24) — so live position edits take
+    # effect within the same bound.
+    if cfg.backend is not SynthBackend.NUMPY and cfg.dispatch_blocks > 1:
+        window = cfg.dispatch_blocks
+        if cfg.realtime or cfg.interactive:
+            window = max(1, min(window, cfg.fifo_depth))
+        if window > 1:
+            return _run_batched(cfg, sink, sim, on_block, stop, window)
 
     synth_fn = make_synth_fn(cfg)
     bits = cfg.sample_format.value
@@ -121,7 +125,8 @@ def run_simulation(
 
 
 def _run_batched(
-    cfg: SimConfig, sink: Sink, sim: Simulation, on_block, stop
+    cfg: SimConfig, sink: Sink, sim: Simulation, on_block, stop,
+    window: int | None = None,
 ) -> RunStats:
     """Pipelined batched device path (see run_simulation docstring).
 
@@ -146,7 +151,7 @@ def _run_batched(
 
     n_rows = -(-cfg.samples_per_epoch // LANES)
     bits = cfg.sample_format.value
-    W = cfg.dispatch_blocks
+    W = window if window is not None else cfg.dispatch_blocks
 
     from .checkpoint import capture_state
 
@@ -202,6 +207,14 @@ def _run_batched(
                 if on_block is not None:
                     sim.consistent_snapshot = snap
                     on_block(stats, sim, done_plans[-1])
+                if cfg.realtime:
+                    # Pace to wall clock with the FIFO-depth lead allowance
+                    # (reference fifo backpressure, sdr.h:24).
+                    ahead = stats.blocks * 0.1 - (
+                        time.perf_counter() - t0
+                    )
+                    if ahead > 0.1 * cfg.fifo_depth:
+                        time.sleep(ahead - 0.1 * cfg.fifo_depth)
             if not plans and not pending:
                 # Normal completion: live state matches the written blocks
                 # again, so later checkpoints can use it directly.
