@@ -8,9 +8,10 @@ checkpointing and JAX profiling the reference never had.
 from __future__ import annotations
 
 import contextlib
+import os
 import sys
 
-from .config import SimConfig
+from .config import SimConfig, SynthBackend
 from .core.constants import R2D
 from .io.sinks import make_sink
 from .runner import run_simulation
@@ -106,6 +107,20 @@ def _verbose_block_hook(cfg: SimConfig, out=sys.stderr):
 
 def run_app(cfg: SimConfig, sim: Simulation | None = None,
             use_tui: bool = False) -> int:
+    if cfg.backend is not SynthBackend.NUMPY:
+        # Kernel shapes vary with the active-channel count (compaction) and
+        # dispatch window; persist compiled executables across runs so a
+        # restarted realtime session doesn't pay cold compiles again.
+        import jax
+
+        if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            cache = os.path.expanduser("~/.cache/gpssim-tpu-xla")
+            os.makedirs(cache, exist_ok=True)
+            try:
+                jax.config.update("jax_compilation_cache_dir", cache)
+            except Exception:
+                pass  # older jax or already-initialized backend
+
     if sim is None:
         sim = Simulation(cfg)
 
