@@ -191,10 +191,7 @@ def args_to_config(args: argparse.Namespace) -> SimConfig:
     if args.iq16:
         cfg.sample_format = SampleFormat.SC16
 
-    # Sink name: the reference's --radio 'none' prints the supported list
-    # and exits; here 'none' is the null sink and iqfile the default file
-    # sink (sdr.c:49-76).
-    cfg.sink = {"none": "null"}.get(args.radio, args.radio)
+    cfg.sink = args.radio
     # Hardware sinks force their sample format (sdr_hackrf.c:44-48 8-bit,
     # sdr_pluto.c:106-110 16-bit) and Pluto doubles baseband gain
     # (gps.c:2759-2763).
@@ -235,6 +232,18 @@ def args_to_config(args: argparse.Namespace) -> SimConfig:
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+
+    if args.radio == "none" and not args.resume:
+        # The reference exits listing supported radios when none is chosen
+        # (sdr.c:48-55). 'null' remains available as an explicit discard
+        # sink for benchmarking.
+        from .io.sinks import _REGISTRY
+
+        print("No radio selected (-r/--radio); supported sinks are:",
+              file=sys.stderr)
+        for name in sorted(_REGISTRY):
+            print(f"  {name}", file=sys.stderr)
+        return 1
 
     if args.resume:
         from .checkpoint import load_checkpoint

@@ -20,7 +20,7 @@ def test_defaults():
     assert cfg.sample_format is SampleFormat.SC08
     assert cfg.rinex_version == 2
     assert cfg.ionosphere_enable and cfg.almanac_enable
-    assert cfg.sink == "null"
+    assert cfg.sink == "none"
     assert cfg.backend is SynthBackend.JAX
     assert cfg.carrier_mode is CarrierMode.FLOAT
     assert cfg.parity_exact
@@ -83,6 +83,16 @@ def test_hardware_sinks_force_format():
 def test_invalid_duration():
     with pytest.raises(SystemExit):
         parse(["-d", "90000"])  # > USER_MOTION_SIZE/10
+
+
+def test_no_radio_lists_sinks_and_exits(capsys):
+    """Reference behavior: no radio selected → list supported and fail
+    (sdr.c:48-55)."""
+    from gpssim_tpu.cli import main
+
+    assert main(["-e", "nav.22n"]) == 1
+    err = capsys.readouterr().err
+    assert "supported sinks" in err and "iqfile" in err
 
 
 def test_cli_end_to_end(fixtures_dir, tmp_path):
