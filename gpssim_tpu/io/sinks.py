@@ -133,21 +133,48 @@ class IqFileSink(Sink):
 
 
 class HackRfSink(Sink):
-    """Interface stub for HackRF TX (reference sdr_hackrf.c).
+    """HackRF TX backend (reference sdr_hackrf.c) minus libusb.
 
-    Hardware I/O is out of scope here; the stub preserves the reference's
-    contract: 8-bit samples forced (sdr_hackrf.c:44-48), TX gain clamped to
-    0-47 dB (sdr_hackrf.h:19-20), LO shifted by freq*(1e7-ppb)/1e7
-    (sdr_hackrf.c:136-138), 262144-sample transfer blocking.
-    """
+    Preserves the reference's contract: 8-bit samples forced
+    (sdr_hackrf.c:44-48), TX gain clamped to 0-47 dB (sdr_hackrf.h:19-20),
+    LO shifted by freq*(1e7-ppb)/1e7 (sdr_hackrf.c:136-138), and the
+    engine-side repacking of 0.1 s blocks into 262,144-element transfer
+    buffers (gps.c:2847-2856 / sdr_hackrf.c:215-218). The ``device``
+    callable stands in for the libusb TX callback: it receives each
+    int8[262144] transfer in order (hardware integration = supplying a
+    callable that pushes to libhackrf)."""
 
     name = "hackrf"
     forced_sample_bits = 8
     gain_range = (0, 47)
     transfer_size = 262_144
 
+    def __init__(self, device=None):
+        self.device = device
+        self._stage = np.empty(0, dtype=np.int8)
+
+    def init(self, cfg=None) -> None:
+        if self.device is None:
+            raise RuntimeError(
+                "hackrf hardware not available in this build; pass "
+                "HackRfSink(device=...) to supply a TX transfer callable"
+            )
+
     def write(self, block: np.ndarray) -> None:
-        raise RuntimeError("hackrf hardware backend not available in this build")
+        if self.device is None:
+            raise RuntimeError("hackrf sink has no device")
+        self._stage = np.concatenate(
+            [self._stage, np.asarray(block, dtype=np.int8)]
+        )
+        n = self.transfer_size
+        while len(self._stage) >= n:
+            self.device(self._stage[:n])
+            self._stage = self._stage[n:]
+
+    def close(self) -> None:
+        # The reference transmits whole transfer buffers only; a trailing
+        # partial buffer is dropped exactly like its fifo remainder.
+        self._stage = np.empty(0, dtype=np.int8)
 
     def set_gain(self, gain: int) -> int:
         return max(0, min(47, gain))

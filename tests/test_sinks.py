@@ -1,0 +1,44 @@
+"""Sink-layer behavior: HackRF transfer repacking and registry."""
+
+import numpy as np
+import pytest
+
+from gpssim_tpu.io.sinks import HackRfSink, make_sink, register_sink, Sink
+
+
+def test_hackrf_repacks_blocks_into_transfers():
+    """0.1 s blocks (600,000 int8 IQ values at 3 Msps / 8-bit) must repack
+    seamlessly into 262,144-element transfers (gps.c:2847-2856)."""
+    chunks = []
+    sink = HackRfSink(device=chunks.append)
+    sink.init()
+
+    rng = np.random.default_rng(0)
+    blocks = [
+        rng.integers(-128, 128, size=600_000, dtype=np.int8)
+        for _ in range(3)
+    ]
+    for b in blocks:
+        sink.write(b)
+
+    stream = np.concatenate(blocks)
+    n = sink.transfer_size
+    assert all(len(c) == n for c in chunks)
+    assert len(chunks) == len(stream) // n
+    assert np.array_equal(np.concatenate(chunks), stream[: len(chunks) * n])
+    sink.close()
+
+
+def test_hackrf_without_device_raises():
+    with pytest.raises(RuntimeError, match="hardware not available"):
+        HackRfSink().init()
+
+
+def test_registry_round_trip():
+    class Custom(Sink):
+        name = "custom"
+
+    register_sink("custom", Custom)
+    assert isinstance(make_sink("custom"), Custom)
+    with pytest.raises(ValueError, match="unknown sink"):
+        make_sink("nope")
