@@ -181,19 +181,32 @@ class HackRfSink(Sink):
 
 
 class PlutoSink(Sink):
-    """Interface stub for ADALM-Pluto TX (reference sdr_pluto.c).
+    """ADALM-Pluto TX backend (reference sdr_pluto.c) minus libiio.
 
     Contract: 16-bit samples forced (sdr_pluto.c:106-110), gain -80..0 dB
-    (sdr_pluto.h:39-40), same ppb LO model, and the 2x baseband gain boost
-    the engine applies for the 12-bit DAC (gps.c:2759-2763).
-    """
+    (sdr_pluto.h:39-40), same ppb LO model, the 2x baseband gain boost the
+    engine applies for the 12-bit DAC (gps.c:2759-2763), and whole-block
+    pushes (one 600,000-element int16 buffer per 0.1 s epoch,
+    sdr_pluto.c:45-94). ``device`` stands in for iio_buffer_push."""
 
     name = "plutosdr"
     forced_sample_bits = 16
     gain_range = (-80, 0)
 
+    def __init__(self, device=None):
+        self.device = device
+
+    def init(self, cfg=None) -> None:
+        if self.device is None:
+            raise RuntimeError(
+                "plutosdr hardware not available in this build; pass "
+                "PlutoSink(device=...) to supply an iio-push callable"
+            )
+
     def write(self, block: np.ndarray) -> None:
-        raise RuntimeError("plutosdr hardware backend not available in this build")
+        if self.device is None:
+            raise RuntimeError("plutosdr sink has no device")
+        self.device(np.asarray(block, dtype=np.int16))
 
     def set_gain(self, gain: int) -> int:
         return max(-80, min(0, gain))

@@ -34,6 +34,20 @@ def test_hackrf_without_device_raises():
         HackRfSink().init()
 
 
+def test_pluto_pushes_whole_blocks():
+    from gpssim_tpu.io.sinks import PlutoSink
+
+    pushes = []
+    sink = PlutoSink(device=pushes.append)
+    sink.init()
+    block = np.arange(600_000, dtype=np.int16)
+    sink.write(block)
+    assert len(pushes) == 1 and pushes[0].dtype == np.int16
+    assert np.array_equal(pushes[0], block)
+    with pytest.raises(RuntimeError, match="hardware not available"):
+        PlutoSink().init()
+
+
 def test_registry_round_trip():
     class Custom(Sink):
         name = "custom"
