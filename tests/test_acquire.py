@@ -119,6 +119,15 @@ def test_subframe_tow_decode(fixtures_dir, tmp_path):
     assert min(dmod, 604800.0 - dmod) < 1e-6, (tows[0] * 6.0, sub_start)
 
 
+def test_acquire_cli(generated, capsys):
+    from gpssim_tpu.acquire import main
+
+    out, _ = generated
+    assert main([out, "--bits", "8"]) == 0
+    text = capsys.readouterr().out
+    assert "PRNs acquired" in text and "PRN" in text and "doppler" in text
+
+
 def test_no_false_positives_on_noise():
     rng = np.random.default_rng(0)
     noise = (
