@@ -1,0 +1,315 @@
+"""Software-receiver validation: the generated stream must produce a FIX.
+
+The reference's ultimate QA is physical — feed the RF output to a real GPS
+receiver and check it fixes at the simulated location (SURVEY §4 item 2).
+These tests run the full software receiver chain (gpssim_tpu.receiver) on
+generated IQ: acquisition → tracking → bit demodulation → LNAV frame/
+ephemeris/iono decode → pseudoranges → RAIM'd Gauss-Newton solution, with
+no access to simulator internals beyond the IQ bytes, and assert the fix
+lands on the simulated position to meter level.
+"""
+
+import numpy as np
+import pytest
+
+from gpssim_tpu.acquire import load_iq
+from gpssim_tpu.config import LocationConfig, SimConfig, SynthBackend
+from gpssim_tpu.core.almanac import Almanac
+from gpssim_tpu.core.atmosphere import IonoUtc
+from gpssim_tpu.core.constants import OMEGA_EARTH, SPEED_OF_LIGHT
+from gpssim_tpu.core.ephemeris import read_rinex_nav
+from gpssim_tpu.core.gpstime import GpsTime
+from gpssim_tpu.core.navmsg import eph2sbf, generate_nav_msg
+from gpssim_tpu.core.orbits import EphemerisSet, satpos
+from gpssim_tpu.receiver import (
+    Observation,
+    decode_ephemeris,
+    decode_frames,
+    decode_iono_utc,
+    pvt_solve,
+    receiver_fix,
+)
+from gpssim_tpu.runner import run_simulation
+from gpssim_tpu.scenario import Simulation
+
+RATE = 2_600_000
+
+# Broadcast quantization (IS-GPS-200 Table 20-I/III scale factors, as used
+# by navmsg.eph2sbf): the decoder must land within one LSB of the RINEX
+# originals.
+_PI = float(np.pi)
+# Angles are broadcast as two's-complement semicircles: a RINEX value
+# outside [-pi, pi) decodes 2*pi away (same angle; Kepler is unaffected).
+_EPH_ANGULAR = {"m0", "omg0", "inc0", "aop"}
+
+_EPH_LSB = {
+    "tgd": 2.0**-31,
+    "af0": 2.0**-31,
+    "af1": 2.0**-43,
+    "af2": 2.0**-55,
+    "crs": 2.0**-5,
+    "crc": 2.0**-5,
+    "cuc": 2.0**-29,
+    "cus": 2.0**-29,
+    "cic": 2.0**-29,
+    "cis": 2.0**-29,
+    "deltan": 2.0**-43 * _PI,
+    "omgdot": 2.0**-43 * _PI,
+    "idot": 2.0**-43 * _PI,
+    "m0": 2.0**-31 * _PI,
+    "omg0": 2.0**-31 * _PI,
+    "inc0": 2.0**-31 * _PI,
+    "aop": 2.0**-31 * _PI,
+    "ecc": 2.0**-33,
+    "sqrta": 2.0**-19,
+}
+
+
+@pytest.fixture(scope="module")
+def rx_scenario(fixtures_dir, tmp_path_factory):
+    """20 s static scenario (iono off so the fix is geometry-pure: the
+    page-18 iono data a receiver would correct with is only transmitted
+    in frame 18 of the 25-page cycle, ~9 min into the stream)."""
+    out = str(tmp_path_factory.mktemp("rx") / "iq.bin")
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n",
+        duration_sec=20.0,
+        sample_rate=RATE,
+        almanac_enable=False,
+        ionosphere_enable=False,
+        backend=SynthBackend.NUMPY,
+        sink="iqfile",
+        out_file=out,
+        location=LocationConfig(35.681298, 139.766247, 10.0),
+    )
+    sim = Simulation(cfg)
+    truth = np.array(sim.xyz0)
+    week, g0_sec = sim.g0.week, sim.g0.sec
+    run_simulation(cfg)
+    return out, truth, week, g0_sec
+
+
+def test_position_fix(rx_scenario, fixtures_dir):
+    """End-to-end: IQ bytes in, meter-level position + ns-level time out."""
+    out, truth, week, g0_sec = rx_scenario
+    x = load_iq(out, 8)
+    fix, channels, rx_eph, _ = receiver_fix(x, RATE, week_hint=week)
+
+    err = np.linalg.norm(fix.xyz - truth)
+    assert err < 5.0, f"position error {err:.2f} m (fix {fix.xyz}, truth {truth})"
+    assert fix.residual_rms_m < 1.0, fix.residual_rms_m
+    assert fix.nsats >= 5, fix.prns
+
+    # Solved receive time must match the scenario clock to ~ns.
+    s_m = (len(x) // channels[0].seg_len - 1) * channels[0].seg_len
+    t_rx_true = g0_sec + s_m / RATE
+    assert abs(fix.t_rx - t_rx_true) < 200e-9, fix.t_rx - t_rx_true
+
+    # The over-the-air-decoded ephemerides match the RINEX originals to
+    # their broadcast quantization (the decoded values are what the
+    # simulator transmitted after IS-GPS-200 scaling/truncation).
+    nav = read_rinex_nav(f"{fixtures_dir}/brdc_test.22n")
+    eph_true = nav.sets[0]
+    for ch in channels:
+        sv = ch.prn - 1
+        assert rx_eph.vflg[sv]
+        assert rx_eph.toc_sec[sv] == eph_true.toc_sec[sv]
+        assert rx_eph.toe_sec[sv] == eph_true.toe_sec[sv]
+        assert rx_eph.iode[sv] == eph_true.iode[sv]
+        assert rx_eph.iodc[sv] == eph_true.iodc[sv]
+        for name, lsb in _EPH_LSB.items():
+            d = getattr(rx_eph, name)[sv] - getattr(eph_true, name)[sv]
+            if name in _EPH_ANGULAR:
+                d = (d + _PI) % (2.0 * _PI) - _PI
+            assert abs(d) <= lsb * 1.0000001, (ch.prn, name)
+
+
+def test_lnav_decode_roundtrip(fixtures_dir):
+    """decode_frames/decode_ephemeris/decode_iono_utc are exact bit
+    inverses of the serializer: serialize a frame with page 18 (iono),
+    decode it from the raw bit stream, re-encode, compare words."""
+    nav = read_rinex_nav(f"{fixtures_dir}/brdc_test.22n")
+    eph_true = nav.sets[0]
+    assert nav.ionoutc.vflg, "fixture must carry iono data"
+    sv = int(np.nonzero(eph_true.vflg)[0][0])
+    alm = Almanac()
+
+    sbf = eph2sbf(eph_true, sv, nav.ionoutc, alm)
+    g = GpsTime(eph_true.toc_week[sv], 345600.0)
+    dwrd = np.zeros(60, dtype=np.uint32)
+    generate_nav_msg(g, sbf, dwrd, ipage=17, init=True)  # SF4 = page 18
+
+    bits = np.array(
+        [(int(dwrd[w]) >> (29 - b)) & 1 for w in range(60) for b in range(30)],
+        dtype=np.uint8,
+    )
+    frames = decode_frames(bits)
+
+    # Five consecutive subframes (plus the leading subframe 5 page).
+    tows = [t for _, t in frames.tows]
+    assert all(b - a == 1 for a, b in zip(tows, tows[1:]))
+    assert {1, 2, 3} <= set(frames.subframes)
+    assert 56 in frames.pages4  # page 18 SV ID
+
+    rx_eph = EphemerisSet()
+    decode_ephemeris(frames, sv + 1, int(eph_true.toc_week[sv]), rx_eph)
+    rx_eph.finalize()
+    assert int(rx_eph.toc_week[sv]) == int(eph_true.toc_week[sv])
+
+    rx_iono = decode_iono_utc(frames)
+    assert rx_iono.vflg
+
+    # Extracted data words equal the serialized payloads exactly: word 1
+    # (TLM) and data words 3-9; word 2 (HOW) carries the serializer's TOW
+    # and words 2/10 get non-information parity bits solved, so word 10 is
+    # compared with those two bits masked. Subframe 1 word 3 gets the
+    # transmission week OR-ed in at serialization (gps.c:2119-2121).
+    wn = int(eph_true.toc_week[sv]) % 1024
+    for sfid in (1, 2, 3):
+        got = frames.subframes[sfid]
+        want = [int(w) >> 6 for w in sbf[sfid - 1]]
+        if sfid == 1:
+            want[2] |= (wn & 0x3FF) << 14
+        assert got[0] == want[0], sfid
+        assert got[2:9] == want[2:9], sfid
+        assert (got[9] & 0xFFFFFC) == (want[9] & 0xFFFFFC), sfid
+
+    # Decoded physical values within one broadcast LSB of the originals.
+    for name, lsb in _EPH_LSB.items():
+        d = getattr(rx_eph, name)[sv] - getattr(eph_true, name)[sv]
+        if name in _EPH_ANGULAR:
+            d = (d + _PI) % (2.0 * _PI) - _PI
+        assert abs(d) <= lsb * 1.0000001, name
+
+    # Page 18 re-encodes bit-identically from the decoded iono/UTC values
+    # (the iono encode uses round(), stable under the f64 scale round
+    # trip, unlike the trunc() ephemeris fields).
+    again = eph2sbf(rx_eph, sv, rx_iono, alm)
+    assert np.array_equal(again[3 + 17 * 2], sbf[3 + 17 * 2]), "page 18"
+
+
+def test_global_bit_inversion_is_transparent(fixtures_dir):
+    """A Costas 180° phase ambiguity inverts every demodulated bit; the
+    LNAV parity scheme is complement-transparent, so decoding must give
+    identical words."""
+    nav = read_rinex_nav(f"{fixtures_dir}/brdc_test.22n")
+    eph_true = nav.sets[0]
+    sv = int(np.nonzero(eph_true.vflg)[0][0])
+    sbf = eph2sbf(eph_true, sv, nav.ionoutc, Almanac())
+    g = GpsTime(eph_true.toc_week[sv], 345600.0)
+    dwrd = np.zeros(60, dtype=np.uint32)
+    generate_nav_msg(g, sbf, dwrd, ipage=0, init=True)
+    bits = np.array(
+        [(int(dwrd[w]) >> (29 - b)) & 1 for w in range(60) for b in range(30)],
+        dtype=np.uint8,
+    )
+    a = decode_frames(bits)
+    b = decode_frames(1 - bits)
+    assert a.subframes.keys() == b.subframes.keys() and len(a.subframes) >= 3
+    for k in a.subframes:
+        assert a.subframes[k] == b.subframes[k]
+
+
+def test_pvt_solver_raim_rejects_outlier(fixtures_dir):
+    """Synthetic observations from the forward model; one corrupted by
+    30 m. The leave-one-out RAIM must exclude it and recover the truth."""
+    nav = read_rinex_nav(f"{fixtures_dir}/brdc_test.22n")
+    eph = nav.sets[0]
+    truth = np.array([-3959617.482, 3350136.615, 3699531.459])
+    t_rx = float(eph.toc_sec[np.nonzero(eph.vflg)[0][0]]) + 1800.0
+
+    svs = np.nonzero(eph.vflg)[0]
+    obs = []
+    for sv in svs:
+        pos, _, _ = satpos(eph, t_rx, np.array([sv]))
+        if np.dot(pos[0] - truth, truth) < 0:  # below horizon
+            continue
+        # Invert the receiver's observation model for tau:
+        # c (t_rx - tau) = |sagnac(pos(tau)) - truth| - c*clk(tau)
+        tau = t_rx - 0.07
+        for _ in range(8):
+            pos, _, clk = satpos(eph, tau, np.array([sv]))
+            tof = t_rx - tau
+            sat = np.array(
+                [
+                    pos[0, 0] + pos[0, 1] * OMEGA_EARTH * tof,
+                    pos[0, 1] - pos[0, 0] * OMEGA_EARTH * tof,
+                    pos[0, 2],
+                ]
+            )
+            rho = np.linalg.norm(sat - truth)
+            tau = t_rx - rho / SPEED_OF_LIGHT + clk[0, 0]
+        obs.append(Observation(int(sv) + 1, float(tau), 0.0))
+        if len(obs) == 7:
+            break
+    assert len(obs) >= 6, "fixture lacks visible satellites"
+
+    t_nom = max(o.tau_sv for o in obs) + 0.076
+    for o in obs:
+        o.pr_rel = SPEED_OF_LIGHT * (t_nom - o.tau_sv)
+    bad = obs[2].prn
+    obs[2].pr_rel += 30.0
+
+    iono_off = IonoUtc()
+    iono_off.enable = False
+    fix = pvt_solve(obs, eph, iono_off, t_nom)
+    assert bad not in fix.prns, "outlier not rejected"
+    err = np.linalg.norm(fix.xyz - truth)
+    assert err < 0.5, err
+    assert abs(fix.t_rx - t_rx) < 1e-9
+
+
+def test_fix_on_reference_oracle_output(oracle_bin, fixtures_dir, tmp_path):
+    """The software receiver must fix on the *reference C simulator's* own
+    IQ bytes — closing the loop against the reference itself, independent
+    of this framework's synthesis path (SURVEY §4 item 2)."""
+    import subprocess
+
+    from gpssim_tpu.core.frames import llh2xyz
+
+    nav = f"{fixtures_dir}/brdc_test.22n"
+    out = str(tmp_path / "ref.bin")
+    subprocess.run(
+        [
+            oracle_bin, nav, out,
+            "lat=35.681298", "lon=139.766247", "height=10.0",
+            "duration=20", "bits=8", "iono=0", "almanac=0",
+        ],
+        cwd=str(tmp_path), check=True, capture_output=True,
+    )
+    truth = llh2xyz(
+        np.array([np.radians(35.681298), np.radians(139.766247), 10.0])
+    )
+    nav_data = read_rinex_nav(nav)
+    eph0 = nav_data.sets[0]
+    week = int(eph0.toc_week[np.nonzero(eph0.vflg)[0][0]])
+    x = load_iq(out, 8)
+    fix, channels, _, _ = receiver_fix(x, 3_000_000.0, week_hint=week)
+    err = np.linalg.norm(fix.xyz - truth)
+    assert err < 5.0, f"fix {err:.2f} m off the reference's simulated position"
+    assert fix.residual_rms_m < 1.0
+    assert fix.nsats >= 5
+
+
+def test_receiver_cli(rx_scenario, monkeypatch, capsys):
+    """CLI prints the fix summary (chain itself covered above)."""
+    import gpssim_tpu.receiver as rxmod
+
+    out, truth, week, _ = rx_scenario
+    called = {}
+
+    def fake_fix(x, rate, week_hint, **kw):
+        from gpssim_tpu.core.frames import xyz2llh
+
+        called["n"] = len(x)
+        fix = rxmod.Fix(
+            xyz=truth, llh=xyz2llh(truth), clock_bias_m=1.0, t_rx=0.0,
+            nsats=7, residual_rms_m=0.2, prns=[1, 2, 3, 4, 5, 6, 7],
+        )
+        return fix, [], EphemerisSet(), IonoUtc()
+
+    monkeypatch.setattr(rxmod, "receiver_fix", fake_fix)
+    assert rxmod.main([out, "--bits", "8", "--rate", str(RATE)]) == 0
+    text = capsys.readouterr().out
+    assert "fix: lat 35.68" in text and "ECEF" in text
+    assert called["n"] > 0
