@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .acquire import Detection, acquire, load_iq
+from .core.almanac import Almanac
 from .core.atmosphere import IonoUtc, ionospheric_delay
 from .core.cacode import ca_table
 from .core.constants import (
@@ -33,20 +34,27 @@ from .core.constants import (
     CODE_FREQ,
     OMEGA_EARTH,
     PI,
+    POW2_12,
     POW2_M5,
+    POW2_M11,
     POW2_M19,
+    POW2_M20,
+    POW2_M21,
+    POW2_M23,
     POW2_M24,
     POW2_M27,
     POW2_M29,
     POW2_M30,
     POW2_M31,
     POW2_M33,
+    POW2_M38,
     POW2_M43,
     POW2_M50,
     POW2_M55,
     SPEED_OF_LIGHT,
 )
 from .core.frames import ecef2neu, ltcmat, neu2azel, xyz2llh
+from .core.gpstime import GpsTime
 from .core.navmsg import validate_parity
 from .core.orbits import EphemerisSet, satpos
 
@@ -410,6 +418,49 @@ def decode_iono_utc(frames: DecodedFrames) -> IonoUtc:
     iono.wnt = words[7] & 0xFF
     iono.dtls = _sx(words[8] >> 16, 8)
     return iono
+
+
+def decode_almanac(frames: DecodedFrames, week_hint: int) -> Almanac:
+    """Decode almanac pages (SF5 pages 1-24 for PRN 1-24, SF4 pages for
+    PRN 25-32) plus the SF5 page-25 toa/wna reference.
+
+    Bit inverse of the reference's almanac page packing (gps.c:772-803,
+    831-883); scale factors per IS-GPS-200 Table 20-VI. Note a full
+    almanac needs the whole 25-frame page cycle (12.5 min of signal)."""
+    alm = Almanac()
+
+    wna = None
+    toa_sec = None
+    p25 = frames.pages5.get(51)
+    if p25 is not None:
+        toa_sec = float((p25[2] >> 8) & 0xFF) * POW2_12
+        wna8 = p25[2] & 0xFF
+        wna = wna8 + ((week_hint - wna8 + 128) // 256) * 256
+
+    pages = {s: w for s, w in frames.pages5.items() if 1 <= s <= 24}
+    pages.update({s: w for s, w in frames.pages4.items() if 25 <= s <= 32})
+    for svid, w in pages.items():
+        a = alm.sv[svid - 1]
+        a.svid = svid
+        a.valid = 1
+        a.e = float(w[2] & 0xFFFF) * POW2_M21
+        toa8 = (w[3] >> 16) & 0xFF
+        a.toa = GpsTime(
+            wna if wna is not None else week_hint,
+            toa_sec if toa_sec is not None else toa8 * POW2_12,
+        )
+        a.delta_i = _sx(w[3], 16) * POW2_M19
+        a.omegadot = _sx(w[4] >> 8, 16) * POW2_M38
+        a.sqrta = float(w[5]) * POW2_M11
+        a.omega0 = _sx(w[6], 24) * POW2_M23
+        a.aop = _sx(w[7], 24) * POW2_M23
+        a.m0 = _sx(w[8], 24) * POW2_M23
+        af0 = _sx((((w[9] >> 16) & 0xFF) << 3) | ((w[9] >> 2) & 0x7), 11)
+        a.af0 = af0 * POW2_M20
+        a.af1 = _sx(w[9] >> 5, 11) * POW2_M38
+    if pages:
+        alm.valid = 1
+    return alm
 
 
 # --------------------------------------------------------------------------

@@ -188,6 +188,52 @@ def test_lnav_decode_roundtrip(fixtures_dir):
     assert np.array_equal(again[3 + 17 * 2], sbf[3 + 17 * 2]), "page 18"
 
 
+def test_almanac_page_decode_roundtrip(fixtures_dir):
+    """decode_almanac inverts the almanac page packing: serialize every
+    frame of the 25-page cycle, decode the pages, re-encode from the
+    decoded almanac, and require bit-identical page words."""
+    from gpssim_tpu.core.almanac import read_sem_almanac
+    from gpssim_tpu.receiver import DecodedFrames, decode_almanac
+
+    nav = read_rinex_nav(f"{fixtures_dir}/brdc_test.22n")
+    eph_true = nav.sets[0]
+    sv = int(np.nonzero(eph_true.vflg)[0][0])
+    alm = read_sem_almanac(f"{fixtures_dir}/almanac_test.sem")
+    assert any(a.svid for a in alm.sv), "fixture almanac empty"
+
+    sbf = eph2sbf(eph_true, sv, nav.ionoutc, alm)
+    g = GpsTime(eph_true.toc_week[sv], 345600.0)
+
+    merged = DecodedFrames()
+    for page in range(25):
+        dwrd = np.zeros(60, dtype=np.uint32)
+        generate_nav_msg(g, sbf, dwrd, ipage=page, init=True)
+        bits = np.array(
+            [
+                (int(dwrd[w]) >> (29 - b)) & 1
+                for w in range(60)
+                for b in range(30)
+            ],
+            dtype=np.uint8,
+        )
+        frames = decode_frames(bits)
+        merged.pages4.update(frames.pages4)
+        merged.pages5.update(frames.pages5)
+
+    week = next(int(a.toa.week) for a in alm.sv if a.svid)
+    rx_alm = decode_almanac(merged, week_hint=week)
+    assert rx_alm.valid
+
+    again = eph2sbf(eph_true, sv, nav.ionoutc, rx_alm)
+    # Almanac rows: SF4 pages 2-5/7-10 and SF5 pages 1-24 + page 25.
+    alm_rows = [3 + i * 2 for i in (1, 2, 3, 4, 6, 7, 8, 9)]
+    alm_rows += [4 + i * 2 for i in range(25)]
+    for r in alm_rows:
+        assert np.array_equal(again[r], sbf[r]), f"sbf row {r}"
+    # Decoded PRN set matches the SEM file's.
+    assert [a.svid for a in rx_alm.sv] == [a.svid for a in alm.sv]
+
+
 def test_global_bit_inversion_is_transparent(fixtures_dir):
     """A Costas 180° phase ambiguity inverts every demodulated bit; the
     LNAV parity scheme is complement-transparent, so decoding must give
