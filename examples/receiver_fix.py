@@ -42,7 +42,7 @@ def main() -> None:
     sim = Simulation(cfg)
     truth = np.array(sim.xyz0)
     print(f"simulating 20 s of L1 baseband -> {out}")
-    run_simulation(cfg)
+    run_simulation(cfg, sim=sim)
 
     print("running software receiver (acquire / track / decode / solve)...")
     x = load_iq(out, bits=8)

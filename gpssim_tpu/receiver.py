@@ -394,10 +394,14 @@ def decode_ephemeris(
     eph.idot[sv] = idot * POW2_M43 * PI
 
 
-def decode_iono_utc(frames: DecodedFrames) -> IonoUtc:
+def decode_iono_utc(
+    frames: DecodedFrames, week_hint: int | None = None
+) -> IonoUtc:
     """Decode subframe 4 page 18 (SVID 56) iono/UTC parameters.
 
-    Inverse of the page-18 packing (reference gps.c:805-817)."""
+    Inverse of the page-18 packing (reference gps.c:805-817). With a
+    week_hint, the truncated 8-bit UTC reference week is resolved to a
+    full week (mod-256 era), matching the RINEX-parsed IonoUtc."""
     iono = IonoUtc()
     words = frames.pages4.get(56)
     if words is None:
@@ -415,7 +419,10 @@ def decode_iono_utc(frames: DecodedFrames) -> IonoUtc:
     iono.A1 = _sx(words[5], 24) * POW2_M50
     iono.A0 = _sx((words[6] << 8) | (words[7] >> 16), 32) * POW2_M30
     iono.tot = ((words[7] >> 8) & 0xFF) * 4096
-    iono.wnt = words[7] & 0xFF
+    wnt8 = words[7] & 0xFF
+    if week_hint is not None:
+        wnt8 = wnt8 + ((week_hint - wnt8 + 128) // 256) * 256
+    iono.wnt = wnt8
     iono.dtls = _sx(words[8] >> 16, 8)
     return iono
 
@@ -498,6 +505,10 @@ def measure_pseudoranges(
         cp_m = ch.chips_at(float(sample_idx))
         tau = (tow * 6.0 - 6.0) + (cp_m - cp_pre) / CHIP_RATE
         raw.append((ch.prn, tau))
+    if not raw:
+        raise RuntimeError(
+            "no channel decoded a TOW (stream too short for frame sync?)"
+        )
     # Nominal receive time: mean flight time is ~76 ms (GPS MEO).
     t_nom = max(t for _, t in raw) + 0.076
     obs = [
@@ -572,7 +583,12 @@ def _pvt_solve_once(
     taus = np.array([o.tau_sv for o in obs])
     pr_rel = np.array([o.pr_rel for o in obs])
 
-    pos_tx, _, clk = satpos(eph, taus, svs)
+    # The decoded transmit times run on each SV's clock; convert to GPS
+    # time before evaluating the orbit (an uncorrected spec-limit 1 ms
+    # clock offset would shift the satellite ~4 m along track). One
+    # pass suffices: d(clk)/dt ~ af1 is negligible over |clk|.
+    _, _, clk0 = satpos(eph, taus, svs)
+    pos_tx, _, clk = satpos(eph, taus - clk0[:, 0], svs)
     # Pseudoranges corrected for the SV clock (receiver-side standard).
     pr = pr_rel + SPEED_OF_LIGHT * clk[:, 0]
 
@@ -657,7 +673,7 @@ def receiver_fix(
 
     iono = IonoUtc()
     for frames in frames_by_prn.values():
-        got = decode_iono_utc(frames)
+        got = decode_iono_utc(frames, week_hint=week_hint)
         if got.vflg:
             iono = got
             break
@@ -679,16 +695,18 @@ def main(argv=None) -> int:
     ap.add_argument("--bits", type=int, default=8, choices=(8, 16))
     ap.add_argument("--rate", type=float, default=3_000_000.0)
     ap.add_argument(
-        "--week-era",
+        "--week",
         type=int,
-        default=2048,
-        help="full GPS week of the current 1024-week rollover era",
+        default=2560,
+        help="approximate current full GPS week, used only to resolve the "
+        "broadcast 10-bit week's 1024-week rollover (any value within "
+        "512 weeks of the truth works; default covers 2019-2038)",
     )
     args = ap.parse_args(argv)
 
     x = load_iq(args.iq_file, args.bits)
     fix, channels, _, iono = receiver_fix(
-        x, args.rate, week_hint=args.week_era + 512
+        x, args.rate, week_hint=args.week
     )
     print(f"{len(channels)} channels tracked: {fix.prns}")
     print(f"iono decoded: {iono.vflg}")

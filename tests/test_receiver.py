@@ -85,7 +85,7 @@ def rx_scenario(fixtures_dir, tmp_path_factory):
     sim = Simulation(cfg)
     truth = np.array(sim.xyz0)
     week, g0_sec = sim.g0.week, sim.g0.sec
-    run_simulation(cfg)
+    run_simulation(cfg, sim=sim)
     return out, truth, week, g0_sec
 
 
@@ -309,19 +309,13 @@ def test_fix_on_reference_oracle_output(oracle_bin, fixtures_dir, tmp_path):
     """The software receiver must fix on the *reference C simulator's* own
     IQ bytes — closing the loop against the reference itself, independent
     of this framework's synthesis path (SURVEY §4 item 2)."""
-    import subprocess
-
     from gpssim_tpu.core.frames import llh2xyz
+    from tests.test_golden import TOKYO, run_oracle
 
     nav = f"{fixtures_dir}/brdc_test.22n"
-    out = str(tmp_path / "ref.bin")
-    subprocess.run(
-        [
-            oracle_bin, nav, out,
-            "lat=35.681298", "lon=139.766247", "height=10.0",
-            "duration=20", "bits=8", "iono=0", "almanac=0",
-        ],
-        cwd=str(tmp_path), check=True, capture_output=True,
+    out = run_oracle(
+        oracle_bin, nav, "ref.bin", str(tmp_path), fixtures_dir,
+        duration=20, bits=8, iono=0, almanac=0, **TOKYO,
     )
     truth = llh2xyz(
         np.array([np.radians(35.681298), np.radians(139.766247), 10.0])
