@@ -55,6 +55,7 @@ def main() -> None:
         f"h {fix.llh[2]:.1f} m"
     )
     print(f"position error vs simulated truth: {err:.2f} m")
+    print(f"velocity (static scenario): {np.linalg.norm(fix.vel):.3f} m/s")
     print(f"residual RMS: {fix.residual_rms_m:.2f} m over {fix.nsats} sats")
 
 

@@ -32,6 +32,7 @@ from .core.constants import (
     CA_SEQ_LEN,
     CARR_TO_CODE,
     CODE_FREQ,
+    LAMBDA_L1,
     OMEGA_EARTH,
     PI,
     POW2_12,
@@ -527,6 +528,8 @@ class Fix:
     nsats: int
     residual_rms_m: float
     prns: list
+    vel: np.ndarray | None = None  # ECEF velocity [m/s] (velocity_solve)
+    clock_drift_mps: float | None = None
 
 
 def pvt_solve(
@@ -635,6 +638,40 @@ def _pvt_solve_once(
     return fix, resid
 
 
+def velocity_solve(
+    fix: Fix,
+    channels: list[TrackedChannel],
+    obs: list[Observation],
+    eph: EphemerisSet,
+) -> Fix:
+    """Receiver velocity + clock drift from tracked carrier Dopplers.
+
+    Range-rate LSQ: -lambda_L1 * f_d = u . (v_sat - v_rx) + c*drift, with
+    unit vectors from the position fix and satellite velocities from the
+    ephemeris (the same model whose negative the simulator transmits:
+    f_carr = -rhodot/lambda, gps.c:2042). Fills fix.vel/clock_drift_mps."""
+    by_prn = {c.prn: c for c in channels}
+    use = [o for o in obs if o.prn in fix.prns and o.prn in by_prn]
+    if len(use) < 4:
+        return fix
+    svs = np.array([o.prn - 1 for o in use])
+    taus = np.array([o.tau_sv for o in use])
+    fds = np.array([by_prn[o.prn].doppler_hz for o in use])
+
+    _, _, clk0 = satpos(eph, taus, svs)
+    pos, vel, _ = satpos(eph, taus - clk0[:, 0], svs)
+    los = pos - fix.xyz
+    u = los / np.linalg.norm(los, axis=-1)[:, None]
+
+    # u . v_rx - c*drift = u . v_sat + lambda * f_d
+    A = np.concatenate([u, -np.ones((len(use), 1))], axis=1)
+    b = (u * vel).sum(axis=-1) + LAMBDA_L1 * fds
+    sol, *_ = np.linalg.lstsq(A, b, rcond=None)
+    fix.vel = sol[:3]
+    fix.clock_drift_mps = float(sol[3])
+    return fix
+
+
 # --------------------------------------------------------------------------
 # End-to-end driver
 # --------------------------------------------------------------------------
@@ -682,6 +719,7 @@ def receiver_fix(
         measure_at = (len(x) // channels[0].seg_len - 1) * channels[0].seg_len
     obs, t_nom = measure_pseudoranges(channels, frames_by_prn, measure_at)
     fix = pvt_solve(obs, eph, iono, t_nom)
+    fix = velocity_solve(fix, channels, obs, eph)
     return fix, channels, eph, iono
 
 

@@ -100,10 +100,13 @@ def test_position_fix(rx_scenario, fixtures_dir):
     assert fix.residual_rms_m < 1.0, fix.residual_rms_m
     assert fix.nsats >= 5, fix.prns
 
-    # Solved receive time must match the scenario clock to ~ns.
+    # Solved receive time must match the scenario clock to ~ns, and the
+    # Doppler-derived velocity must be static to cm/s.
     s_m = (len(x) // channels[0].seg_len - 1) * channels[0].seg_len
     t_rx_true = g0_sec + s_m / RATE
     assert abs(fix.t_rx - t_rx_true) < 200e-9, fix.t_rx - t_rx_true
+    assert fix.vel is not None and np.linalg.norm(fix.vel) < 0.5, fix.vel
+    assert abs(fix.clock_drift_mps) < 0.5
 
     # The over-the-air-decoded ephemerides match the RINEX originals to
     # their broadcast quantization (the decoded values are what the
@@ -303,6 +306,44 @@ def test_pvt_solver_raim_rejects_outlier(fixtures_dir):
     err = np.linalg.norm(fix.xyz - truth)
     assert err < 0.5, err
     assert abs(fix.t_rx - t_rx) < 1e-9
+
+
+def test_moving_receiver_pvt(fixtures_dir, tmp_path):
+    """Full PVT on a dynamic platform: the circle-motion scenario (6.3 m/s,
+    1.5 m/s² — the reference's canonical motion fixture) must yield a
+    meter-level position AND a cm/s-level velocity at the measurement
+    instant, from the IQ bytes alone."""
+    out = str(tmp_path / "iq.bin")
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n",
+        duration_sec=20.0,
+        sample_rate=RATE,
+        almanac_enable=False,
+        ionosphere_enable=False,
+        backend=SynthBackend.NUMPY,
+        sink="iqfile",
+        out_file=out,
+        motion_file=f"{fixtures_dir}/circle_motion.csv",
+    )
+    sim = Simulation(cfg)
+    week, g0_sec = sim.g0.week, sim.g0.sec
+    motion = np.loadtxt(
+        f"{fixtures_dir}/circle_motion.csv", delimiter=","
+    )[:, 1:4]
+    run_simulation(cfg, sim=sim)
+
+    x = load_iq(out, 8)
+    fix, channels, _, _ = receiver_fix(x, RATE, week_hint=week)
+
+    s_m = (len(x) // channels[0].seg_len - 1) * channels[0].seg_len
+    ep = int(round(s_m / RATE * 10.0))
+    truth = motion[ep]
+    v_truth = (motion[ep + 1] - motion[ep - 1]) * 5.0  # central difference
+
+    assert np.linalg.norm(fix.xyz - truth) < 10.0, fix.xyz - truth
+    assert fix.vel is not None
+    assert np.linalg.norm(fix.vel - v_truth) < 0.5, (fix.vel, v_truth)
+    assert abs(fix.t_rx - (g0_sec + s_m / RATE)) < 200e-9
 
 
 def test_fix_on_reference_oracle_output(oracle_bin, fixtures_dir, tmp_path):
