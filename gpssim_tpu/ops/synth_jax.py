@@ -407,7 +407,11 @@ def lut_mag_neg(idx):
     quad = idx >> 7  # 0..3
     m = jnp.where((quad & 1) == 1, 127 - u, u)
 
-    x = (m.astype(jnp.float32) + 0.5) * np.float32(1.0 / 256.0)
+    # Single-fma argument form; round-to-nearest via rint (one VPU op vs
+    # add+floor). No poly output lands on an exact f32 .5 (the quirk
+    # points are handled by selects), so rint == floor(x+0.5) here —
+    # exhaustively asserted over all 512 entries by the table test.
+    x = m.astype(jnp.float32) * np.float32(1.0 / 256.0) + np.float32(0.5 / 256.0)
     x2 = x * x
     p = _LUT_POLY_SIN[4]
     for c in _LUT_POLY_SIN[3::-1]:
@@ -415,8 +419,8 @@ def lut_mag_neg(idx):
     q = _LUT_POLY_COS[5]
     for c in _LUT_POLY_COS[4::-1]:
         q = c + x2 * q
-    ts = jnp.floor(x * p + 0.5).astype(jnp.int32)
-    tc = jnp.floor(q + 0.5).astype(jnp.int32)
+    ts = jnp.rint(x * p).astype(jnp.int32)
+    tc = jnp.rint(q).astype(jnp.int32)
     # The tables' half-way quirk entries (105 where round gives 106).
     ts = jnp.where(m == 35, 105, ts)
     tc = jnp.where(m == 92, 105, tc)
