@@ -119,6 +119,38 @@ def test_subframe_tow_decode(fixtures_dir, tmp_path):
     assert min(dmod, 604800.0 - dmod) < 1e-6, (tows[0] * 6.0, sub_start)
 
 
+def test_ppb_shifts_every_acquired_doppler(fixtures_dir, tmp_path):
+    """Oscillator-error closure: with ppb set (and parity mode off), every
+    PRN must acquire at f_carr + the modeled LO offset — proving the ppb
+    model (reference sdr_hackrf.c:136-138) reaches the emitted IQ."""
+    from gpssim_tpu.core.constants import TX_FREQUENCY
+
+    ppb = 10  # reference scale: freq * (1e7 - ppb) / 1e7 -> ~ -1.6 kHz
+    out = str(tmp_path / "iq.bin")
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=1.0,
+        almanac_enable=False, backend=SynthBackend.NUMPY,
+        sink="iqfile", out_file=out, ppb=ppb, parity_exact=False,
+    )
+    offset = TX_FREQUENCY * ((1.0e7 - ppb) / 1.0e7 - 1.0)
+    assert abs(offset) > 1000.0  # visible against the 250 Hz search grid
+
+    # Geometry-only Doppler baseline: same scenario without the error.
+    from dataclasses import replace
+
+    plan0 = Simulation(replace(cfg, ppb=0)).step()
+    run_simulation(cfg)
+
+    dets = acquire(load_iq(out, 8))
+    active = {int(p) for p in plan0.prn[plan0.active]}
+    assert {d.prn for d in dets} == active
+
+    slots = {int(p): i for i, p in enumerate(plan0.prn) if plan0.active[i]}
+    for d in dets:
+        expect = plan0.f_carr[slots[d.prn]] + offset
+        assert abs(d.doppler_hz - expect) <= 300.0, (d.prn, d.doppler_hz, expect)
+
+
 def test_acquire_cli(generated, capsys):
     from gpssim_tpu.acquire import main
 
