@@ -44,10 +44,20 @@ def test_tui_end_to_end(fixtures_dir, tmp_path):
                 except OSError:
                     return
 
-    drain(6)  # let the dashboard come up and a few blocks synthesize
+    def drain_until(markers, deadline_s):
+        """Drain until every marker has been seen (loaded CI machines can
+        take far longer than the happy-path ~2 s to first render)."""
+        deadline = time.time() + deadline_s
+        while time.time() < deadline and not all(
+            mk in buf for mk in markers
+        ):
+            drain(0.5)
+
+    drain_until((b"heading", b"PRN"), 90)  # dashboard up + blocks flowing
     for key in (b"d", b"w", b"e", b"h", b"q"):
         os.write(m, key)
         drain(0.4)
+    drain_until((b"interactive controls",), 10)  # help popup rendered
     drain(1)
     os.write(m, b"x")
     drain(2)
