@@ -64,6 +64,27 @@ CHIP_RATE = float(CODE_FREQ)  # 1.023e6 chips / SV-second
 _PREAMBLE_BITS = np.array([1, 0, 0, 0, 1, 0, 1, 1], dtype=np.uint8)
 
 
+def _chips_pm1(prn: int) -> np.ndarray:
+    """C/A chips of one PRN as ±1 float64."""
+    return ca_table()[prn - 1].astype(np.float64) * 2.0 - 1.0
+
+
+def _resolve_rollover(value: int, hint: int, period: int) -> int:
+    """Resolve a truncated week counter to the era nearest ``hint``."""
+    return value + ((hint - value + period // 2) // period) * period
+
+
+def _satpos_gps(eph: EphemerisSet, taus: np.ndarray, svs: np.ndarray):
+    """satpos at GPS time for decoded SV-clock transmit times.
+
+    The decoded transmit times run on each SV's clock; convert to GPS
+    time before evaluating the orbit (an uncorrected spec-limit 1 ms
+    clock offset would shift the satellite ~4 m along track). One pass
+    suffices: d(clk)/dt ~ af1 is negligible over |clk|."""
+    _, _, clk0 = satpos(eph, taus, svs)
+    return satpos(eph, taus - clk0[:, 0], svs)
+
+
 # --------------------------------------------------------------------------
 # Tracking
 # --------------------------------------------------------------------------
@@ -83,7 +104,7 @@ class TrackedChannel:
     bit0_period: int  # absolute code-period index of bits[0]'s first period
     lock_quality: float  # mean |prompt| coherence over the run
 
-    def chips_at(self, sample: float, fit_segments: int = 150) -> float:
+    def chips_at(self, sample: float, fit_window_s: float = 1.5) -> float:
         """Measured transmitted chip count at a (fractional) sample index.
 
         Fits a line to the per-segment code-phase measurements in a window
@@ -91,6 +112,9 @@ class TrackedChannel:
         measurements carry cross-PRN correlation bias that rotates at the
         inter-satellite Doppler differences, so a ~1.5 s fit averages it
         out (chip-rate curvature over the window is < 1e-3 chips)."""
+        fit_segments = max(
+            4, int(round(fit_window_s * self.sample_rate / self.seg_len))
+        )
         k = min(int(sample) // self.seg_len, len(self.cp_meas) - 1)
         k0 = max(0, k - fit_segments + 1)
         ks = np.arange(k0, k + 1)
@@ -116,7 +140,7 @@ def fine_doppler(
     """
     n = int(round(sample_rate * 1e-3))
     span_ms = min(span_ms, len(x) // n)
-    chips2 = ca_table()[det.prn - 1].astype(np.float64) * 2.0 - 1.0
+    chips2 = _chips_pm1(det.prn)
 
     t = np.arange(span_ms * n, dtype=np.float64)
     f_chip = (CHIP_RATE + det.doppler_hz * CARR_TO_CODE) / sample_rate
@@ -150,7 +174,7 @@ def track(
     n = int(round(fs * 1e-3))
     if abs(fs * 1e-3 - n) > 1e-9:
         raise ValueError(f"sample_rate {fs} must be a multiple of 1 kHz")
-    chips2 = ca_table()[det.prn - 1].astype(np.float64) * 2.0 - 1.0
+    chips2 = _chips_pm1(det.prn)
 
     fd = fine_doppler(x, det, fs)
     f_chip = (CHIP_RATE + fd * CARR_TO_CODE) / fs
@@ -188,9 +212,9 @@ def track(
         cvec = np.array(
             [z @ code_ext[2 - L : 2 - L + seg] for L in (-2, -1, 0, 1, 2)]
         )
-        mags = (cvec * cvec[2].conjugate()).real / (abs(cvec[2]) + 1e-12)
-        pk = int(np.argmax(mags[1:4])) + 1  # keep a neighbor on each side
-        y0, ym, yp = mags[pk], mags[pk - 1], mags[pk + 1]
+        proj = (cvec * cvec[2].conjugate()).real / (abs(cvec[2]) + 1e-12)
+        pk = int(np.argmax(proj[1:4])) + 1  # keep a neighbor on each side
+        y0, ym, yp = proj[pk], proj[pk - 1], proj[pk + 1]
         s = y0 - 0.5 * (ym + yp)
         apex = (pk - 2) + (0.0 if s <= 0 else (yp - ym) / (2.0 * s))
         delta_chips = -apex * f_chip  # measured (true - NCO) code phase
@@ -365,7 +389,7 @@ def decode_ephemeris(
     omegadot = _sx(sf3[8], 24)
     idot = _sx(sf3[9] >> 2, 14)
 
-    week = wn10 + ((week_hint - wn10 + 512) // 1024) * 1024
+    week = _resolve_rollover(wn10, week_hint, 1024)
 
     eph.vflg[sv] = True
     eph.toc_week[sv] = week
@@ -422,7 +446,7 @@ def decode_iono_utc(
     iono.tot = ((words[7] >> 8) & 0xFF) * 4096
     wnt8 = words[7] & 0xFF
     if week_hint is not None:
-        wnt8 = wnt8 + ((week_hint - wnt8 + 128) // 256) * 256
+        wnt8 = _resolve_rollover(wnt8, week_hint, 256)
     iono.wnt = wnt8
     iono.dtls = _sx(words[8] >> 16, 8)
     return iono
@@ -442,8 +466,7 @@ def decode_almanac(frames: DecodedFrames, week_hint: int) -> Almanac:
     p25 = frames.pages5.get(51)
     if p25 is not None:
         toa_sec = float((p25[2] >> 8) & 0xFF) * POW2_12
-        wna8 = p25[2] & 0xFF
-        wna = wna8 + ((week_hint - wna8 + 128) // 256) * 256
+        wna = _resolve_rollover(p25[2] & 0xFF, week_hint, 256)
 
     pages = {s: w for s, w in frames.pages5.items() if 1 <= s <= 24}
     pages.update({s: w for s, w in frames.pages4.items() if 25 <= s <= 32})
@@ -586,12 +609,7 @@ def _pvt_solve_once(
     taus = np.array([o.tau_sv for o in obs])
     pr_rel = np.array([o.pr_rel for o in obs])
 
-    # The decoded transmit times run on each SV's clock; convert to GPS
-    # time before evaluating the orbit (an uncorrected spec-limit 1 ms
-    # clock offset would shift the satellite ~4 m along track). One
-    # pass suffices: d(clk)/dt ~ af1 is negligible over |clk|.
-    _, _, clk0 = satpos(eph, taus, svs)
-    pos_tx, _, clk = satpos(eph, taus - clk0[:, 0], svs)
+    pos_tx, _, clk = _satpos_gps(eph, taus, svs)
     # Pseudoranges corrected for the SV clock (receiver-side standard).
     pr = pr_rel + SPEED_OF_LIGHT * clk[:, 0]
 
@@ -658,8 +676,7 @@ def velocity_solve(
     taus = np.array([o.tau_sv for o in use])
     fds = np.array([by_prn[o.prn].doppler_hz for o in use])
 
-    _, _, clk0 = satpos(eph, taus, svs)
-    pos, vel, _ = satpos(eph, taus - clk0[:, 0], svs)
+    pos, vel, _ = _satpos_gps(eph, taus, svs)
     los = pos - fix.xyz
     u = los / np.linalg.norm(los, axis=-1)[:, None]
 
