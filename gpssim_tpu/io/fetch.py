@@ -156,10 +156,15 @@ def fetch_rinex(
     version: int = 2,
     out_path: str = "rinex.gz",
     timeout: float = 30.0,
+    base_url: str | None = None,
 ) -> str:
-    """Download the latest hourly RINEX nav file; returns the local path."""
+    """Download the latest hourly RINEX nav file; returns the local path.
+
+    ``base_url`` overrides the archive root (testing / mirrors)."""
     st = select_station(station_id, version)
     url = rinex_url(st[0], version=version)
+    if base_url is not None:
+        url = base_url.rstrip("/") + "/" + url.rsplit("/", 1)[1]
     try:
         with urllib.request.urlopen(url, timeout=timeout) as resp:
             data = resp.read()
@@ -170,10 +175,14 @@ def fetch_rinex(
     return out_path
 
 
-def fetch_almanac(out_path: str = "almanac.sem", timeout: float = 30.0) -> str:
+def fetch_almanac(
+    out_path: str = "almanac.sem",
+    timeout: float = 30.0,
+    url: str = ALMANAC_SEM_URL,
+) -> str:
     """Download the current SEM almanac (almanac.c:191-220)."""
     try:
-        with urllib.request.urlopen(ALMANAC_SEM_URL, timeout=timeout) as resp:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
             data = resp.read()
     except Exception as e:
         raise FetchError(f"almanac download failed: {e}") from e

@@ -44,3 +44,48 @@ def test_rinex_url_midnight_wrap():
     # hour 0 - 1 → 23, same day (gps.c:2424-2427)
     assert "/074/23/" in rinex_url("zimm", tm)
     assert "074x.22n.gz" in rinex_url("zimm", tm)
+
+
+def test_fetch_over_local_http(fixtures_dir, tmp_path):
+    """Functional download path: serve the fixtures over a loopback HTTP
+    server and run both fetchers end to end (urllib plumbing, file write,
+    and that the downloaded artifacts actually parse)."""
+    import functools
+    import gzip
+    import http.server
+    import threading
+
+    from gpssim_tpu.core.almanac import read_sem_almanac
+    from gpssim_tpu.core.ephemeris import read_rinex_nav
+    from gpssim_tpu.io.fetch import fetch_almanac, fetch_rinex
+
+    # The served dir holds the almanac fixture plus a gzipped nav file
+    # under the exact basename fetch_rinex derives for station 'abmf' now.
+    serve = tmp_path / "srv"
+    serve.mkdir()
+    basename = rinex_url("abmf").rsplit("/", 1)[1]
+    with open(f"{fixtures_dir}/brdc_test.22n", "rb") as fp:
+        (serve / basename).write_bytes(gzip.compress(fp.read()))
+    with open(f"{fixtures_dir}/almanac_test.sem", "rb") as fp:
+        (serve / "almanac.sem").write_bytes(fp.read())
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(serve)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        alm_path = fetch_almanac(
+            out_path=str(tmp_path / "alm.sem"), url=f"{base}/almanac.sem"
+        )
+        alm = read_sem_almanac(alm_path)
+        assert any(a.svid for a in alm.sv)
+
+        nav_path = fetch_rinex(
+            "abmf", out_path=str(tmp_path / "nav.gz"), base_url=base
+        )
+        nav = read_rinex_nav(nav_path)
+        assert nav.neph >= 1 and nav.sets[0].vflg.any()
+    finally:
+        srv.shutdown()
