@@ -21,7 +21,8 @@ from .config import (  # noqa: F401
 __all__ = [
     "CarrierMode", "LocationConfig", "SampleFormat", "SimConfig",
     "SynthBackend", "TargetConfig", "Simulation", "run_simulation",
-    "run_app", "save_checkpoint", "load_checkpoint",
+    "run_app", "save_checkpoint", "load_checkpoint", "acquire",
+    "receiver_fix",
 ]
 
 
@@ -42,4 +43,12 @@ def __getattr__(name):  # lazy: keep `import gpssim_tpu` light
         from . import checkpoint
 
         return getattr(checkpoint, name)
+    if name == "acquire":
+        from .acquire import acquire
+
+        return acquire
+    if name == "receiver_fix":
+        from .receiver import receiver_fix
+
+        return receiver_fix
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
