@@ -15,7 +15,7 @@ real GPS receiver and check it obtains a fix at the simulated location
   6. solves the navigation equations (Gauss-Newton with Sagnac and
      Klobuchar corrections, reference gps.c:1972-2026 observation model).
 
-Usage:  python -m gpssim_tpu.receiver iqdata.bin --bits 8 --rate 2046000
+Usage:  python -m gpssim_tpu.receiver iqdata.bin --bits 8 --rate 3000000
 """
 
 from __future__ import annotations
