@@ -32,6 +32,9 @@ def load_iq(path: str, bits: int = 8) -> np.ndarray:
     """Interleaved IQ file → complex64 baseband."""
     dtype = np.int8 if bits == 8 else np.int16
     raw = np.fromfile(path, dtype=dtype).astype(np.float32)
+    # A file truncated mid-sample-pair (killed writer) still has a valid
+    # prefix — drop the trailing lone I value instead of crashing.
+    raw = raw[: len(raw) // 2 * 2]
     return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
 
 
@@ -87,9 +90,12 @@ def acquire(
         peak = power[np.arange(len(prns)), lag]
         total = power.sum(axis=1)
         for k in range(len(prns)):
-            lo, hi = max(0, int(lag[k]) - 2), int(lag[k]) + 3
-            off = total[k] - power[k, lo:hi].sum()
-            ratio = float(peak[k]) / (off / (n - (hi - lo)))
+            # Correlation is circular: exclude the peak's ±2 neighbours
+            # with wraparound, or a peak near lag 0 / n-1 leaks its own
+            # energy into the noise estimate.
+            excl = (int(lag[k]) + np.arange(-2, 3)) % n
+            off = total[k] - power[k, excl].sum()
+            ratio = float(peak[k]) / (off / (n - excl.size))
             if ratio > best[k, 0]:
                 best[k] = (ratio, float(fd), float(lag[k]))
 
@@ -165,9 +171,6 @@ def demodulate_bits(
     return bits, start_bit
 
 
-_PREAMBLE = np.array([1, 0, 0, 0, 1, 0, 1, 1], dtype=np.uint8)
-
-
 def decode_tow(bits: np.ndarray) -> list[tuple[int, int]]:
     """Find subframes in a demodulated bit stream and decode their TOW.
 
@@ -175,7 +178,7 @@ def decode_tow(bits: np.ndarray) -> list[tuple[int, int]]:
     D30*), validates both TLM and HOW word parity, and returns
     [(bit_offset, tow_count), ...]. tow_count*6 is the GPS
     second-of-week of the NEXT subframe boundary."""
-    from .core.navmsg import validate_parity
+    from .core.navmsg import LNAV_PREAMBLE_BITS, decode_data_word
 
     out = []
     n = len(bits)
@@ -183,20 +186,16 @@ def decode_tow(bits: np.ndarray) -> list[tuple[int, int]]:
     # need 60 bits from i — hence the scan bounds.
     for i in range(2, n - 59):
         seg = bits[i : i + 8]
-        inverted = np.array_equal(seg, 1 - _PREAMBLE)
-        if not inverted and not np.array_equal(seg, _PREAMBLE):
+        if not (
+            np.array_equal(seg, LNAV_PREAMBLE_BITS)
+            or np.array_equal(seg, 1 - LNAV_PREAMBLE_BITS)
+        ):
             continue
-        d2930 = bits[i - 2 : i]
-        tlm = int("".join(map(str, bits[i : i + 30])), 2)
-        how = int("".join(map(str, bits[i + 30 : i + 60])), 2)
-        tlm |= (int(d2930[0]) << 31) | (int(d2930[1]) << 30)
-        how |= (int(bits[i + 28]) << 31) | (int(bits[i + 29]) << 30)
-        if not (validate_parity(tlm) and validate_parity(how)):
+        tlm = decode_data_word(bits, i)
+        how = decode_data_word(bits, i + 30)
+        if tlm is None or how is None:
             continue
-        # Data bits are inverted on the wire when D30* is set.
-        hbits = bits[i + 30 : i + 47] ^ int(bits[i + 29])
-        tow = int("".join(map(str, hbits)), 2)
-        out.append((i, tow))
+        out.append((i, (how >> 7) & 0x1FFFF))
     return out
 
 

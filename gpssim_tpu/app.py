@@ -13,20 +13,9 @@ import sys
 
 from .config import SimConfig, SynthBackend
 from .core.constants import R2D
-from .io.sinks import make_sink
+from .io.sinks import make_configured_sink as _make_configured_sink
 from .runner import run_simulation
 from .scenario import Simulation
-
-
-def _make_configured_sink(cfg: SimConfig):
-    kwargs = {}
-    if cfg.sink == "iqfile":
-        kwargs = {"path": cfg.out_file, "fifo_depth": cfg.fifo_depth}
-    sink = make_sink(cfg.sink, **kwargs)
-    # Hardware contract checks the reference does in sdr_*_init.
-    if sink.gain_range is not None:
-        cfg.tx_gain = sink.set_gain(cfg.tx_gain)
-    return sink
 
 
 @contextlib.contextmanager

@@ -13,8 +13,6 @@ from dataclasses import dataclass, field
 from .constants import MAX_SAT
 from .gpstime import GpsTime
 
-SEM_ALMANAC_URL = "https://www.celestrak.com/GPS/almanac/SEM/almanac.sem.txt"
-
 
 @dataclass
 class AlmanacPrn:

@@ -115,9 +115,12 @@ PATH_LOSS_NUMERATOR = 20_200_000.0
 _SIN_HALFWAY_QUIRKS = {35: 105, 220: 105, 291: -105, 476: -105}
 
 
-def _c_round(x: float) -> int:
-    """C99 round(): half away from zero."""
+def c_round(x: float) -> int:
+    """C99 round(): half away from zero (parity-critical; single copy)."""
     return int(math.floor(x + 0.5)) if x >= 0.0 else int(math.ceil(x - 0.5))
+
+
+_c_round = c_round
 
 
 def make_carrier_tables() -> tuple[np.ndarray, np.ndarray]:

@@ -40,6 +40,18 @@ def static_xyz(lat_deg: float, lon_deg: float, height_m: float) -> np.ndarray:
     return llh2xyz(llh)
 
 
+def _add_neu_transposed(xyz: np.ndarray, tmat: np.ndarray, neu) -> np.ndarray:
+    """xyz + tmatᵀ·neu — the reference applies the NEU matrix with its rows
+    used as columns (gps.c:2352-2357, 2723-2728); that transpose quirk is
+    parity-critical and lives only here."""
+    out = np.array(xyz, dtype=np.float64)
+    for i in range(3):
+        out[i] += (
+            tmat[0][i] * neu[0] + tmat[1][i] * neu[1] + tmat[2][i] * neu[2]
+        )
+    return out
+
+
 def apply_target_offset(
     xyz0: np.ndarray,
     llh: np.ndarray,
@@ -64,11 +76,7 @@ def apply_target_offset(
             height_m,
         ]
     )
-    out = np.array(xyz0, dtype=np.float64)
-    out[0] += t[0][0] * neu[0] + t[1][0] * neu[1] + t[2][0] * neu[2]
-    out[1] += t[0][1] * neu[0] + t[1][1] * neu[1] + t[2][1] * neu[2]
-    out[2] += t[0][2] * neu[0] + t[1][2] * neu[1] + t[2][2] * neu[2]
-    return out
+    return _add_neu_transposed(xyz0, t, neu)
 
 
 @dataclass
@@ -91,8 +99,4 @@ class InteractiveState:
                 self.vertical_speed * dt,
             ]
         )
-        out = np.array(xyz, dtype=np.float64)
-        out[0] += tmat[0][0] * neu[0] + tmat[1][0] * neu[1] + tmat[2][0] * neu[2]
-        out[1] += tmat[0][1] * neu[0] + tmat[1][1] * neu[1] + tmat[2][1] * neu[2]
-        out[2] += tmat[0][2] * neu[0] + tmat[1][2] * neu[1] + tmat[2][2] * neu[2]
-        return out
+        return _add_neu_transposed(xyz, tmat, neu)

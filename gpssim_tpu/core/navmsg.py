@@ -13,7 +13,6 @@ consume it as a ``uint32[channels, 60]`` array.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 
@@ -22,6 +21,7 @@ from .atmosphere import IonoUtc
 from .constants import (
     EMPTY_WORD,
     MAX_SAT,
+    c_round as _c_round,
     N_DWRD,
     N_DWRD_SBF,
     N_SBF,
@@ -57,11 +57,6 @@ _U32 = 0xFFFFFFFF
 def _trunc(x: float) -> int:
     """C (long) cast: truncate toward zero."""
     return int(x)
-
-
-def _c_round(x: float) -> int:
-    """C round(): half away from zero."""
-    return int(math.floor(x + 0.5)) if x >= 0.0 else int(math.ceil(x - 0.5))
 
 
 def count_bits(v: int) -> int:
@@ -404,6 +399,26 @@ def validate_parity(word: int) -> bool:
 def validate_frame(dwrd: np.ndarray) -> list[int]:
     """Indices of parity-failing words in a dwrd buffer (empty == clean)."""
     return [i for i in range(len(dwrd)) if not validate_parity(int(dwrd[i]))]
+
+
+# TLM preamble 10001011 (IS-GPS-200 20.3.3.1), as transmitted bits.
+LNAV_PREAMBLE_BITS = np.array([1, 0, 0, 0, 1, 0, 1, 1], dtype=np.uint8)
+
+
+def decode_data_word(bits: np.ndarray, j: int) -> int | None:
+    """Assemble the 30-bit LNAV word at bit offset ``j`` of a demodulated
+    stream (D29*/D30* context taken from bits j-2, j-1), validate parity,
+    and return the de-inverted 24-bit data field — or None on parity
+    failure. Receiver-side inverse of compute_checksum (the reference's
+    decode_word, gps.c:907-924)."""
+    word = int("".join(map(str, bits[j : j + 30])), 2)
+    word |= (int(bits[j - 2]) << 31) | (int(bits[j - 1]) << 30)
+    if not validate_parity(word):
+        return None
+    data = (word >> 6) & 0xFFFFFF
+    if word & 0x40000000:  # D30*: data bits arrive inverted on the wire
+        data ^= 0xFFFFFF
+    return data
 
 
 assert N_DWRD == 60

@@ -233,3 +233,17 @@ def make_sink(name: str, **kwargs) -> Sink:
 
 def register_sink(name: str, factory: Callable[..., Sink]) -> None:
     _REGISTRY[name] = factory
+
+
+def make_configured_sink(cfg) -> Sink:
+    """Build the sink named by ``cfg.sink`` with its config-derived kwargs
+    and apply the hardware gain contract (the clamp each reference
+    ``sdr_*_init`` performs — sdr_hackrf.h:19-20, sdr_pluto.h:39-40),
+    writing the clamped gain back into ``cfg.tx_gain``."""
+    kwargs = {}
+    if cfg.sink == "iqfile":
+        kwargs = {"path": cfg.out_file, "fifo_depth": cfg.fifo_depth}
+    sink = make_sink(cfg.sink, **kwargs)
+    if sink.gain_range is not None:
+        cfg.tx_gain = sink.set_gain(cfg.tx_gain)
+    return sink

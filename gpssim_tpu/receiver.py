@@ -56,12 +56,12 @@ from .core.constants import (
 )
 from .core.frames import ecef2neu, ltcmat, neu2azel, xyz2llh
 from .core.gpstime import GpsTime
-from .core.navmsg import validate_parity
+from .core.navmsg import LNAV_PREAMBLE_BITS, decode_data_word
 from .core.orbits import EphemerisSet, satpos
 
 CHIP_RATE = float(CODE_FREQ)  # 1.023e6 chips / SV-second
 
-_PREAMBLE_BITS = np.array([1, 0, 0, 0, 1, 0, 1, 1], dtype=np.uint8)
+_PREAMBLE_BITS = LNAV_PREAMBLE_BITS
 
 
 def _chips_pm1(prn: int) -> np.ndarray:
@@ -320,19 +320,12 @@ def decode_frames(bits: np.ndarray) -> DecodedFrames:
             i += 1
             continue
         words = []
-        ok = True
         for w in range(10):
-            j = i + 30 * w
-            word = int("".join(map(str, bits[j : j + 30])), 2)
-            word |= (int(bits[j - 2]) << 31) | (int(bits[j - 1]) << 30)
-            if not validate_parity(word):
-                ok = False
+            data = decode_data_word(bits, i + 30 * w)
+            if data is None:
                 break
-            data = (word >> 6) & 0xFFFFFF
-            if word & 0x40000000:  # D30*: data arrives inverted
-                data ^= 0xFFFFFF
             words.append(data)
-        if not ok:
+        if len(words) < 10:
             i += 1
             continue
 

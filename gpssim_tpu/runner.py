@@ -8,7 +8,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .config import CarrierMode, SampleFormat, SimConfig, SynthBackend
-from .io.sinks import Sink, make_sink
+from .io.sinks import Sink, make_configured_sink
 from .ops.synth_numpy import quantize_iq, synth_block_numpy
 from .scenario import Simulation
 
@@ -71,10 +71,7 @@ def run_simulation(
     if sim is None:
         sim = Simulation(cfg)
     if sink is None:
-        kwargs = {}
-        if cfg.sink == "iqfile":
-            kwargs = {"path": cfg.out_file, "fifo_depth": cfg.fifo_depth}
-        sink = make_sink(cfg.sink, **kwargs)
+        sink = make_configured_sink(cfg)
     sink.init(cfg)
 
     # Device backends run the pipelined batched path. Realtime/interactive
@@ -159,6 +156,9 @@ def _run_batched(
     t0 = time.perf_counter()
     it = sim.iter_plans()
     pending: deque = deque()  # (device_out, redispatch_fn, plans, snapshot)
+    # Nothing written yet: a checkpoint taken before the first batch
+    # drains must capture the pre-run state, not planner-ahead state.
+    sim.consistent_snapshot = capture_state(sim)
     try:
         while True:
             ts = time.perf_counter()
@@ -204,8 +204,8 @@ def _run_batched(
                     stats.blocks += 1
                     stats.samples += plan.num_samples
                 stats.wall_seconds = time.perf_counter() - t0
+                sim.consistent_snapshot = snap
                 if on_block is not None:
-                    sim.consistent_snapshot = snap
                     on_block(stats, sim, done_plans[-1])
                 if cfg.realtime:
                     # Pace to wall clock with the FIFO-depth lead allowance

@@ -24,6 +24,7 @@ from .core.channels import ChannelTable
 from .core.constants import (
     ANT_PAT_DB,
     MAX_SAT,
+    c_round as _c_round,
     PATH_LOSS_NUMERATOR,
     R2D,
     SECONDS_IN_HOUR,
@@ -48,10 +49,6 @@ from .core.motion import (
 from .core.navmsg import eph2sbf, generate_nav_msg, validate_frame
 from .core.ranging import compute_code_phase, compute_range
 from .ops.plan import BlockPlan
-
-
-def _c_round(x: float) -> int:
-    return int(math.floor(x + 0.5)) if x >= 0.0 else int(math.ceil(x - 0.5))
 
 
 def _c_int32(x: np.ndarray) -> np.ndarray:

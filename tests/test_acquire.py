@@ -160,6 +160,38 @@ def test_acquire_cli(generated, capsys):
     assert "PRNs acquired" in text and "PRN" in text and "doppler" in text
 
 
+def test_load_iq_tolerates_truncated_half_pair(tmp_path):
+    """A file cut mid-sample-pair (killed writer) loads its valid prefix
+    instead of crashing on a broadcast mismatch."""
+    p = str(tmp_path / "odd.bin")
+    np.arange(7, dtype=np.int8).tofile(p)
+    x = load_iq(p, 8)
+    assert len(x) == 3
+    assert x[0] == 0 + 1j
+
+
+def test_snr_is_shift_invariant_at_buffer_edges():
+    """Circular-correlation SNR must not depend on where the code phase
+    lands: a peak at lag 0 (wrap-adjacent bins) must score like an
+    interior peak, or edge-phase signals are sporadically missed."""
+    from gpssim_tpu.acquire import _resampled_codes
+
+    n = 3000
+    code = _resampled_codes(3e6, n)[4]  # PRN 5
+    rng = np.random.default_rng(1)
+    x = np.tile(code, 5).astype(np.complex64) * 50.0
+    x = x + (
+        rng.normal(size=x.size) + 1j * rng.normal(size=x.size)
+    ).astype(np.complex64) * 5.0
+
+    snrs = []
+    for roll in (0, 1, n - 1, 1234):
+        dets = acquire(np.roll(x, roll), prns=[5], max_doppler_hz=250.0)
+        assert len(dets) == 1, roll
+        snrs.append(dets[0].snr)
+    assert max(snrs) / min(snrs) < 1.1, snrs
+
+
 def test_no_false_positives_on_noise():
     rng = np.random.default_rng(0)
     noise = (

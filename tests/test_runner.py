@@ -97,6 +97,31 @@ def test_batched_checkpoint_consistent_with_written_blocks(
     )
 
 
+def test_batched_stop_before_first_drain_checkpoints_prerun_state(
+    fixtures_dir, tmp_path
+):
+    """A stop before any batch drains must leave a snapshot of the PRE-RUN
+    state, not planner-ahead state: the final checkpoint would otherwise
+    silently skip the in-flight, never-written blocks on resume."""
+    from gpssim_tpu.checkpoint import load_checkpoint, write_state
+    from gpssim_tpu.scenario import Simulation
+
+    cfg = _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=5)
+    sim = Simulation(cfg)
+    sink = CaptureSink()
+    run_simulation(cfg, sink=sink, sim=sim, stop=lambda: True)
+    # stop() fired before two batches were queued: nothing drained.
+    assert sink.blocks == 0
+    snap = sim.consistent_snapshot
+    assert snap is not None
+
+    ckpt = str(tmp_path / "state.npz")
+    write_state(ckpt, snap)
+    _, sim2 = load_checkpoint(ckpt)
+    # Resume restarts at block 1 — no blocks were written.
+    assert sim2._iumd == 1
+
+
 def test_realtime_pacing(fixtures_dir):
     cfg = _cfg(
         fixtures_dir, duration_sec=1.6, backend=SynthBackend.NUMPY,
