@@ -127,7 +127,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Synthesis backend (default jax)")
     p.add_argument("--sample-rate", type=int, default=None, metavar="sps",
                    help="Output sample rate (default 3000000; the reference "
-                        "is hard-wired to 3.0 Msps)")
+                        "is hard-wired to 3.0 Msps; the TPU kernels accept "
+                        "any rate down to ~1.03 Msps)")
     p.add_argument("--out-file", default="iqdata.bin", metavar="path",
                    help="Output path for the iqfile sink (default iqdata.bin)")
     p.add_argument("--int-nco", action="store_true",

@@ -58,17 +58,21 @@ def ca_table() -> np.ndarray:
     return out
 
 
+CA_PACKED_WORDS = 36
+
+
 @functools.cache
 def ca_table_packed() -> np.ndarray:
-    """Bit-packed chips with wraparound tail: uint32[32, 35].
+    """Bit-packed chips with wraparound tail: uint32[32, 36].
 
     Word w bit b (LSB-first) holds chip (32*w + b) of the periodically
-    extended sequence, covering chips 0..1119 so that any 0..96-bit window
-    starting at chip < 1023 is contiguous (used by the lane kernels).
-    """
+    extended sequence, covering chips 0..1151 so that any 0..128-bit
+    window starting at chip < 1023 is contiguous (used by the lane
+    kernels — the wide low-sample-rate window reads words j..j+4)."""
     ca = ca_table()
-    ext = np.concatenate([ca, ca[:, : 35 * 32 - CA_SEQ_LEN]], axis=1)
-    bits = ext.reshape(MAX_SAT, 35, 32).astype(np.uint32)
+    n = CA_PACKED_WORDS
+    ext = np.concatenate([ca, ca[:, : n * 32 - CA_SEQ_LEN]], axis=1)
+    bits = ext.reshape(MAX_SAT, n, 32).astype(np.uint32)
     weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))[None, None, :]
     return (bits * weights).sum(axis=2, dtype=np.uint32)
 

@@ -38,14 +38,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.cacode import ca_table_packed
-from ..core.constants import CA_SEQ_LEN
+from ..core.cacode import CA_PACKED_WORDS, ca_table_packed
+from ..core.constants import CA_SEQ_LEN, CODE_FREQ
 from .plan import BlockPlan
 
 LANES = 128
 _Q_CODE = 46
 _Q_CARR = 53
 _M23 = (1 << 23) - 1
+
+
+def needs_wide_window(delt: float) -> bool:
+    """True when a 128-lane row can span ≥64 chips, i.e. the sample rate
+    is below ~2.06 Msps and stage A must build the 128-chip (4-word)
+    window instead of the 64-chip (2-word) fast path. The 0.1% margin
+    covers code Doppler and oscillator error (both ≤1e-5 relative)."""
+    return CODE_FREQ * 1.001 * delt * (LANES - 1) >= 63.0
 
 
 # ---------------------------------------------------------------------------
@@ -108,11 +116,14 @@ def args_from_arrays(
     assert np.all(
         np.where(act, step, 0.0) * num_samples < (1 << 17)
     ), "block too long"
-    # A 128-lane row must stay inside its pre-shifted 64-chip window
-    # (stage B: chip_off = frac + 127*step < 64) ⇒ sample rates below
-    # ~2.1 Msps need a smaller LANES or a wider window.
-    assert np.all(np.where(act, step, 0.0) * (LANES - 1) < 63.0), (
-        "sample rate too low for the 64-chip row window"
+    # A 128-lane row must stay inside its pre-shifted chip window:
+    # 64 chips (2 words) on the fast path, 128 chips (4 words) when
+    # needs_wide_window(delt) — which supports rates down to ~1.03 Msps
+    # (one sample per chip; below that the C/A code is undersampled).
+    limit = 127.0 if needs_wide_window(delt) else 63.0
+    assert np.all(np.where(act, step, 0.0) * (LANES - 1) < limit), (
+        "sample rate too low even for the 128-chip row window "
+        "(minimum ~1.03 Msps)"
     )
 
     code0_q = np.rint(code_phase * (1 << _Q_CODE)).astype(np.int64)
@@ -210,7 +221,7 @@ def plan_to_args(plan: BlockPlan, int_nco: bool = False) -> dict:
       carr_l  int32[4, C, 3] — Q53 carrier phase + step limbs (mod 2^53)
       nav     int32[3, C]    — tcu0, bidx0, packed 8-bit data-bit window
       lane_steps int32[4, C] — cA, cB, kA, kB per-lane split steps
-      ca_packed uint32[C,35] — bit-packed C/A chips (wrap-extended)
+      ca_packed uint32[C,36] — bit-packed C/A chips (wrap-extended)
       gain_a/gain_b int32[C] — split Q44 gain
     """
     return args_from_arrays(
@@ -223,14 +234,14 @@ def plan_to_args(plan: BlockPlan, int_nco: bool = False) -> dict:
 
 @functools.cache
 def _packed_table0() -> np.ndarray:
-    """uint32[33, 35]: zero row (inactive) + packed chips per PRN."""
+    """uint32[33, 36]: zero row (inactive) + packed chips per PRN."""
     return np.concatenate(
-        [np.zeros((1, 35), np.uint32), ca_table_packed()], axis=0
+        [np.zeros((1, CA_PACKED_WORDS), np.uint32), ca_table_packed()], axis=0
     )
 
 
 def packed_ca_for_prns(prns: np.ndarray) -> np.ndarray:
-    """uint32[C, 35] packed chips for a PRN vector (0 = inactive → zeros)."""
+    """uint32[C, 36] packed chips for a PRN vector (0 = inactive → zeros)."""
     return _packed_table0()[np.maximum(np.asarray(prns), 0)]
 
 
@@ -239,7 +250,8 @@ def packed_ca_for_prns(prns: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows):
+def _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows,
+               wide=False):
     """Stage A: per-(row, channel) int32 bases from per-channel limbs.
 
     Pure int32: the row index is digit-decomposed (q = q2*4096 + q1*64 + q0,
@@ -304,69 +316,77 @@ def _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows):
     neg_now = bit_neg(tcu)
     neg_next = bit_neg(tcu + 1)
 
-    # ---- C/A chip window [chip_base, chip_base+64) pre-shifted ----
-    # wordpos ∈ [0, 31]; select-sum over the 35-word table (no gathers),
-    # then re-base to chip_base so stage B indexes with chip_off (< 45)
-    # directly: one select between two words instead of two among three.
+    # ---- C/A chip window [chip_base, chip_base + 32*n_win) pre-shifted ----
+    # n_win = 2 words (64 chips, the ≥2.06 Msps fast path) or 4 words
+    # (128 chips, low sample rates). wordpos ∈ [0, 31]; select-sum over
+    # the 36-word table (no gathers), then re-base to chip_base so stage B
+    # indexes with chip_off directly.
+    n_win = 4 if wide else 2
     wordpos = chip_base >> 5
-    cap = ca_packed.astype(jnp.int32)  # (C, 35), bit-identical reinterpret
+    cap = ca_packed.astype(jnp.int32)  # (C, 36), bit-identical reinterpret
     zero = jnp.zeros_like(wordpos)
-    w0 = zero
-    w1 = zero
-    w2 = zero
+    w = [zero] * (n_win + 1)
     for j in range(32):
         m = wordpos == j
-        w0 = w0 + jnp.where(m, cap[None, :, j], 0)
-        w1 = w1 + jnp.where(m, cap[None, :, j + 1], 0)
-        w2 = w2 + jnp.where(m, cap[None, :, j + 2], 0)
+        for k in range(n_win + 1):
+            w[k] = w[k] + jnp.where(m, cap[None, :, j + k], 0)
     bitoff = (chip_base & 31).astype(jnp.int32)
 
-    def shl_safe(w, k):  # w << k with k == 32 → 0 (XLA shift-by-32 is UB)
-        return jnp.where(k >= 32, 0, w << jnp.minimum(k, 31))
+    def shl_safe(x, k):  # x << k with k >= 32 → 0 (XLA shift-by-32 is UB)
+        return jnp.where(k >= 32, 0, x << jnp.minimum(k, 31))
 
     inv = 32 - bitoff
-    wA = jax.lax.shift_right_logical(w0, bitoff) | shl_safe(w1, inv)
-    wB = jax.lax.shift_right_logical(w1, bitoff) | shl_safe(w2, inv)
+    wins = [
+        jax.lax.shift_right_logical(w[k], bitoff) | shl_safe(w[k + 1], inv)
+        for k in range(n_win)
+    ]
 
     # ---- fold the data-bit sign into the window ----
     # Window bit j becomes chipbit ^ dbit_neg(chip_base + j): the data bit
     # flips exactly at the code wrap (chip 1023), i.e. at window offset
-    # wrap_off = 1023 - chip_base (< 64 only near the end of a code
-    # period). Stage B then reads the full ±sign of dataBit*codeCA as ONE
-    # bit — no wrap compare, no bit selects per sample.
+    # wrap_off = 1023 - chip_base (inside the window only near the end of
+    # a code period — at most one wrap per window since 1023 > 128).
+    # Stage B then reads the full ±sign of dataBit*codeCA as ONE bit —
+    # no wrap compare, no bit selects per sample.
     wrap_off = CA_SEQ_LEN - chip_base  # 1..1023
     xor_now = -neg_now  # 0 or 0xFFFFFFFF
     xor_flip = -(neg_now ^ neg_next)
     all1 = jnp.int32(-1)
-    maskA = shl_safe(all1, wrap_off)
-    wo_b = wrap_off - 32
-    maskB = jnp.where(wo_b <= 0, -1, shl_safe(all1, wo_b))
-    sA = wA ^ xor_now ^ (maskA & xor_flip)
-    sB = wB ^ xor_now ^ (maskB & xor_flip)
+    signed = {}
+    for k in range(n_win):
+        wo_k = wrap_off - 32 * k
+        # wrap_off >= 1, so word 0 never sits fully past the wrap.
+        mask = (
+            shl_safe(all1, wo_k)
+            if k == 0
+            else jnp.where(wo_k <= 0, -1, shl_safe(all1, wo_k))
+        )
+        signed["s" + "ABCD"[k]] = wins[k] ^ xor_now ^ (mask & xor_flip)
 
-    return dict(
+    out = dict(
         f_hi=f_hi,
         f_lo=f_lo,
         c_hi=c_hi,
         c_lo=c_lo,
-        sA=sA,
-        sB=sB,
         # per-channel split steps for stage B (already int32 halves)
         cA=lane_steps[0],
         cB=lane_steps[1],
         kA=lane_steps[2],
         kB=lane_steps[3],
     )
+    for k in range(n_win):
+        out["s" + "ABCD"[k]] = signed["s" + "ABCD"[k]]
+    return out
 
 
-_row_bases_jit = jax.jit(_row_bases, static_argnames=("n_rows",))
+_row_bases_jit = jax.jit(_row_bases, static_argnames=("n_rows", "wide"))
 
 
-def row_bases_device(args: dict, n_rows: int) -> dict:
+def row_bases_device(args: dict, n_rows: int, wide: bool = False) -> dict:
     """Run stage A; all inputs and outputs are int32 device arrays."""
     return _row_bases_jit(
         args["code_l"], args["carr_l"], args["nav"], args["lane_steps"],
-        args["ca_packed"], n_rows=n_rows,
+        args["ca_packed"], n_rows=n_rows, wide=wide,
     )
 
 
@@ -457,9 +477,16 @@ def _lane_samples(bases, gain_a, gain_b):
     # bit IS the full dataBit*codeCA sign (see _row_bases) ----
     lo = rc(bases["f_lo"]) + r * cB
     H = rc(bases["f_hi"]) + r * cA + (lo >> 23)
-    chip_off = H >> 23  # 0..44
+    chip_off = H >> 23  # 0..44 (narrow window) / 0..127 (wide)
 
-    word = jnp.where(chip_off < 32, rc(bases["sA"]), rc(bases["sB"]))
+    if "sC" in bases:  # 128-chip window: two-level select among 4 words
+        word = jnp.where(
+            chip_off < 64,
+            jnp.where(chip_off < 32, rc(bases["sA"]), rc(bases["sB"])),
+            jnp.where(chip_off < 96, rc(bases["sC"]), rc(bases["sD"])),
+        )
+    else:
+        word = jnp.where(chip_off < 32, rc(bases["sA"]), rc(bases["sB"]))
     spos = jax.lax.shift_right_logical(word, chip_off & 31) & 1
 
     # ---- carrier LUT index ----
@@ -487,14 +514,17 @@ ARG_ORDER = (
 
 
 def accumulate_block(
-    code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b, n_rows: int
+    code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
+    n_rows: int, wide: bool = False,
 ):
     """Raw int32 channel-summed accumulators for one block.
 
     Returned pre-quantization so a channel-sharded mesh can psum partial
     accumulators across devices exactly (integer addition is associative).
     """
-    bases = _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows)
+    bases = _row_bases(
+        code_l, carr_l, nav, lane_steps, ca_packed, n_rows, wide=wide
+    )
     return _lane_samples(bases, gain_a, gain_b)
 
 
@@ -511,41 +541,43 @@ def finalize_iq(i_acc, q_acc, num_samples: int, out_bits: int = 16):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows", "num_samples", "out_bits")
+    jax.jit, static_argnames=("n_rows", "num_samples", "out_bits", "wide")
 )
 def _synth_block_jit(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
-    *, n_rows: int, num_samples: int, out_bits: int,
+    *, n_rows: int, num_samples: int, out_bits: int, wide: bool,
 ):
     i_acc, q_acc = accumulate_block(
-        code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b, n_rows
+        code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
+        n_rows, wide,
     )
     return finalize_iq(i_acc, q_acc, num_samples, out_bits)
 
 
 def synth_block_device(*args, n_rows: int, num_samples: int,
-                       out_bits: int = 16):
+                       out_bits: int = 16, wide: bool = False):
     """One block on device → interleaved int16 (or >>4 int8)."""
     return _synth_block_jit(
-        *args, n_rows=n_rows, num_samples=num_samples, out_bits=out_bits
+        *args, n_rows=n_rows, num_samples=num_samples, out_bits=out_bits,
+        wide=wide,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows", "num_samples", "out_bits")
+    jax.jit, static_argnames=("n_rows", "num_samples", "out_bits", "wide")
 )
 def _synth_batch_jit(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
-    *, n_rows: int, num_samples: int, out_bits: int,
+    *, n_rows: int, num_samples: int, out_bits: int, wide: bool,
 ):
     i_acc, q_acc = jax.vmap(
-        lambda *a: accumulate_block(*a, n_rows)
+        lambda *a: accumulate_block(*a, n_rows, wide)
     )(code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b)
     return finalize_iq(i_acc, q_acc, num_samples, out_bits)
 
 
 def synth_blocks_batch(*args, n_rows: int, num_samples: int,
-                       out_bits: int = 16, **kw):
+                       out_bits: int = 16, wide: bool = False, **kw):
     """Batch of B independent blocks → int16[B, 2*num_samples].
 
     Blocks are embarrassingly parallel (ops/plan.py); vmap turns the block
@@ -554,7 +586,8 @@ def synth_blocks_batch(*args, n_rows: int, num_samples: int,
     if kw:
         args = tuple(kw[k] for k in ARG_ORDER)
     return _synth_batch_jit(
-        *args, n_rows=n_rows, num_samples=num_samples, out_bits=out_bits
+        *args, n_rows=n_rows, num_samples=num_samples, out_bits=out_bits,
+        wide=wide,
     )
 
 
@@ -580,13 +613,15 @@ class JaxBlockSynth:
 
     def __call__(self, plan: BlockPlan) -> np.ndarray:
         args = plan_to_args(plan, int_nco=self.int_nco)
+        wide = needs_wide_window(plan.delt)
         if self.use_pallas:
             out = self._pallas(
-                n_rows=self.n_rows, num_samples=self.num_samples, **args
+                n_rows=self.n_rows, num_samples=self.num_samples,
+                wide=wide, **args,
             )
         else:
             out = synth_block_device(
                 *(args[k] for k in ARG_ORDER),
-                n_rows=self.n_rows, num_samples=self.num_samples,
+                n_rows=self.n_rows, num_samples=self.num_samples, wide=wide,
             )
         return np.asarray(jax.device_get(out))

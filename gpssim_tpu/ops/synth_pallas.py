@@ -49,6 +49,11 @@ def _tile_rows() -> int:
 TILE_R = _tile_rows()
 
 _BASE_NAMES = ("f_hi", "f_lo", "c_hi", "c_lo", "sA", "sB")
+_BASE_NAMES_WIDE = _BASE_NAMES + ("sC", "sD")
+
+
+def base_names(wide: bool) -> tuple:
+    return _BASE_NAMES_WIDE if wide else _BASE_NAMES
 
 
 def _synth_tile_kernel(
@@ -56,9 +61,11 @@ def _synth_tile_kernel(
     ga_ref,  # SMEM int32[1, C]
     gb_ref,  # SMEM int32[1, C]
     *refs,
+    wide: bool = False,
 ):
-    bases = dict(zip(_BASE_NAMES, refs[: len(_BASE_NAMES)]))
-    i_ref, q_ref = refs[len(_BASE_NAMES) :]
+    names = base_names(wide)
+    bases = dict(zip(names, refs[: len(names)]))
+    i_ref, q_ref = refs[len(names) :]
 
     C = csplit_ref.shape[1]
     # Lane iota on a (1, LANES) strip: the r*step products below are then
@@ -76,9 +83,16 @@ def _synth_tile_kernel(
         # window bit IS the full dataBit*codeCA sign (see synth_jax) ----
         lo = col("f_lo") + rv * csplit_ref[1, c]
         H = col("f_hi") + rv * csplit_ref[0, c] + (lo >> 23)
-        chip_off = H >> 23  # 0..44
+        chip_off = H >> 23  # 0..44 narrow / 0..127 wide
 
-        word = jnp.where(chip_off < 32, col("sA"), col("sB"))
+        if wide:  # 128-chip window: two-level select among 4 words
+            word = jnp.where(
+                chip_off < 64,
+                jnp.where(chip_off < 32, col("sA"), col("sB")),
+                jnp.where(chip_off < 96, col("sC"), col("sD")),
+            )
+        else:
+            word = jnp.where(chip_off < 32, col("sA"), col("sB"))
         spos = (
             jax.lax.shift_right_logical(word, chip_off & 31) & 1
         ).astype(jnp.int32)  # 1 where product is POSITIVE
@@ -111,14 +125,17 @@ def _synth_tile_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_rows", "num_samples", "interpret", "out_bits"),
+    static_argnames=("n_rows", "num_samples", "interpret", "out_bits",
+                     "wide"),
 )
 def _stage_b_pallas(
     bases: dict, gain_a, gain_b,
     *, n_rows: int, num_samples: int, interpret: bool, out_bits: int = 16,
+    wide: bool = False,
 ):
     """Fused Pallas stage B over padded row tiles (traced without x64)."""
     C = gain_a.shape[0]
+    names = base_names(wide)
 
     n_rows_pad = -(-n_rows // TILE_R) * TILE_R
     grid = n_rows_pad // TILE_R
@@ -126,7 +143,7 @@ def _stage_b_pallas(
     def pad_rows(x):
         return jnp.pad(x, ((0, n_rows_pad - n_rows), (0, 0)))
 
-    base_arrs = [pad_rows(bases[k]) for k in _BASE_NAMES]
+    base_arrs = [pad_rows(bases[k]) for k in names]
 
     csplit = jnp.stack([bases["cA"], bases["cB"], bases["kA"], bases["kB"]])
 
@@ -138,14 +155,14 @@ def _stage_b_pallas(
     )
 
     i_acc, q_acc = pl.pallas_call(
-        _synth_tile_kernel,
+        functools.partial(_synth_tile_kernel, wide=wide),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((4, C), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ]
-        + [row_spec] * len(_BASE_NAMES),
+        + [row_spec] * len(names),
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_rows_pad, LANES), jnp.int16),
@@ -163,6 +180,7 @@ def _stage_b_pallas(
 def synth_block_pallas(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
     *, n_rows: int, num_samples: int, interpret: bool | None = None,
+    wide: bool = False,
 ):
     """One block via stage A (XLA int32) + fused Pallas stage B."""
     if interpret is None:
@@ -173,51 +191,34 @@ def synth_block_pallas(
             ca_packed=ca_packed,
         ),
         n_rows,
+        wide=wide,
     )
     return _stage_b_pallas(
         bases, jnp.asarray(gain_a), jnp.asarray(gain_b),
         n_rows=n_rows, num_samples=num_samples, interpret=interpret,
+        wide=wide,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows", "num_samples", "interpret")
-)
-def _stage_b_pallas_batch(bases, gain_a, gain_b, *, n_rows, num_samples,
-                          interpret):
-    return jax.vmap(
-        lambda bs, ga, gb: _stage_b_pallas(
-            bs, ga, gb, n_rows=n_rows, num_samples=num_samples,
-            interpret=interpret,
-        )
-    )(bases, gain_a, gain_b)
-
-
-@functools.lru_cache(maxsize=None)
-def _batched_row_bases_jit(n_rows: int):
-    from .synth_jax import _row_bases
-
-    return jax.jit(jax.vmap(lambda *a: _row_bases(*a, n_rows)))
-
-
-@functools.partial(
     jax.jit,
-    static_argnames=("n_rows", "num_samples", "interpret", "out_bits"),
+    static_argnames=("n_rows", "num_samples", "interpret", "out_bits",
+                     "wide"),
 )
 def _synth_batch_pallas_jit(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
-    *, n_rows, num_samples, interpret, out_bits,
+    *, n_rows, num_samples, interpret, out_bits, wide,
 ):
     """Single fused dispatch: batched stage A + Pallas stage B + finalize."""
     from .synth_jax import _row_bases
 
-    bases = jax.vmap(lambda *a: _row_bases(*a, n_rows))(
+    bases = jax.vmap(lambda *a: _row_bases(*a, n_rows, wide=wide))(
         code_l, carr_l, nav, lane_steps, ca_packed
     )
     return jax.vmap(
         lambda bs, ga, gb: _stage_b_pallas(
             bs, ga, gb, n_rows=n_rows, num_samples=num_samples,
-            interpret=interpret, out_bits=out_bits,
+            interpret=interpret, out_bits=out_bits, wide=wide,
         )
     )(bases, gain_a, gain_b)
 
@@ -225,7 +226,7 @@ def _synth_batch_pallas_jit(
 def synth_blocks_batch_pallas(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
     *, n_rows: int, num_samples: int, interpret: bool | None = None,
-    out_bits: int = 16, **_,
+    out_bits: int = 16, wide: bool = False, **_,
 ):
     """Batch of B blocks: one fused jit (stage A + Pallas stage B)."""
     if interpret is None:
@@ -234,5 +235,5 @@ def synth_blocks_batch_pallas(
         code_l, carr_l, nav, lane_steps, ca_packed,
         jnp.asarray(gain_a), jnp.asarray(gain_b),
         n_rows=n_rows, num_samples=num_samples, interpret=interpret,
-        out_bits=out_bits,
+        out_bits=out_bits, wide=wide,
     )

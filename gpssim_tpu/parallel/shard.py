@@ -44,7 +44,8 @@ def make_mesh(
     )
 
 
-def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int):
+def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int,
+                       wide: bool = False):
     """jit-compiled (batched-args) → int16[B, 2*num_samples] over the mesh.
 
     Per-block args are sharded (blocks, chan) on their (B, C, ...) axes;
@@ -55,7 +56,9 @@ def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int):
     """
 
     def per_device(*args):
-        i_acc, q_acc = jax.vmap(lambda *a: accumulate_block(*a, n_rows))(*args)
+        i_acc, q_acc = jax.vmap(
+            lambda *a: accumulate_block(*a, n_rows, wide)
+        )(*args)
         i_acc = jax.lax.psum(i_acc, "chan")
         q_acc = jax.lax.psum(q_acc, "chan")
         return finalize_iq(i_acc, q_acc, num_samples)

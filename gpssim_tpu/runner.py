@@ -146,6 +146,9 @@ def _run_batched(
     else:
         from .ops.synth_jax import synth_blocks_batch as kernel
 
+    from .ops.synth_jax import needs_wide_window
+
+    wide = needs_wide_window(1.0 / cfg.sample_rate)
     n_rows = -(-cfg.samples_per_epoch // LANES)
     bits = cfg.sample_format.value
     W = window if window is not None else cfg.dispatch_blocks
@@ -174,6 +177,7 @@ def _run_batched(
                         n_rows=n_rows,
                         num_samples=b.num_samples,
                         out_bits=bits,  # 8-bit quantize on device
+                        wide=wide,
                     )  # async dispatch
 
                 out = dispatch()

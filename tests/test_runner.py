@@ -44,6 +44,27 @@ def test_batched_pipeline_matches_blockwise(fixtures_dir):
         assert np.array_equal(x, y)
 
 
+def test_batched_pipeline_low_rate_wide_window(fixtures_dir):
+    """Rates below ~2.06 Msps take the 128-chip wide-window kernel; the
+    pipelined batched device path must stay bit-identical to the NumPy
+    f64 parity backend."""
+    a = CaptureSink()
+    run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=10,
+             sample_rate=2_046_000, duration_sec=1.2),
+        sink=a,
+    )
+    b = CaptureSink()
+    run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.NUMPY,
+             sample_rate=2_046_000, duration_sec=1.2),
+        sink=b,
+    )
+    assert a.blocks == b.blocks == 11
+    for x, y in zip(a.data, b.data):
+        assert np.array_equal(x, y)
+
+
 def test_batched_on_block_and_stop(fixtures_dir):
     seen = []
     sink = CaptureSink()

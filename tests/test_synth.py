@@ -48,13 +48,17 @@ def test_jax_kernel_int_nco(fixtures_dir):
         assert np.array_equal(a, b)
 
 
-@pytest.mark.parametrize("rate", [2_600_000, 10_000_000])
+@pytest.mark.parametrize("rate", [1_060_000, 1_200_000, 2_046_000,
+                                  2_600_000, 10_000_000])
 def test_sample_rate_configurable(fixtures_dir, rate):
     """The reference is hard-wired to 3.0 Msps (sdr.h:21); the framework
     makes rate a parameter (BASELINE.md note), including rates where
-    samples/epoch is not a multiple of 128.
+    samples/epoch is not a multiple of 128 and rates below ~2.06 Msps
+    (gps-sdr-sim's 2.046/1.023-family), where a 128-lane row spans more
+    than 64 chips and stage A statically switches to the 128-chip
+    four-word window (synth_jax.needs_wide_window).
 
-    At 2.6 Msps the integer kernel is bit-identical to the f64 path. At
+    At ≤2.6 Msps the integer kernel is bit-identical to the f64 path. At
     10 Msps (1 M samples/block) the f64 closed form's own rounding
     (~phase*2^-53) and the Q53 step rounding (~n*2^-54) can land a LUT
     index astride a boundary for a handful of samples; each such event is
@@ -75,7 +79,7 @@ def test_sample_rate_configurable(fixtures_dir, rate):
         assert plan.num_samples == rate // 10
         a = synth_block_numpy(plan)
         b = synth(plan)
-        if rate == 2_600_000:
+        if rate <= 2_600_000:  # incl. the wide-window (<2.06 Msps) path
             assert np.array_equal(a, b)
         else:
             d = np.abs(a.astype(np.int32) - b.astype(np.int32))
