@@ -7,6 +7,7 @@ with the reference's key bindings (gui.h:25-32):
 
   a / d   bearing -/+ 0.127 deg        w / s   vertical speed +/- 1 m/s
   e / q   speed +/- 0.01 m/s units     t / g   TX gain +/- 1 dB
+  TAB     cycle dashboard/sky view     F1-F3   dashboard
   x       exit
 
 The generator runs in a worker thread (the reference's GPS thread); the
@@ -57,6 +58,30 @@ def format_channel_rows(sim) -> list[str]:
     return rows
 
 
+def format_sky_rows(sim) -> list[str]:
+    """Per-PRN sky table — the reference's EPHEMERIS panel ('PRN  AZ
+    ELEV  EPH   SIM', gui.c:203; the reference never populates its rows —
+    this view fills them in): azimuth/elevation from the current
+    position, broadcast-ephemeris validity, and whether the PRN is
+    currently simulated on a channel."""
+    from .core.orbits import check_sat_visibility
+
+    eph = sim.nav.sets[sim.ieph]
+    state, azel = check_sat_visibility(eph, sim.grx.sec, sim._xyz_prev)
+    alloc = sim.channels.allocated_sat
+    rows = []
+    for sv in range(len(state)):
+        if state[sv] < 0:  # no valid ephemeris
+            rows.append(f"PRN{sv + 1:3d}      -      -    -    -")
+            continue
+        az, el = azel[sv, 0] * R2D, azel[sv, 1] * R2D
+        rows.append(
+            f"PRN{sv + 1:3d}  {az:5.1f}  {el:5.1f}    Y    "
+            f"{'Y' if alloc[sv] >= 0 else '-'}"
+        )
+    return rows
+
+
 def format_position(sim) -> str:
     llh = sim.current_llh()
     return (
@@ -80,6 +105,11 @@ class TuiApp:
         # bearing in millidegrees.
         self._speed_units = 0.0
         self.show_help = False
+        # 0 = dashboard, 1 = sky/ephemeris view. TAB cycles (the
+        # reference's gui_toggle_current_panel, gps-sim.c:352-353);
+        # F1-F3 return to the dashboard (its TRACK/LS_FIX/KF_FIX panels
+        # are merged into the one dashboard here).
+        self.view = 0
 
     # --- key handling (gps-sim.c:332-414) -----------------------------
     def handle_key(self, ch: int) -> None:
@@ -92,6 +122,10 @@ class TuiApp:
             self.stop_flag.set()
         elif ch in (ord("h"), ord("H"), ord("?"), ord("i"), ord("I")):
             self.show_help = True
+        elif ch == 9:  # TAB: cycle panels (gps-sim.c:352-353)
+            self.view = (self.view + 1) % 2
+        elif ch in (265, 266, 267):  # F1/F2/F3 (gps-sim.c:355-361)
+            self.view = 0
         elif ch == ord("a"):
             b = ia.bearing_millideg - 127.0
             if b < 0:
@@ -148,17 +182,29 @@ class TuiApp:
             f"heading {ia.bearing_millideg / 1000.0:7.3f} deg   "
             f"speed {ia.velocity * 3.6:6.2f} km/h   "
             f"vspeed {ia.vertical_speed:5.1f} m/s")
-        put(7, 1, "ch  PRN   azimuth   elev      pseudorange        iono")
-        rows = format_channel_rows(sim)
-        for k, row in enumerate(rows):
-            put(8 + k, 1, row)
-        log_top = 9 + len(rows)
+        if self.view == 1:
+            # Sky/ephemeris view (reference EPHEMERIS panel) in 2 columns.
+            put(7, 1, "PRN     az     el  eph  sim" + " " * 6
+                + "PRN     az     el  eph  sim", curses.A_BOLD)
+            sky = format_sky_rows(sim)
+            half = (len(sky) + 1) // 2
+            for k in range(half):
+                put(8 + k, 1, sky[k])
+                if half + k < len(sky):
+                    put(8 + k, 35, sky[half + k])
+            log_top = 9 + half
+        else:
+            put(7, 1, "ch  PRN   azimuth   elev      pseudorange        iono")
+            rows = format_channel_rows(sim)
+            for k, row in enumerate(rows):
+                put(8 + k, 1, row)
+            log_top = 9 + len(rows)
         put(log_top, 1, "-" * (w - 2))
         for k, line in enumerate(self.log.tail(h - log_top - 2)):
             put(log_top + 1 + k, 1, line)
         put(h - 1, 1,
             "[a/d] bearing  [w/s] vspeed  [e/q] speed  [t/g] gain  "
-            "[h] help  [x] exit",
+            "[TAB] sky  [h] help  [x] exit",
             curses.A_DIM)
         if self.show_help:
             lines = [
@@ -168,6 +214,7 @@ class TuiApp:
                 "  w / s   vertical speed +/- 1 m/s",
                 "  e / q   speed +/- 0.01 m/s units",
                 "  t / g   TX gain +/- 1 dB (sink-clamped)",
+                "  TAB     toggle sky/ephemeris view (F1-F3 back)",
                 "  h/?/i   this help",
                 "  x       exit",
                 "",

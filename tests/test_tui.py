@@ -89,6 +89,47 @@ def test_exit_key_sets_stop(app):
     assert app.stop_flag.is_set()
 
 
+def test_tab_cycles_sky_view_and_fkeys_return(app):
+    """TAB cycles panels (gps-sim.c:352-353); F1-F3 select the dashboard
+    (the reference's TRACK/LS_FIX/KF_FIX panels, gps-sim.c:355-361)."""
+    assert app.view == 0
+    app.handle_key(9)  # TAB
+    assert app.view == 1
+    app.handle_key(9)
+    assert app.view == 0
+    app.handle_key(9)
+    for fkey in (265, 266, 267):
+        app.handle_key(fkey)
+        assert app.view == 0
+
+
+def test_sky_rows_cover_all_prns(app):
+    """The sky view (reference EPHEMERIS panel, gui.c:203) lists all 32
+    PRNs; simulated ones are exactly the allocated channels and carry the
+    channel's az/el."""
+    from gpssim_tpu.core.constants import R2D
+    from gpssim_tpu.tui import format_sky_rows
+
+    rows = format_sky_rows(app.sim)
+    assert len(rows) == 32
+    sim_prns = {
+        int(prn) + 1
+        for prn, slot in enumerate(app.sim.channels.allocated_sat)
+        if slot >= 0
+    }
+    assert sim_prns  # scenario has visible satellites
+    for prn in range(1, 33):
+        row = rows[prn - 1]
+        assert row.startswith(f"PRN{prn:3d}")
+        assert row.endswith("Y") == (prn in sim_prns)
+    # az/el agree with the allocated channel state
+    prn = min(sim_prns)
+    slot = int(app.sim.channels.allocated_sat[prn - 1])
+    az, el = app.sim.channels.chan[slot].azel
+    assert f"{az * R2D:5.1f}" in rows[prn - 1]
+    assert f"{el * R2D:5.1f}" in rows[prn - 1]
+
+
 def test_status_log_scrolls():
     log = StatusLog(maxlen=3)
     for i in range(5):

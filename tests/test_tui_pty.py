@@ -54,6 +54,10 @@ def test_tui_end_to_end(fixtures_dir, tmp_path):
             drain(0.5)
 
     drain_until((b"heading", b"PRN"), 90)  # dashboard up + blocks flowing
+    os.write(m, b"\t")  # TAB → sky/ephemeris view
+    drain_until((b"eph  sim",), 10)
+    os.write(m, b"\t")  # back to the dashboard
+    drain(0.4)
     for key in (b"d", b"w", b"e", b"h", b"q"):
         os.write(m, key)
         drain(0.4)
