@@ -27,6 +27,17 @@ def log(*a):
 def main() -> None:
     import jax
 
+    # Test hook: BENCH_PLATFORM=cpu BENCH_CPU_DEVICES=8 exercises the
+    # multi-device sharded path on a virtual CPU mesh (the axon
+    # sitecustomize overrides JAX_PLATFORMS, so set it via jax.config
+    # before any backend init).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    if os.environ.get("BENCH_CPU_DEVICES"):
+        jax.config.update(
+            "jax_num_cpu_devices", int(os.environ["BENCH_CPU_DEVICES"])
+        )
+
     from gpssim_tpu.config import SimConfig
     from gpssim_tpu.ops.synth_jax import LANES, synth_blocks_batch
     from gpssim_tpu.ops.synth_numpy import synth_block_numpy
@@ -43,11 +54,18 @@ def main() -> None:
             [sys.executable, os.path.join("tools", "make_fixtures.py")], check=True
         )
 
-    dev = jax.devices()[0]
-    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    devices = jax.devices()
+    n_dev = len(devices)
+    dev = devices[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}"
+        + (f" x{n_dev}" if n_dev > 1 else ""))
 
     duration = float(os.environ.get("BENCH_DURATION_SEC", "180"))
     batch_blocks = int(os.environ.get("BENCH_BATCH_BLOCKS", "800"))
+    if n_dev > 1:
+        # Shard the blocks axis over every chip (zero cross-device
+        # traffic; see parallel/shard.py). Keep batches divisible.
+        batch_blocks -= batch_blocks % n_dev
 
     cfg = SimConfig(nav_file=nav, duration_sec=duration, almanac_enable=False)
     sim = Simulation(cfg)
@@ -67,16 +85,47 @@ def main() -> None:
     # the chip.
     use_pallas = os.environ.get("BENCH_KERNEL", "pallas") == "pallas"
     kernel = synth_blocks_batch_pallas if use_pallas else synth_blocks_batch
+    # Short scenarios: dispatch what exists (keep device divisibility).
+    if batch_blocks > len(plans):
+        batch_blocks = len(plans) - len(plans) % n_dev
     batches = [
         collate_plans(plans[i : i + batch_blocks])
         for i in range(0, len(plans) - len(plans) % batch_blocks, batch_blocks)
     ]
-    dev_batches = [
-        {k: jax.device_put(v) for k, v in b.args.items()} for b in batches
-    ]
+    if n_dev > 1:
+        # Multi-chip: blocks sharded over all devices via shard_map; the
+        # XLA kernel runs per shard (the sharded path shares its stage
+        # A/B graph). Inputs are pre-placed with the mesh sharding so the
+        # timed loop measures compute, not H2D.
+        from jax.sharding import NamedSharding
 
-    def run(b):
-        return kernel(**b, n_rows=n_rows, num_samples=cfg.samples_per_epoch)
+        from gpssim_tpu.parallel.shard import (
+            ARG_SPECS, make_mesh, make_sharded_synth,
+        )
+
+        mesh = make_mesh(n_blocks_shards=n_dev, n_chan_shards=1,
+                         devices=devices)
+        sharded = make_sharded_synth(mesh, n_rows, cfg.samples_per_epoch)
+        dev_batches = [
+            {
+                k: jax.device_put(v, NamedSharding(mesh, ARG_SPECS[k]))
+                for k, v in b.args.items()
+            }
+            for b in batches
+        ]
+
+        def run(b):
+            return sharded(b)
+
+    else:
+        dev_batches = [
+            {k: jax.device_put(v) for k, v in b.args.items()} for b in batches
+        ]
+
+        def run(b):
+            return kernel(
+                **b, n_rows=n_rows, num_samples=cfg.samples_per_epoch
+            )
 
     # warmup / compile (the one kernel shape used throughout), and fetch the
     # first batch for the parity check + D2H rate measurement
@@ -111,10 +160,10 @@ def main() -> None:
 
     result = {
         "metric": "IQ samples/s/chip (3.0 Msps L1 scenario, 12 channels)",
-        "value": round(sps, 1),
+        "value": round(sps / n_dev, 1),
         "unit": "samples/s",
         "device": f"{dev.platform} {getattr(dev, 'device_kind', '?')}",
-        "vs_baseline": round(sps / 3.0e6, 2),
+        "vs_baseline": round(sps / n_dev / 3.0e6, 2),
         "rms_error_vs_reference_lsb16": rms,
         "bit_exact_sample_check": exact,
         "kernel": "pallas" if use_pallas else "xla",
@@ -122,6 +171,10 @@ def main() -> None:
         "host_plan_blocks_per_s": round(len(plans) / max(plan_time, 1e-9), 1),
         "d2h_tunnel_msps": round(d2h_sps / 1e6, 1),
     }
+    if n_dev > 1:
+        result["n_devices"] = n_dev
+        result["aggregate_samples_per_s"] = round(sps, 1)
+        result["aggregate_vs_baseline"] = round(sps / 3.0e6, 2)
     print(json.dumps(result), flush=True)
 
 

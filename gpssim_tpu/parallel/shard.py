@@ -63,19 +63,10 @@ def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int,
         q_acc = jax.lax.psum(q_acc, "chan")
         return finalize_iq(i_acc, q_acc, num_samples)
 
-    specs = {
-        "code_l": P("blocks", None, "chan", None),
-        "carr_l": P("blocks", None, "chan", None),
-        "nav": P("blocks", None, "chan"),
-        "lane_steps": P("blocks", None, "chan"),
-        "ca_packed": P("blocks", "chan", None),
-        "gain_a": P("blocks", "chan"),
-        "gain_b": P("blocks", "chan"),
-    }
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=tuple(specs[k] for k in ARG_ORDER),
+        in_specs=tuple(ARG_SPECS[k] for k in ARG_ORDER),
         out_specs=P("blocks", None),
     )
     jitted = jax.jit(lambda *a: fn(*a))
@@ -85,6 +76,18 @@ def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int,
 
     return call
 
+
+# Mesh partition spec per batched kernel arg (shared by the sharded synth
+# and callers that pre-place inputs with jax.device_put + NamedSharding).
+ARG_SPECS = {
+    "code_l": P("blocks", None, "chan", None),
+    "carr_l": P("blocks", None, "chan", None),
+    "nav": P("blocks", None, "chan"),
+    "lane_steps": P("blocks", None, "chan"),
+    "ca_packed": P("blocks", "chan", None),
+    "gain_a": P("blocks", "chan"),
+    "gain_b": P("blocks", "chan"),
+}
 
 # Channel axis per batched arg (block axis is 0 for all of them).
 _CHAN_AXIS = {
