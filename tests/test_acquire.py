@@ -160,6 +160,24 @@ def test_acquire_cli(generated, capsys):
     assert "PRNs acquired" in text and "PRN" in text and "doppler" in text
 
 
+def test_acquire_at_gps_sdr_sim_rate(fixtures_dir, tmp_path):
+    """End-to-end at 2.046 Msps (the gps-sdr-sim code-Nyquist rate, below
+    the reference's hard-wired 3.0 Msps): the batched device path takes
+    the wide-window kernel and the generated IQ must still be acquirable
+    with exactly the simulated PRN set."""
+    out = str(tmp_path / "iq.bin")
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=1.0,
+        almanac_enable=False, backend=SynthBackend.JAX,
+        sink="iqfile", out_file=out, sample_rate=2_046_000,
+    )
+    first_plan = Simulation(cfg).step()
+    run_simulation(cfg)
+    dets = acquire(load_iq(out, 8), 2_046_000.0)
+    active = {int(p) for p in first_plan.prn[first_plan.active]}
+    assert {d.prn for d in dets} == active
+
+
 def test_load_iq_tolerates_truncated_half_pair(tmp_path):
     """A file cut mid-sample-pair (killed writer) loads its valid prefix
     instead of crashing on a broadcast mismatch."""

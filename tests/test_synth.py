@@ -88,6 +88,36 @@ def test_sample_rate_configurable(fixtures_dir, rate):
             assert float(np.sqrt(np.mean(d.astype(np.float64) ** 2))) < 0.01
 
 
+def test_rate_fuzz_kernel_vs_numpy(fixtures_dir):
+    """Seeded random sample rates spanning both window modes: the integer
+    kernel must stay within the parity contract vs the f64 path at ANY
+    rate — bit-exact at reference-scale blocks (≤3.0 Msps, ≤300k
+    samples), the golden-suite tolerance above."""
+    import random
+
+    from gpssim_tpu.ops.synth_jax import JaxBlockSynth
+
+    rng = random.Random(20260817)
+    rates = [10 * rng.randrange(103_000, 600_000) for _ in range(6)]
+    for rate in rates:
+        cfg = SimConfig(
+            nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=0.2,
+            almanac_enable=False, sample_rate=rate,
+        )
+        sim = Simulation(cfg)
+        synth = JaxBlockSynth(
+            num_samples=cfg.samples_per_epoch, num_channels=12
+        )
+        for plan in sim.iter_plans():
+            a = synth_block_numpy(plan)
+            b = synth(plan)
+            if rate <= 3_000_000:
+                assert np.array_equal(a, b), rate
+            else:
+                d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+                assert d.max() <= 4 and (d != 0).mean() < 1e-5, rate
+
+
 def test_lut_poly_matches_tables():
     """The folded degree-9 polynomial must reproduce ALL 512 entries of
     both reference carrier tables exactly (gps.c:145-213)."""
