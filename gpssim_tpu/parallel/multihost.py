@@ -118,13 +118,20 @@ def scatter_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def synthesize_multihost(
-    batch: dict, mesh: Mesh, n_rows: int, num_samples: int
+    batch: dict, mesh: Mesh, n_rows: int, num_samples: int,
+    wide: bool = False, out_bits: int = 16, fn=None,
 ) -> tuple[np.ndarray, slice]:
     """Run the sharded synthesizer across the global mesh.
 
-    Returns (local_blocks_int16, block_slice): the IQ blocks this process
-    owns and where they sit in the global batch."""
-    fn = make_sharded_synth(mesh, n_rows, num_samples)
+    Returns (local_blocks, block_slice): the IQ blocks this process owns
+    (int16, or device-quantized int8 with out_bits=8) and where they sit
+    in the global batch. Pass a prebuilt ``fn`` from make_sharded_synth
+    when calling in a loop — building it per call discards the jit cache
+    and recompiles every window."""
+    if fn is None:
+        fn = make_sharded_synth(
+            mesh, n_rows, num_samples, wide=wide, out_bits=out_bits
+        )
     global_out = fn(scatter_batch(batch, mesh))
 
     n_blocks = batch["gain_a"].shape[0]
@@ -150,10 +157,11 @@ def run_scenario_multihost(
     blocks to ``{out_file}.part{pid}`` with a JSON index of global block
     ranges. ``merge_parts`` assembles the reference-compatible stream.
     jax.distributed must be initialized first (see ``initialize``)."""
+    import itertools
     import json
 
-    from ..ops.synth_jax import LANES
-    from ..ops.synth_numpy import quantize_iq
+    from ..config import CarrierMode
+    from ..ops.synth_jax import LANES, needs_wide_window
     from ..scenario import Simulation
     from .shard import pad_batch, pad_channels
 
@@ -163,6 +171,13 @@ def run_scenario_multihost(
     sim = Simulation(cfg)
     n_rows = -(-cfg.samples_per_epoch // LANES)
     bits = cfg.sample_format.value
+    int_nco = cfg.carrier_mode is CarrierMode.INT_NCO
+    wide = needs_wide_window(1.0 / cfg.sample_rate)
+    # One compiled synthesizer for the whole run (all windows share the
+    # same shapes; rebuilding it per window would recompile every time).
+    fn = make_sharded_synth(
+        mesh, n_rows, cfg.samples_per_epoch, wide=wide, out_bits=bits
+    )
 
     pid = jax.process_index()
     part = f"{cfg.out_file}.part{pid}"
@@ -171,23 +186,22 @@ def run_scenario_multihost(
     base = 0
     with open(part, "wb") as fp:
         while True:
-            import itertools
-
             plans = list(itertools.islice(it, window_blocks))
             if not plans:
                 break
-            batch = collate_plans(plans)
+            batch = collate_plans(plans, int_nco=int_nco)
             padded = pad_channels(batch.args, chan_shards)
             padded, pad = pad_batch(padded, mesh.shape["blocks"])
             local, sl = synthesize_multihost(
-                padded, mesh, n_rows, batch.num_samples
+                padded, mesh, n_rows, batch.num_samples, fn=fn
             )
             # Drop padding blocks and record the global range this
-            # process wrote for this window.
+            # process wrote for this window (blocks are quantized on
+            # device: out_bits=bits halves the transfer for int8).
             lo = base + sl.start
             hi = min(base + sl.stop, base + len(plans))
             if hi > lo:
-                quantize_iq(local[: hi - lo], bits).tofile(fp)
+                local[: hi - lo].tofile(fp)
                 ranges.append([lo, hi])
             base += len(plans)
     with open(f"{part}.idx", "w") as fp:
@@ -203,13 +217,21 @@ def merge_parts(out_file: str, n_parts: int) -> str:
     import json
 
     segs = []
+    total_blocks = None
     for pid in range(n_parts):
         part = f"{out_file}.part{pid}"
         with open(f"{part}.idx") as fp:
             idx = json.load(fp)
+        total_blocks = idx["total_blocks"]
         dtype = np.int8 if idx["bits"] == 8 else np.int16
         blk = 2 * idx["samples_per_block"]
-        data = np.fromfile(part, dtype=dtype).reshape(-1, blk)
+        data = np.fromfile(part, dtype=dtype)
+        n_idx = sum(hi - lo for lo, hi in idx["ranges"])
+        assert data.size == n_idx * blk, (
+            f"{part}: {data.size} values on disk, index claims {n_idx} "
+            "blocks (truncated part file?)"
+        )
+        data = data.reshape(-1, blk)
         pos = 0
         for lo, hi in idx["ranges"]:
             segs.append((lo, data[pos : pos + (hi - lo)]))
@@ -221,4 +243,8 @@ def merge_parts(out_file: str, n_parts: int) -> str:
             assert lo == expect, f"gap at block {expect}"
             d.tofile(fp)
             expect = lo + d.shape[0]
+    assert expect == total_blocks, (
+        f"stream ends at block {expect}, scenario has {total_blocks} "
+        "(missing trailing part data)"
+    )
     return out_file

@@ -45,7 +45,7 @@ def make_mesh(
 
 
 def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int,
-                       wide: bool = False):
+                       wide: bool = False, out_bits: int = 16):
     """jit-compiled (batched-args) → int16[B, 2*num_samples] over the mesh.
 
     Per-block args are sharded (blocks, chan) on their (B, C, ...) axes;
@@ -61,7 +61,7 @@ def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int,
         )(*args)
         i_acc = jax.lax.psum(i_acc, "chan")
         q_acc = jax.lax.psum(q_acc, "chan")
-        return finalize_iq(i_acc, q_acc, num_samples)
+        return finalize_iq(i_acc, q_acc, num_samples, out_bits)
 
     fn = jax.shard_map(
         per_device,

@@ -91,11 +91,11 @@ struct Fifo {
   // Stream-start barrier (fifo_wait_full, fifo.c:97-103).
   bool wait_full(double timeout_s) {
     std::unique_lock<std::mutex> lk(mu);
-    if (filled_once || halted) return filled_once;
     auto dl = std::chrono::steady_clock::now() +
               std::chrono::duration_cast<std::chrono::steady_clock::duration>(
                   std::chrono::duration<double>(timeout_s));
-    full_once.wait_until(lk, dl);
+    // Predicate form: a spurious wakeup must not end the wait early.
+    full_once.wait_until(lk, dl, [&] { return filled_once || halted; });
     return filled_once;
   }
 

@@ -25,11 +25,12 @@ multihost.initialize(
     coordinator_address={coord!r}, num_processes=2, process_id=pid,
 )
 
-from gpssim_tpu.config import SimConfig
+from gpssim_tpu.config import CarrierMode, SimConfig
 
 cfg = SimConfig(
     nav_file=os.path.join({repo!r}, "fixtures", "brdc_test.22n"),
     duration_sec=0.5, almanac_enable=False, out_file={out!r},
+    sample_rate={rate}, carrier_mode=CarrierMode.{carrier},
 )
 part = multihost.run_scenario_multihost(cfg, chan_shards=2, window_blocks=4)
 print("wrote", part)
@@ -40,12 +41,26 @@ print("wrote", part)
     os.environ.get("GPSSIM_TEST_TPU", "") not in ("", "0"),
     reason="CPU multiprocess test",
 )
-def test_run_scenario_multihost_matches_single_process(fixtures_dir, tmp_path):
+@pytest.mark.parametrize(
+    "rate,carrier",
+    [
+        (3_000_000, "FLOAT"),
+        # gps-sdr-sim-family rate (wide-window kernel) + integer NCO:
+        # both flags must thread through the multihost path.
+        (2_046_000, "INT_NCO"),
+    ],
+)
+def test_run_scenario_multihost_matches_single_process(
+    fixtures_dir, tmp_path, rate, carrier
+):
     out = str(tmp_path / "mh.bin")
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
-    script = _CHILD.format(repo=REPO, coord=f"127.0.0.1:{port}", out=out)
+    script = _CHILD.format(
+        repo=REPO, coord=f"127.0.0.1:{port}", out=out, rate=rate,
+        carrier=carrier,
+    )
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
     procs = [
@@ -60,7 +75,7 @@ def test_run_scenario_multihost_matches_single_process(fixtures_dir, tmp_path):
     for p, (o, e) in zip(procs, outs):
         assert p.returncode == 0, f"stdout:\n{o}\nstderr:\n{e[-3000:]}"
 
-    from gpssim_tpu.config import SimConfig, SynthBackend
+    from gpssim_tpu.config import CarrierMode, SimConfig, SynthBackend
     from gpssim_tpu.parallel.multihost import merge_parts
     from gpssim_tpu.runner import run_simulation
 
@@ -70,10 +85,11 @@ def test_run_scenario_multihost_matches_single_process(fixtures_dir, tmp_path):
     cfg = SimConfig(
         nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=0.5,
         almanac_enable=False, backend=SynthBackend.NUMPY,
-        sink="iqfile", out_file=ref,
+        sink="iqfile", out_file=ref, sample_rate=rate,
+        carrier_mode=CarrierMode[carrier],
     )
     run_simulation(cfg)
     a = np.fromfile(out, dtype=np.int8)
     b = np.fromfile(ref, dtype=np.int8)
-    assert a.size == b.size == 4 * 600_000
+    assert a.size == b.size == 4 * 2 * (rate // 10)
     assert np.array_equal(a, b)
