@@ -130,11 +130,20 @@ def demodulate_bits(
     acc = np.zeros(total, dtype=np.complex128)
     cnt = np.zeros(total, dtype=np.int64)
     base = 0
+    prev_end_mod = None
     for b, plan in enumerate(plans):
         tgrid = np.arange(n, dtype=np.float64)
         code_phase = plan.code_phase[slot] + tgrid * (
             plan.f_code[slot] * plan.delt
         )
+        # A code wrap can fall exactly between two blocks: the next
+        # block then STARTS in a new period even though its own
+        # period[0] is also 0 — detect it from the boundary phases or
+        # the global period counter slips one code period.
+        if prev_end_mod is not None and (
+            plan.code_phase[slot] % CA_SEQ_LEN
+        ) < prev_end_mod:
+            base += 1
         chips = ca[(code_phase % CA_SEQ_LEN).astype(np.int64)].astype(
             np.float64
         ) * 2.0 - 1.0
@@ -147,6 +156,7 @@ def demodulate_bits(
         np.add.at(acc, gid, wiped)
         np.add.at(cnt, gid, 1)
         base += int(period[-1]) - int(period[0])
+        prev_end_mod = float(code_phase[-1] % CA_SEQ_LEN)
     full = 0.9 * sample_rate * 1e-3
     kept = np.nonzero(cnt > full)[0]
     corr = acc[kept]

@@ -130,7 +130,10 @@ def run_app(cfg: SimConfig, sim: Simulation | None = None,
         if use_tui and sys.stdout.isatty():
             from .tui import TuiApp
 
-            rc = TuiApp(cfg, sim, sink).run(on_block=_verbose_block_hook(cfg))
+            app = TuiApp(cfg, sim, sink)
+            # Verbose output goes into the TUI status log — printing to
+            # stderr would scribble over the active curses screen.
+            rc = app.run(on_block=_verbose_block_hook(cfg, out=app.log))
         else:
             # Clean shutdown on SIGINT/SIGTERM: finish the in-flight block,
             # drain the sink, write the final checkpoint (the reference

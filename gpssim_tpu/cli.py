@@ -255,9 +255,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         cfg = args_to_config(args)
         if cfg.use_ftp:
-            from .io.fetch import fetch_rinex
+            from .io.fetch import FetchError, fetch_rinex
 
-            cfg.nav_file = fetch_rinex(cfg.station_id, cfg.rinex_version)
+            try:
+                cfg.nav_file = fetch_rinex(cfg.station_id, cfg.rinex_version)
+            except FetchError as e:
+                # Network failure is a reportable condition (reference
+                # prints red status and exits, gps.c:2456-2466), not a
+                # traceback.
+                parser.error(f"RINEX download failed: {e}")
         if cfg.nav_file is None:
             parser.error("GPS ephemeris file is not specified (-e/--nav-file)")
         sim = None

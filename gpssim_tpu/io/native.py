@@ -73,6 +73,8 @@ def load_error() -> str | None:
 def quantize_16to8(iq16: np.ndarray) -> np.ndarray:
     """int16 accumulators → int8 via arithmetic >>4 (gps.c:2841-2845)."""
     lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_load_error}")
     src = np.ascontiguousarray(iq16, dtype=np.int16)
     out = np.empty(src.shape, dtype=np.int8)
     lib.gquantize_16to8(

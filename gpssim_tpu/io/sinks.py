@@ -73,6 +73,7 @@ class IqFileSink(Sink):
         self._native = None
         self._fp = None
         self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
 
     def init(self, cfg=None) -> None:
         if self.engine in ("auto", "native"):
@@ -93,11 +94,23 @@ class IqFileSink(Sink):
             self._thread.start()
 
     def _writer(self) -> None:
-        while True:
-            block = self.fifo.dequeue()
-            if block is None:
-                return
-            block.tofile(self._fp)
+        try:
+            while True:
+                block = self.fifo.dequeue()
+                if block is None:
+                    return
+                block.tofile(self._fp)
+        except BaseException as e:  # surface the I/O error to the producer
+            self._error = e
+            # Unblock a producer waiting in enqueue (and stop buffering
+            # blocks nobody will ever drain).
+            self.fifo.halt()
+
+    def _check_writer(self) -> None:
+        if self._error is not None:
+            raise RuntimeError(
+                f"iqfile writer thread failed: {self._error}"
+            ) from self._error
 
     def write(self, block: np.ndarray) -> None:
         if self._native is not None:
@@ -109,7 +122,9 @@ class IqFileSink(Sink):
                 self._native.write(block)
                 return
         if self.threaded:
+            self._check_writer()
             self.fifo.enqueue(block)
+            self._check_writer()
         else:
             block.tofile(self._fp)
 
@@ -119,8 +134,9 @@ class IqFileSink(Sink):
             self._native = None
             return
         if self.threaded and self._thread is not None:
-            # Let the writer drain before halting.
-            while self.fifo.depth_used:
+            # Let the writer drain before halting — unless it died (the
+            # queue would never drain and this loop would spin forever).
+            while self.fifo.depth_used and self._thread.is_alive():
                 import time
 
                 time.sleep(0.001)
@@ -130,6 +146,7 @@ class IqFileSink(Sink):
         if self._fp is not None:
             self._fp.close()
             self._fp = None
+        self._check_writer()
 
 
 class HackRfSink(Sink):

@@ -215,8 +215,14 @@ def track(
         proj = (cvec * cvec[2].conjugate()).real / (abs(cvec[2]) + 1e-12)
         pk = int(np.argmax(proj[1:4])) + 1  # keep a neighbor on each side
         y0, ym, yp = proj[pk], proj[pk - 1], proj[pk + 1]
-        s = y0 - 0.5 * (ym + yp)
-        apex = (pk - 2) + (0.0 if s <= 0 else (yp - ym) / (2.0 * s))
+        # Exact triangle-apex form, bounded: with s = peak minus the
+        # SMALLER neighbor, |frac| <= 0.5 for any inputs, so one noisy
+        # segment cannot throw an unbounded outlier into the timeline
+        # fit (the midpoint form (yp-ym)/(2*(y0-(ym+yp)/2)) is unbounded
+        # when an excluded outer lag rivals the interior peak).
+        s = y0 - min(ym, yp)
+        frac = 0.0 if s <= 0 else (yp - ym) / (2.0 * s)
+        apex = (pk - 2) + float(np.clip(frac, -1.0, 1.0))
         delta_chips = -apex * f_chip  # measured (true - NCO) code phase
 
         # Measured timeline for this segment; advance the NCO over the
@@ -226,7 +232,12 @@ def track(
 
         # Per-period prompt accumulation on the measured timeline.
         y = z * code_ext[2 : 2 + seg]
-        pid = ((cpv + delta_chips) // CA_SEQ_LEN).astype(np.int64)
+        # Clip: a near-zero starting phase with a negative correction
+        # would index period -1 and wrap the prompt slice.
+        pid = np.clip(
+            ((cpv + delta_chips) // CA_SEQ_LEN).astype(np.int64),
+            0, total_periods - 1,
+        )
         rel = pid - pid[0]
         nbins = int(rel[-1]) + 1
         seg_re = np.bincount(rel, weights=y.real, minlength=nbins)

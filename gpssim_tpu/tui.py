@@ -162,7 +162,10 @@ class TuiApp:
         sim, ia = self.sim, self.sim.interactive
 
         def put(y, x, s, attr=0):
-            if 0 <= y < h:
+            # Clamp x too: addnstr past the window edge raises
+            # curses.error on narrow terminals (e.g. the sky view's
+            # second column at x=35).
+            if 0 <= y < h and 0 <= x < w - 1:
                 scr.addnstr(y, x, s, max(0, w - x - 1), attr)
 
         put(0, 1, "gpssim-tpu — GPS L1 C/A signal simulator",

@@ -115,3 +115,20 @@ def test_cli_end_to_end(fixtures_dir, tmp_path):
     assert data.size == 3 * 600_000
     assert np.any(data != 0)
     assert "done:" in r.stderr
+
+
+def test_use_ftp_fetch_failure_exits_cleanly(monkeypatch):
+    """A network failure under --use-ftp is a reportable condition
+    (reference gps.c:2456-2466), not a traceback."""
+    import pytest
+
+    from gpssim_tpu import cli
+    from gpssim_tpu.io import fetch
+
+    def boom(*a, **k):
+        raise fetch.FetchError("server unreachable")
+
+    monkeypatch.setattr(fetch, "fetch_rinex", boom)
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["-f", "-r", "iqfile"])
+    assert ei.value.code == 2

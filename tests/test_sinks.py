@@ -56,3 +56,24 @@ def test_registry_round_trip():
     assert isinstance(make_sink("custom"), Custom)
     with pytest.raises(ValueError, match="unknown sink"):
         make_sink("nope")
+
+
+def test_iqfile_writer_thread_error_surfaces_and_close_does_not_hang(
+    tmp_path,
+):
+    """A dead drain thread (I/O error mid-run) must surface as an error
+    on the next write/close instead of deadlocking the producer."""
+    import time
+
+    from gpssim_tpu.io.sinks import IqFileSink
+
+    sink = IqFileSink(path=str(tmp_path / "x.bin"), engine="python")
+    sink.init()
+    sink._fp.close()  # force tofile() in the writer thread to fail
+    blk = np.zeros(16, dtype=np.int8)
+    with pytest.raises(RuntimeError, match="writer thread failed"):
+        for _ in range(200):
+            sink.write(blk)
+            time.sleep(0.005)
+    with pytest.raises(RuntimeError, match="writer thread failed"):
+        sink.close()  # must return (not spin on depth_used) and report
