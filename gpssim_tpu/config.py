@@ -110,4 +110,7 @@ class SimConfig:
 
     @property
     def num_epochs(self) -> int:
-        return int(self.duration_sec * 10.0)
+        # Round like the reference's CLI (gps-sim.c:140: (int)(d*10+0.5))
+        # so fractional durations agree — truncation would drop an epoch
+        # for e.g. duration_sec=0.55.
+        return int(self.duration_sec * 10.0 + 0.5)
