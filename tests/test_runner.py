@@ -118,6 +118,54 @@ def test_batched_checkpoint_consistent_with_written_blocks(
     )
 
 
+def test_batched_transient_device_error_redispatches(fixtures_dir, monkeypatch):
+    """Fault injection (SURVEY §5): a transient device failure at drain
+    time re-runs the batch — every block is a pure function of its plan —
+    and the output stream is unaffected."""
+    import jax
+
+    ref = CaptureSink()
+    run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=10),
+        sink=ref,
+    )
+
+    calls = {"n": 0}
+    real = jax.device_get
+
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise jax.errors.JaxRuntimeError("fake transient device loss")
+        return real(x)
+
+    monkeypatch.setattr(jax, "device_get", flaky)
+    sink = CaptureSink()
+    stats = run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=10),
+        sink=sink,
+    )
+    assert stats.retries == 1
+    assert sink.blocks == ref.blocks == 25
+    for x, y in zip(sink.data, ref.data):
+        assert np.array_equal(x, y)
+
+    # A deterministic OOM must NOT be retried (it would re-fail).
+    calls["n"] = -10**9  # keep flaky() raising on a fresh message
+
+    def oom(x):
+        raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    monkeypatch.setattr(jax, "device_get", oom)
+    import pytest
+
+    with pytest.raises(jax.errors.JaxRuntimeError, match="RESOURCE_EXHAUSTED"):
+        run_simulation(
+            _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=10),
+            sink=CaptureSink(),
+        )
+
+
 def test_batched_stop_before_first_drain_checkpoints_prerun_state(
     fixtures_dir, tmp_path
 ):
