@@ -9,13 +9,14 @@ Usage: python examples/generate_iq.py <rinex_nav_file> [out.bin]
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from gpssim_tpu import LocationConfig, SimConfig, SynthBackend, run_simulation
 
 
 def main() -> None:
-    nav = sys.argv[1] if len(sys.argv) > 1 else "fixtures/brdc_test.22n"
+    nav = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "fixtures", "brdc_test.22n")
     out = sys.argv[2] if len(sys.argv) > 2 else "iqdata.bin"
 
     cfg = SimConfig(

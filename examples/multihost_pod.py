@@ -15,7 +15,8 @@ Example (2 local test processes, 4 virtual CPU devices each):
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import argparse
 
@@ -25,7 +26,7 @@ from gpssim_tpu.parallel import multihost
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nav-file", default="fixtures/brdc_test.22n")
+    ap.add_argument("--nav-file", default=os.path.join(REPO, "fixtures", "brdc_test.22n"))
     ap.add_argument("--duration", type=float, default=30.0)
     ap.add_argument("--out", default="iqdata.bin")
     ap.add_argument("--chan-shards", type=int, default=1,

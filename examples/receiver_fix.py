@@ -14,7 +14,8 @@ import tempfile
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from gpssim_tpu import LocationConfig, SimConfig, SynthBackend, run_simulation
 from gpssim_tpu.acquire import load_iq
@@ -24,7 +25,7 @@ from gpssim_tpu.scenario import Simulation
 
 
 def main() -> None:
-    nav = sys.argv[1] if len(sys.argv) > 1 else "fixtures/brdc_test.22n"
+    nav = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "fixtures", "brdc_test.22n")
     out = os.path.join(tempfile.mkdtemp(prefix="gpssim_rx_"), "iq.bin")
     rate = 2_600_000
 
