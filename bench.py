@@ -166,7 +166,12 @@ def main() -> None:
         "vs_baseline": round(sps / n_dev / 3.0e6, 2),
         "rms_error_vs_reference_lsb16": rms,
         "bit_exact_sample_check": exact,
-        "kernel": "pallas" if use_pallas else "xla",
+        # Multi-device runs go through the shard_map'd XLA path
+        # regardless of BENCH_KERNEL.
+        "kernel": (
+            "sharded-xla" if n_dev > 1
+            else ("pallas" if use_pallas else "xla")
+        ),
         "blocks_per_dispatch": batch_blocks,
         "host_plan_blocks_per_s": round(len(plans) / max(plan_time, 1e-9), 1),
         "d2h_tunnel_msps": round(d2h_sps / 1e6, 1),

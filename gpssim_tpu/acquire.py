@@ -131,8 +131,8 @@ def demodulate_bits(
     cnt = np.zeros(total, dtype=np.int64)
     base = 0
     prev_end_mod = None
+    tgrid = np.arange(n, dtype=np.float64)
     for b, plan in enumerate(plans):
-        tgrid = np.arange(n, dtype=np.float64)
         code_phase = plan.code_phase[slot] + tgrid * (
             plan.f_code[slot] * plan.delt
         )

@@ -352,17 +352,6 @@ def _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows,
     xor_now = -neg_now  # 0 or 0xFFFFFFFF
     xor_flip = -(neg_now ^ neg_next)
     all1 = jnp.int32(-1)
-    signed = {}
-    for k in range(n_win):
-        wo_k = wrap_off - 32 * k
-        # wrap_off >= 1, so word 0 never sits fully past the wrap.
-        mask = (
-            shl_safe(all1, wo_k)
-            if k == 0
-            else jnp.where(wo_k <= 0, -1, shl_safe(all1, wo_k))
-        )
-        signed["s" + "ABCD"[k]] = wins[k] ^ xor_now ^ (mask & xor_flip)
-
     out = dict(
         f_hi=f_hi,
         f_lo=f_lo,
@@ -375,8 +364,30 @@ def _row_bases(code_l, carr_l, nav, lane_steps, ca_packed, n_rows,
         kB=lane_steps[3],
     )
     for k in range(n_win):
-        out["s" + "ABCD"[k]] = signed["s" + "ABCD"[k]]
+        wo_k = wrap_off - 32 * k
+        # wrap_off >= 1, so word 0 never sits fully past the wrap.
+        mask = (
+            shl_safe(all1, wo_k)
+            if k == 0
+            else jnp.where(wo_k <= 0, -1, shl_safe(all1, wo_k))
+        )
+        out["s" + "ABCD"[k]] = wins[k] ^ xor_now ^ (mask & xor_flip)
     return out
+
+
+def select_chip_word(chip_off, words):
+    """Select the pre-shifted 32-chip window word holding ``chip_off``.
+
+    ``words`` is [sA, sB] (64-chip window) or [sA..sD] (128-chip wide
+    window, two-level select) — the one piece of window logic shared
+    verbatim by the XLA and Pallas stage-B kernels."""
+    if len(words) == 4:
+        return jnp.where(
+            chip_off < 64,
+            jnp.where(chip_off < 32, words[0], words[1]),
+            jnp.where(chip_off < 96, words[2], words[3]),
+        )
+    return jnp.where(chip_off < 32, words[0], words[1])
 
 
 _row_bases_jit = jax.jit(_row_bases, static_argnames=("n_rows", "wide"))
@@ -479,14 +490,10 @@ def _lane_samples(bases, gain_a, gain_b):
     H = rc(bases["f_hi"]) + r * cA + (lo >> 23)
     chip_off = H >> 23  # 0..44 (narrow window) / 0..127 (wide)
 
-    if "sC" in bases:  # 128-chip window: two-level select among 4 words
-        word = jnp.where(
-            chip_off < 64,
-            jnp.where(chip_off < 32, rc(bases["sA"]), rc(bases["sB"])),
-            jnp.where(chip_off < 96, rc(bases["sC"]), rc(bases["sD"])),
-        )
-    else:
-        word = jnp.where(chip_off < 32, rc(bases["sA"]), rc(bases["sB"]))
+    n_win = 4 if "sC" in bases else 2
+    word = select_chip_word(
+        chip_off, [rc(bases["s" + "ABCD"[k]]) for k in range(n_win)]
+    )
     spos = jax.lax.shift_right_logical(word, chip_off & 31) & 1
 
     # ---- carrier LUT index ----

@@ -22,7 +22,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .synth_jax import finalize_iq, lut_mag_neg, row_bases_device
+from .synth_jax import (
+    finalize_iq, lut_mag_neg, row_bases_device, select_chip_word,
+)
 
 LANES = 128
 
@@ -85,14 +87,10 @@ def _synth_tile_kernel(
         H = col("f_hi") + rv * csplit_ref[0, c] + (lo >> 23)
         chip_off = H >> 23  # 0..44 narrow / 0..127 wide
 
-        if wide:  # 128-chip window: two-level select among 4 words
-            word = jnp.where(
-                chip_off < 64,
-                jnp.where(chip_off < 32, col("sA"), col("sB")),
-                jnp.where(chip_off < 96, col("sC"), col("sD")),
-            )
-        else:
-            word = jnp.where(chip_off < 32, col("sA"), col("sB"))
+        word = select_chip_word(
+            chip_off,
+            [col("s" + "ABCD"[k]) for k in range(4 if wide else 2)],
+        )
         spos = (
             jax.lax.shift_right_logical(word, chip_off & 31) & 1
         ).astype(jnp.int32)  # 1 where product is POSITIVE

@@ -151,8 +151,6 @@ def test_batched_transient_device_error_redispatches(fixtures_dir, monkeypatch):
         assert np.array_equal(x, y)
 
     # A deterministic OOM must NOT be retried (it would re-fail).
-    calls["n"] = -10**9  # keep flaky() raising on a fresh message
-
     def oom(x):
         raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: out of memory")
 
