@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
             "stream on the fly from RINEX broadcast ephemerides."
         ),
     )
+    from . import __version__
+
+    # argp gives the reference --version/--usage for free (README usage
+    # table); mirror them.
+    p.add_argument("-V", "--version", action="version",
+                   version=f"%(prog)s {__version__}")
+    p.add_argument("--usage", action="help",
+                   help=argparse.SUPPRESS)
     # --- reference-parity options (help.h:20-53) ---
     p.add_argument("-e", "--nav-file", metavar="filename",
                    help="RINEX navigation file for GPS ephemeris (required)")
