@@ -3,11 +3,11 @@
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-from .config import CarrierMode, SampleFormat, SimConfig, SynthBackend
+from .config import CarrierMode, SimConfig, SynthBackend
 from .io.sinks import Sink, make_configured_sink
 from .ops.synth_numpy import quantize_iq, synth_block_numpy
 from .scenario import Simulation

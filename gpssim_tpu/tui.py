@@ -22,8 +22,6 @@ import threading
 import time
 from collections import deque
 
-import numpy as np
-
 from .core.constants import R2D
 
 
