@@ -80,6 +80,26 @@ def format_sky_rows(sim) -> list[str]:
     return rows
 
 
+def format_almanac_date(sim) -> str:
+    """The LS_FIX 'Almanac date' field (reference gps.c:2652-2656): the
+    time-of-almanac of the last valid SV, or the disabled notice."""
+    alm = getattr(sim, "alm", None)
+    toa = None
+    if alm is not None and alm.valid:
+        for a in alm.sv:
+            if a.valid != 0:
+                toa = a.toa  # last valid SV wins, like the reference loop
+    if toa is None:
+        return "Almanac date: Disabled or invalid."
+    from .core.gpstime import gps2date
+
+    t = gps2date(toa)
+    return (
+        f"Almanac date: {t.y:4d}/{t.m:02d}/{t.d:02d},"
+        f"{t.hh:02d}:{t.mm:02d}:{t.sec:02.0f}"
+    )
+
+
 def format_position(sim) -> str:
     llh = sim.current_llh()
     return (
@@ -178,6 +198,7 @@ class TuiApp:
             f"backend {self.cfg.backend.value}   sink {self.sink.name}"
             f"   {self.cfg.sample_format.value}-bit"
             f"   gain {self.gain} dB")
+        put(3, 1, format_almanac_date(sim))
         put(4, 1, format_position(sim), curses.A_BOLD)
         put(5, 1,
             f"heading {ia.bearing_millideg / 1000.0:7.3f} deg   "

@@ -173,3 +173,23 @@ def test_ppb_offsets_carrier_when_not_parity_exact(fixtures_dir):
     )
     p2 = next(Simulation(parity).iter_plans())
     assert np.array_equal(p2.f_carr, p0.f_carr)
+
+
+def test_almanac_date_field(app, fixtures_dir):
+    """The LS_FIX 'Almanac date' field (reference gps.c:2652-2656):
+    last valid SV's toa when an almanac is loaded, disabled notice
+    otherwise."""
+    from gpssim_tpu.core.almanac import read_sem_almanac
+    from gpssim_tpu.core.gpstime import gps2date
+    from gpssim_tpu.tui import format_almanac_date
+
+    assert format_almanac_date(app.sim) == "Almanac date: Disabled or invalid."
+
+    alm = read_sem_almanac(f"{fixtures_dir}/almanac_test.sem")
+    app.sim.alm = alm
+    toa = [a.toa for a in alm.sv if a.valid != 0][-1]
+    t = gps2date(toa)
+    assert format_almanac_date(app.sim) == (
+        f"Almanac date: {t.y:4d}/{t.m:02d}/{t.d:02d},"
+        f"{t.hh:02d}:{t.mm:02d}:{t.sec:02.0f}"
+    )
