@@ -83,6 +83,8 @@ def build_parser() -> argparse.ArgumentParser:
                    version=f"%(prog)s {__version__}")
     p.add_argument("--usage", action="help",
                    help=argparse.SUPPRESS)
+    p.add_argument("-?", action="help", help=argparse.SUPPRESS,
+                   dest="help_alias")  # argp's -? (help.h usage table)
     # --- reference-parity options (help.h:20-53) ---
     p.add_argument("-e", "--nav-file", metavar="filename",
                    help="RINEX navigation file for GPS ephemeris (required)")
