@@ -177,6 +177,14 @@ def run_app(cfg: SimConfig, sim: Simulation | None = None,
             f"(x{stats.realtime_factor:.1f} realtime)",
             file=sys.stderr,
         )
+        if cfg.realtime and stats.realtime_factor < 1.0:
+            print(
+                "WARNING: output fell behind real time — a TX sink would "
+                "underrun. Usual causes: first-run kernel compilation, or "
+                "a slow host<->device link (device-side synthesis is "
+                f"~{650}x real time).",
+                file=sys.stderr,
+            )
     if cfg.checkpoint_file:
         from .checkpoint import capture_state, write_state
 
