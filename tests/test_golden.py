@@ -280,7 +280,7 @@ def test_fuzz_random_scenarios(oracle_bin, fixtures_dir, tmp_path):
     rng = random.Random(20260816)
     nav = f"{fixtures_dir}/brdc_test.22n"
     gmin, _ = nav_time_span(read_rinex_nav(nav, version=2))
-    for trial in range(8):
+    for trial in range(12):
         loc = dict(
             lat=rng.uniform(-75.0, 75.0),
             lon=rng.uniform(-180.0, 180.0),
