@@ -88,6 +88,11 @@ def main() -> None:
     # Short scenarios: dispatch what exists (keep device divisibility).
     if batch_blocks > len(plans):
         batch_blocks = len(plans) - len(plans) % n_dev
+    if batch_blocks < 1:
+        raise SystemExit(
+            f"scenario too short: {len(plans)} blocks cannot fill "
+            f"{n_dev} devices (raise BENCH_DURATION_SEC)"
+        )
     batches = [
         collate_plans(plans[i : i + batch_blocks])
         for i in range(0, len(plans) - len(plans) % batch_blocks, batch_blocks)

@@ -28,7 +28,7 @@ def _parse_start(arg: str) -> tuple[DateTime, bool]:
     """'now' or 'YYYY/MM/DD,hh:mm:ss' → (DateTime, time_overwrite).
 
     Validation bounds match the reference (gps-sim.c:106-114)."""
-    if arg.startswith("now"):
+    if arg == "now":
         gmt = _time.gmtime()
         return (
             DateTime(
@@ -139,6 +139,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Output sample rate (default 3000000; the reference "
                         "is hard-wired to 3.0 Msps; the TPU kernels accept "
                         "any rate down to ~1.03 Msps)")
+    p.add_argument("--tcp-addr", default="127.0.0.1:4729", metavar="host:port",
+                   help="destination for the tcp streaming radio (-r tcp)")
     p.add_argument("--out-file", default="iqdata.bin", metavar="path",
                    help="Output path for the iqfile sink (default iqdata.bin)")
     p.add_argument("--int-nco", action="store_true",
@@ -187,6 +189,7 @@ def args_to_config(args: argparse.Namespace) -> SimConfig:
     cfg.parity_exact = not args.no_parity_exact
     cfg.realtime = args.realtime
     cfg.out_file = args.out_file
+    cfg.tcp_addr = args.tcp_addr
     cfg.tx_gain = args.gain
     cfg.tx_amplifier = args.amplifier
     cfg.use_ftp = args.use_ftp
@@ -259,6 +262,30 @@ def main(argv: list[str] | None = None) -> int:
     if args.resume:
         from .checkpoint import load_checkpoint
 
+        # Scenario-affecting flags are ignored on --resume (the checkpoint
+        # carries the full SimConfig); surface that instead of silently
+        # dropping them (ADVICE r1).
+        ignored = [
+            name
+            for name, dest in (
+                ("-e/--nav-file", "nav_file"), ("-l/--geo-loc", "geo_loc"),
+                ("-s/--start", "start"), ("-d/--duration", "duration"),
+                ("-t/--target", "target"), ("-m/--motion", "motion"),
+                ("-r/--radio", "radio"), ("--sample-rate", "sample_rate"),
+                ("-I/--disable-iono", "disable_iono"),
+                ("--disable-almanac", "disable_almanac"),
+                ("--iq16", "iq16"), ("--int-nco", "int_nco"),
+                ("--backend", "backend"), ("-p/--ppb", "ppb"),
+                ("-g/--gain", "gain"), ("--out-file", "out_file"),
+            )
+            if getattr(args, dest) != parser.get_default(dest)
+        ]
+        if ignored:
+            print(
+                "warning: --resume restores the checkpoint's scenario; "
+                f"ignoring: {', '.join(ignored)}",
+                file=sys.stderr,
+            )
         cfg, sim = load_checkpoint(args.resume)
         if args.checkpoint:
             cfg.checkpoint_file = args.checkpoint

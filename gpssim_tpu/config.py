@@ -101,6 +101,7 @@ class SimConfig:
     sink: str = "iqfile"
     out_file: str = "iqdata.bin"
     fifo_depth: int = 8
+    tcp_addr: str = "127.0.0.1:4729"  # --radio tcp destination
     realtime: bool = False  # pace output at wall-clock rate (TX use case)
 
     @property

@@ -20,7 +20,7 @@ from .atmosphere import IonoUtc
 from .cacode import ca_table
 from .constants import LAMBDA_L1, MAX_CHAN, MAX_SAT, N_DWRD
 from .gpstime import GpsTime
-from .navmsg import eph2sbf, generate_nav_msg
+from .navmsg import eph2sbf, generate_nav_msg, validate_frame
 from .orbits import EphemerisSet, check_sat_visibility
 from .ranging import compute_range
 
@@ -106,6 +106,15 @@ class ChannelTable:
                         c.g0, c.ipage = generate_nav_msg(
                             grx, c.sbf, c.dwrd, c.ipage, init=True
                         )
+                        # Unconditional parity self-check on every built
+                        # frame, like the reference's validate_parityN run
+                        # from computeChecksum (gps.c:926-1001, 1070).
+                        bad = validate_frame(c.dwrd)
+                        if bad:
+                            raise RuntimeError(
+                                f"PRN{c.prn}: nav parity check failed at "
+                                f"words {bad} after allocation"
+                            )
 
                         rho = compute_range(
                             eph, ionoutc, grx.week, grx.sec, xyz, np.array([sv])

@@ -76,3 +76,14 @@ class BlockFifo:
     def depth_used(self) -> int:
         with self._lock:
             return len(self._q)
+
+    @property
+    def halted(self) -> bool:
+        with self._lock:
+            return self._halted
+
+    def empty_and_live(self) -> bool:
+        """Queue empty while the stream is still live — the underrun
+        condition for a paced consumer (see TcpSink)."""
+        with self._lock:
+            return not self._q and not self._halted

@@ -57,6 +57,27 @@ def _load():
         lib.gquantize_16to8.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
         ]
+        lib.gstream_open.restype = ctypes.c_void_p
+        lib.gstream_open.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_long,
+            ctypes.c_double, ctypes.c_double,
+        ]
+        lib.gstream_write.restype = ctypes.c_int
+        lib.gstream_write.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ]
+        lib.gstream_depth_used.restype = ctypes.c_int
+        lib.gstream_depth_used.argtypes = [ctypes.c_void_p]
+        lib.gstream_bytes_sent.restype = ctypes.c_longlong
+        lib.gstream_bytes_sent.argtypes = [ctypes.c_void_p]
+        lib.gstream_underruns.restype = ctypes.c_long
+        lib.gstream_underruns.argtypes = [ctypes.c_void_p]
+        lib.gstream_started.restype = ctypes.c_int
+        lib.gstream_started.argtypes = [ctypes.c_void_p]
+        lib.gstream_finish.restype = ctypes.c_int
+        lib.gstream_finish.argtypes = [ctypes.c_void_p]
+        lib.gstream_close.restype = ctypes.c_int
+        lib.gstream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -126,4 +147,66 @@ class NativeIqWriter:
             self._h = None
             if rc != 0:
                 raise OSError(f"native writer close failed (rc={rc})")
+        return 0
+
+
+class NativeStreamer:
+    """Realtime TX streamer over a file descriptor (socket/pipe).
+
+    The native drain thread implements the reference's TX contract: the
+    start-full FIFO barrier (fifo.c:97-103, sdr_iqfile.c:74), pacing at
+    the DAC byte rate, and underrun accounting (see Streamer in
+    native/gpssim_native.cc). ``fd`` is borrowed — the caller keeps the
+    socket object alive and closes it after ``close()``."""
+
+    def __init__(self, fd: int, fifo_depth: int = 8,
+                 block_bytes: int = 1_200_000, bytes_per_sec: float = 0.0,
+                 start_timeout_s: float = 30.0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native runtime unavailable: {_load_error}")
+        self._lib = lib
+        self._h = lib.gstream_open(
+            int(fd), int(fifo_depth), int(block_bytes),
+            float(bytes_per_sec), float(start_timeout_s),
+        )
+        if not self._h:
+            raise OSError("cannot start native streamer")
+
+    def write(self, block: np.ndarray) -> None:
+        buf = np.ascontiguousarray(block)
+        ok = self._lib.gstream_write(
+            self._h, buf.ctypes.data_as(ctypes.c_void_p), buf.nbytes
+        )
+        if not ok:
+            raise OSError("native streamer failed (peer closed or halted)")
+
+    @property
+    def depth_used(self) -> int:
+        return self._lib.gstream_depth_used(self._h)
+
+    @property
+    def bytes_sent(self) -> int:
+        return self._lib.gstream_bytes_sent(self._h)
+
+    @property
+    def underruns(self) -> int:
+        return self._lib.gstream_underruns(self._h)
+
+    @property
+    def started(self) -> bool:
+        return bool(self._lib.gstream_started(self._h))
+
+    def close(self) -> int:
+        if self._h:
+            # Flush first (paced drain of queued blocks), snapshot the
+            # final stats, then free the native handle.
+            rc = self._lib.gstream_finish(self._h)
+            self.final_bytes_sent = self._lib.gstream_bytes_sent(self._h)
+            self.final_underruns = self._lib.gstream_underruns(self._h)
+            self.final_started = bool(self._lib.gstream_started(self._h))
+            self._lib.gstream_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise OSError(f"native streamer close failed (rc={rc})")
         return 0

@@ -149,6 +149,159 @@ class IqFileSink(Sink):
         self._check_writer()
 
 
+class TcpSink(Sink):
+    """Realtime network TX over a TCP connection (loopback or LAN).
+
+    The streaming analog of a radio backend for rigs without an SDR: IQ
+    blocks enter a bounded FIFO and a drain thread transmits them at the
+    DAC byte rate, honoring the reference's TX contract — the start-full
+    FIFO barrier before the first byte (fifo.c:97-103, sdr_iqfile.c:74),
+    backpressure through blocking acquire, and underrun accounting (a
+    block due while the FIFO is empty means the radio would have
+    starved). Native engine when the C++ runtime is built; a pure-Python
+    thread otherwise.
+    """
+
+    name = "tcp"
+
+    def __init__(self, addr: str = "127.0.0.1:4729", fifo_depth: int = 8,
+                 pace: bool = True, engine: str = "auto",
+                 start_timeout_s: float = 30.0):
+        self.addr = addr
+        self.fifo_depth = fifo_depth
+        self.pace = pace
+        self.engine = engine
+        self.start_timeout_s = start_timeout_s
+        self.fifo = BlockFifo(fifo_depth)
+        self._native = None
+        self._sock = None
+        self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
+        self._started = threading.Event()
+        self._py_underruns = 0
+        self._py_bytes = 0
+
+    # -- byte rate: sample_rate * 2 values/sample * bytes/value ----------
+    @staticmethod
+    def _bytes_per_sec(cfg) -> float:
+        if cfg is None:
+            return 0.0
+        return float(cfg.sample_rate) * 2.0 * (cfg.sample_format.value // 8)
+
+    def init(self, cfg=None) -> None:
+        import socket
+
+        host, _, port = self.addr.rpartition(":")
+        self._sock = socket.create_connection((host or "127.0.0.1",
+                                               int(port)), timeout=10)
+        bps = self._bytes_per_sec(cfg) if self.pace else 0.0
+        block_bytes = 1_200_000
+        if cfg is not None:
+            block_bytes = max(
+                2 * cfg.samples_per_epoch * (cfg.sample_format.value // 8), 2
+            )
+        if self.engine in ("auto", "native"):
+            from . import native
+
+            if native.available():
+                self._native = native.NativeStreamer(
+                    self._sock.fileno(), fifo_depth=self.fifo_depth,
+                    block_bytes=block_bytes, bytes_per_sec=bps,
+                    start_timeout_s=self.start_timeout_s,
+                )
+                return
+            if self.engine == "native":
+                raise RuntimeError(
+                    f"native runtime unavailable: {native.load_error()}"
+                )
+        self._bps = bps
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    def _drain(self) -> None:
+        import time
+
+        try:
+            self.fifo.wait_full(timeout=self.start_timeout_s)
+            self._started.set()
+            t0 = time.perf_counter()
+            while True:
+                if self._bps > 0:
+                    due = t0 + self._py_bytes / self._bps
+                    now = time.perf_counter()
+                    if due > now:
+                        time.sleep(due - now)
+                    if self.fifo.empty_and_live():
+                        self._py_underruns += 1
+                block = self.fifo.dequeue()
+                if block is None:
+                    return
+                data = block.tobytes()
+                self._sock.sendall(data)
+                self._py_bytes += len(data)
+        except BaseException as e:
+            self._error = e
+            self.fifo.halt()
+
+    def write(self, block: np.ndarray) -> None:
+        if self._native is not None:
+            self._native.write(block)
+            return
+        if self._error is not None:
+            raise RuntimeError(
+                f"tcp streamer failed: {self._error}"
+            ) from self._error
+        if not self.fifo.enqueue(np.asarray(block)):
+            raise RuntimeError("tcp streamer halted")
+
+    @property
+    def underruns(self) -> int:
+        if self._native is not None:
+            return self._native.underruns
+        return self._py_underruns
+
+    @property
+    def started(self) -> bool:
+        if self._native is not None:
+            return self._native.started
+        return self._started.is_set()
+
+    @property
+    def bytes_sent(self) -> int:
+        if self._native is not None:
+            return self._native.bytes_sent
+        return self._py_bytes
+
+    def close(self) -> None:
+        if self._native is not None:
+            try:
+                self._native.close()  # flushes at the paced rate
+                # Preserve final stats — the runner closes the sink, and
+                # callers read underruns/bytes_sent afterwards.
+                self._py_bytes = self._native.final_bytes_sent
+                self._py_underruns = self._native.final_underruns
+                if self._native.final_started:
+                    self._started.set()
+            finally:
+                self._native = None
+                if self._sock is not None:
+                    self._sock.close()
+                    self._sock = None
+            return
+        if self._thread is not None:
+            # Let the drain finish the queue, then halt.
+            import time
+
+            while self.fifo.depth_used and self._thread.is_alive():
+                time.sleep(0.001)
+            self.fifo.halt()
+            self._thread.join(timeout=10)
+            self._thread = None
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None
+
+
 class HackRfSink(Sink):
     """HackRF TX backend (reference sdr_hackrf.c) minus libusb.
 
@@ -168,7 +321,11 @@ class HackRfSink(Sink):
 
     def __init__(self, device=None):
         self.device = device
-        self._stage = np.empty(0, dtype=np.int8)
+        # Preallocated transfer staging: blocks copy into the ring once
+        # and each full transfer is a zero-copy slice — no O(n^2)
+        # concatenate churn in the realtime TX path (ADVICE r1).
+        self._buf = np.empty(self.transfer_size, dtype=np.int8)
+        self._fill = 0
 
     def init(self, cfg=None) -> None:
         if self.device is None:
@@ -180,18 +337,27 @@ class HackRfSink(Sink):
     def write(self, block: np.ndarray) -> None:
         if self.device is None:
             raise RuntimeError("hackrf sink has no device")
-        self._stage = np.concatenate(
-            [self._stage, np.asarray(block, dtype=np.int8)]
-        )
+        block = np.asarray(block, dtype=np.int8).ravel()
         n = self.transfer_size
-        while len(self._stage) >= n:
-            self.device(self._stage[:n])
-            self._stage = self._stage[n:]
+        pos = 0
+        while pos < len(block):
+            take = min(len(block) - pos, n - self._fill)
+            self._buf[self._fill : self._fill + take] = block[
+                pos : pos + take
+            ]
+            self._fill += take
+            pos += take
+            if self._fill >= n:
+                # Hand out a stable per-transfer buffer (the libusb
+                # transfer owns its memory in the reference); one copy per
+                # transfer, no quadratic restaging.
+                self.device(self._buf[:n].copy())
+                self._fill = 0
 
     def close(self) -> None:
         # The reference transmits whole transfer buffers only; a trailing
         # partial buffer is dropped exactly like its fifo remainder.
-        self._stage = np.empty(0, dtype=np.int8)
+        self._fill = 0
 
     def set_gain(self, gain: int) -> int:
         return max(0, min(47, gain))
@@ -233,6 +399,7 @@ _REGISTRY: dict[str, Callable[..., Sink]] = {
     "none": NullSink,
     "null": NullSink,
     "iqfile": IqFileSink,
+    "tcp": TcpSink,
     "hackrf": HackRfSink,
     "plutosdr": PlutoSink,
 }
@@ -260,6 +427,9 @@ def make_configured_sink(cfg) -> Sink:
     kwargs = {}
     if cfg.sink == "iqfile":
         kwargs = {"path": cfg.out_file, "fifo_depth": cfg.fifo_depth}
+    elif cfg.sink == "tcp":
+        kwargs = {"addr": cfg.tcp_addr, "fifo_depth": cfg.fifo_depth,
+                  "pace": cfg.realtime}
     sink = make_sink(cfg.sink, **kwargs)
     if sink.gain_range is not None:
         cfg.tx_gain = sink.set_gain(cfg.tx_gain)

@@ -113,18 +113,21 @@ def args_from_arrays(
     """
     act = np.asarray(active)
     step = f_code * delt  # chips / sample, f64 (exactly as C forms it)
-    assert np.all(
-        np.where(act, step, 0.0) * num_samples < (1 << 17)
-    ), "block too long"
+    # Real exceptions, not asserts: these invariants guard against silent
+    # output corruption (wrong chips / data bits) and must survive
+    # ``python -O`` (ADVICE r1).
+    if not np.all(np.where(act, step, 0.0) * num_samples < (1 << 17)):
+        raise ValueError("block too long for the Q46 code-phase range")
     # A 128-lane row must stay inside its pre-shifted chip window:
     # 64 chips (2 words) on the fast path, 128 chips (4 words) when
     # needs_wide_window(delt) — which supports rates down to ~1.03 Msps
     # (one sample per chip; below that the C/A code is undersampled).
     limit = 127.0 if needs_wide_window(delt) else 63.0
-    assert np.all(np.where(act, step, 0.0) * (LANES - 1) < limit), (
-        "sample rate too low even for the 128-chip row window "
-        "(minimum ~1.03 Msps)"
-    )
+    if not np.all(np.where(act, step, 0.0) * (LANES - 1) < limit):
+        raise ValueError(
+            "sample rate too low even for the 128-chip row window "
+            "(minimum ~1.03 Msps)"
+        )
 
     code0_q = np.rint(code_phase * (1 << _Q_CODE)).astype(np.int64)
     cstep_q = np.rint(step * (1 << _Q_CODE)).astype(np.int64)
@@ -177,11 +180,17 @@ def args_from_arrays(
                      // CA_SEQ_LEN, 0)
         )
     )
-    assert np.all((tcu0 + wraps_max + 1) // 20 - bidx0 <= 7), (
-        "data-bit window overflow: block too long for the 8-bit window"
-    )
+    if not np.all((tcu0 + wraps_max + 1) // 20 - bidx0 <= 7):
+        raise ValueError(
+            "data-bit window overflow: block too long for the 8-bit window"
+        )
     bidx = bidx0[..., None] + np.arange(8, dtype=np.int64)  # (..., C, 8)
-    iw = np.minimum(bidx // 30, 59)  # defensive clamp (see navmsg notes)
+    iw = bidx // 30
+    # A block never legitimately reads past word 59 (the window invariant
+    # above bounds bidx); raise instead of clamping wrong bits in.
+    if int(np.max(np.where(act[..., None], iw, 0))) > 59:
+        raise ValueError("data-bit index past the 60-word nav buffer")
+    iw = np.minimum(iw, 59)  # keep inactive-slot lanes in range
     ib = bidx - (bidx // 30) * 30
     wsel = np.take_along_axis(dwrd.astype(np.int64), iw, axis=-1)
     bits = (wsel >> (29 - ib)) & 1

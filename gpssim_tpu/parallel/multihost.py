@@ -64,10 +64,11 @@ def global_mesh(chan_shards: int = 1) -> Mesh:
     """
     devices = np.asarray(jax.devices())
     n_local = len(jax.local_devices())
-    assert n_local % chan_shards == 0, (
-        f"chan_shards={chan_shards} must divide local devices {n_local} "
-        "so the psum stays on ICI"
-    )
+    if n_local % chan_shards != 0:
+        raise ValueError(
+            f"chan_shards={chan_shards} must divide local devices {n_local} "
+            "so the psum stays on ICI"
+        )
     return Mesh(
         devices.reshape(devices.size // chan_shards, chan_shards),
         ("blocks", "chan"),
@@ -80,7 +81,11 @@ def process_block_slice(n_blocks: int, mesh: Mesh) -> slice:
     n_blocks must be padded to a multiple of the mesh blocks dimension
     (see shard.pad_batch)."""
     blocks_dim = mesh.shape["blocks"]
-    assert n_blocks % blocks_dim == 0
+    if n_blocks % blocks_dim != 0:
+        raise ValueError(
+            f"n_blocks={n_blocks} must be padded to a multiple of the mesh "
+            f"blocks dimension {blocks_dim} (shard.pad_batch)"
+        )
     per_shard = n_blocks // blocks_dim
     # Rows of the mesh owned by this process, in device order.
     pid = jax.process_index()
@@ -89,9 +94,8 @@ def process_block_slice(n_blocks: int, mesh: Mesh) -> slice:
         for i in range(blocks_dim)
         if mesh.devices[i, 0].process_index == pid
     ]
-    assert rows == list(range(rows[0], rows[0] + len(rows))), (
-        "process's mesh rows must be contiguous"
-    )
+    if rows != list(range(rows[0], rows[0] + len(rows))):
+        raise ValueError("process's mesh rows must be contiguous")
     return slice(rows[0] * per_shard, (rows[-1] + 1) * per_shard)
 
 
@@ -143,7 +147,11 @@ def synthesize_multihost(
     local = np.concatenate(
         [np.asarray(uniq[k].data) for k in sorted(uniq)], axis=0
     )
-    assert local.shape[0] == sl.stop - sl.start
+    if local.shape[0] != sl.stop - sl.start:
+        raise RuntimeError(
+            f"assembled {local.shape[0]} local blocks, process slice "
+            f"expects {sl.stop - sl.start}"
+        )
     return local, sl
 
 
@@ -227,10 +235,11 @@ def merge_parts(out_file: str, n_parts: int) -> str:
         blk = 2 * idx["samples_per_block"]
         data = np.fromfile(part, dtype=dtype)
         n_idx = sum(hi - lo for lo, hi in idx["ranges"])
-        assert data.size == n_idx * blk, (
-            f"{part}: {data.size} values on disk, index claims {n_idx} "
-            "blocks (truncated part file?)"
-        )
+        if data.size != n_idx * blk:
+            raise ValueError(
+                f"{part}: {data.size} values on disk, index claims {n_idx} "
+                "blocks (truncated part file?)"
+            )
         data = data.reshape(-1, blk)
         pos = 0
         for lo, hi in idx["ranges"]:
@@ -240,11 +249,13 @@ def merge_parts(out_file: str, n_parts: int) -> str:
     with open(out_file, "wb") as fp:
         expect = 0
         for lo, d in segs:
-            assert lo == expect, f"gap at block {expect}"
+            if lo != expect:
+                raise ValueError(f"gap at block {expect}")
             d.tofile(fp)
             expect = lo + d.shape[0]
-    assert expect == total_blocks, (
-        f"stream ends at block {expect}, scenario has {total_blocks} "
-        "(missing trailing part data)"
-    )
+    if expect != total_blocks:
+        raise ValueError(
+            f"stream ends at block {expect}, scenario has {total_blocks} "
+            "(missing trailing part data)"
+        )
     return out_file

@@ -32,10 +32,30 @@ class RunStats:
         return (self.blocks * 0.1) / self.wall_seconds if self.wall_seconds else 0.0
 
 
+def strict_parity_enabled(cfg: SimConfig) -> bool:
+    """Whether output must replay the reference's sequential-f64 phase
+    semantics exactly (parity_exact + the native engine present)."""
+    if not cfg.parity_exact:
+        return False
+    from .ops.synth_seq import seq_available
+
+    return seq_available()
+
+
 def make_synth_fn(cfg: SimConfig):
-    """Resolve the block synthesizer for the configured backend."""
+    """Resolve the block synthesizer for the configured backend.
+
+    Under strict parity the closed-form output of every backend is patched
+    with the sparse sequential corrections (ops/synth_seq.py), so the
+    written stream is bit-exact vs the reference in every configuration.
+    """
     int_nco = cfg.carrier_mode is CarrierMode.INT_NCO
+    strict = strict_parity_enabled(cfg)
     if cfg.backend is SynthBackend.NUMPY:
+        if strict:
+            from .ops.synth_seq import synth_block_seq
+
+            return lambda plan: synth_block_seq(plan, int_nco=int_nco)
         return lambda plan: synth_block_numpy(plan, int_nco=int_nco)
     if cfg.backend in (SynthBackend.JAX, SynthBackend.PALLAS):
         from .ops.synth_jax import JaxBlockSynth
@@ -46,6 +66,15 @@ def make_synth_fn(cfg: SimConfig):
             int_nco=int_nco,
             use_pallas=cfg.backend is SynthBackend.PALLAS,
         )
+        if strict:
+            from .ops.synth_seq import apply_corrections, seq_corrections
+
+            def patched(plan):
+                iq16 = np.asarray(synth(plan))
+                idx, i16, q16, _, _ = seq_corrections(plan, int_nco=int_nco)
+                return apply_corrections(iq16, 16, idx, i16, q16)
+
+            return patched
         return synth
     raise ValueError(f"unknown backend {cfg.backend}")
 
@@ -75,14 +104,15 @@ def run_simulation(
     sink.init(cfg)
 
     # Device backends run the pipelined batched path. Realtime/interactive
-    # runs cap the dispatch window at the FIFO depth: the producer runs at
-    # most fifo_depth blocks (0.1 s each) ahead — exactly the reference's
-    # 8-buffer pipeline latency (sdr.h:24) — so live position edits take
-    # effect within the same bound.
+    # runs cap the dispatch window at HALF the FIFO depth: with 2 batches
+    # in flight the producer then runs at most fifo_depth blocks (0.1 s
+    # each) ahead of written output — the reference's 8-buffer pipeline
+    # latency (sdr.h:24) — so live position edits take effect within the
+    # same bound.
     if cfg.backend is not SynthBackend.NUMPY and cfg.dispatch_blocks > 1:
         window = cfg.dispatch_blocks
         if cfg.realtime or cfg.interactive:
-            window = max(1, min(window, cfg.fifo_depth))
+            window = max(1, min(window, cfg.fifo_depth // 2))
         if window > 1:
             return _run_batched(cfg, sink, sim, on_block, stop, window)
 
@@ -152,6 +182,9 @@ def _run_batched(
     n_rows = -(-cfg.samples_per_epoch // LANES)
     bits = cfg.sample_format.value
     W = window if window is not None else cfg.dispatch_blocks
+    strict = strict_parity_enabled(cfg)
+    if strict:
+        from .ops.synth_seq import apply_corrections, seq_corrections
 
     from .checkpoint import capture_state
 
@@ -162,6 +195,7 @@ def _run_batched(
     # Nothing written yet: a checkpoint taken before the first batch
     # drains must capture the pre-run state, not planner-ahead state.
     sim.consistent_snapshot = capture_state(sim)
+    any_full = False  # a W-sized kernel shape has been compiled
     try:
         while True:
             ts = time.perf_counter()
@@ -169,7 +203,15 @@ def _run_batched(
             tp = time.perf_counter()
             stats.plan_seconds += tp - ts
             if plans:
-                batch = collate_plans(plans, int_nco=int_nco)
+                # Pad a short tail batch up to the already-compiled W
+                # shape: a different batch size would recompile mid-run
+                # (minutes through a remote compile service — fatal for
+                # realtime). Padding blocks are synthesized and dropped.
+                padded = plans
+                if any_full and len(plans) < W:
+                    padded = plans + [plans[-1]] * (W - len(plans))
+                any_full = any_full or len(padded) == W
+                batch = collate_plans(padded, int_nco=int_nco)
 
                 def dispatch(b=batch):
                     return kernel(
@@ -204,7 +246,13 @@ def _run_batched(
                     stats.retries += 1
                     host = np.asarray(jax.device_get(redispatch()))
                 for i, plan in enumerate(done_plans):
-                    sink.write(host[i])
+                    blk = host[i]
+                    if strict:
+                        idx, i16, q16, _, _ = seq_corrections(
+                            plan, int_nco=int_nco
+                        )
+                        blk = apply_corrections(blk, bits, idx, i16, q16)
+                    sink.write(blk)
                     stats.blocks += 1
                     stats.samples += plan.num_samples
                 stats.wall_seconds = time.perf_counter() - t0

@@ -181,6 +181,17 @@ class Simulation:
 
         self.delt = 1.0 / float(cfg.sample_rate)
         self.num_samples = cfg.samples_per_epoch
+
+        # Strict sequential-parity chaining: carry block-boundary carrier
+        # phase with the reference's per-sample f64 accumulation semantics
+        # (gps.c:2820-2826) via the native replay engine.  Integer-NCO mode
+        # is exact either way; without the native library the closed-form
+        # chain (round-1 contract) is used.
+        self.seq_chain = False
+        if cfg.parity_exact and cfg.carrier_mode is CarrierMode.FLOAT:
+            from .ops.synth_seq import seq_available
+
+            self.seq_chain = seq_available()
         self.grx = inc_gps_time(self.grx, 0.1)
         self._iumd = 1
         self._xyz_prev = self._xyz_at(0)
@@ -312,7 +323,14 @@ class Simulation:
 
         # Advance the carried carrier phase to the end of this block.
         if cfg.carrier_mode is CarrierMode.FLOAT:
-            end_phase = plan.end_carr_phase()
+            if self.seq_chain:
+                from .ops.synth_seq import carrier_chain
+
+                end_phase = carrier_chain(
+                    carr0, f_carr[None, :], self.num_samples, self.delt
+                )[1]
+            else:
+                end_phase = plan.end_carr_phase()
             for slot in slots:
                 self.channels.chan[slot].carr_phase = float(end_phase[slot])
         else:
@@ -336,17 +354,17 @@ class Simulation:
                     ch.g0, ch.ipage = generate_nav_msg(
                         grx, ch.sbf, ch.dwrd, ch.ipage, init=False
                     )
-                    if cfg.verbose:
-                        # Runtime parity self-check on every regenerated
-                        # frame (reference validate_parityN, gps.c:926-1001).
-                        bad = validate_frame(ch.dwrd)
-                        if bad:
-                            import warnings
-
-                            warnings.warn(
-                                f"PRN{ch.prn}: nav parity check failed at "
-                                f"words {bad}"
-                            )
+                    # Unconditional runtime parity self-check on every
+                    # regenerated frame — the reference validates every
+                    # emitted word (validate_parityN from computeChecksum,
+                    # gps.c:926-1001, 1070). Corrupt nav bits must never
+                    # reach the output stream.
+                    bad = validate_frame(ch.dwrd)
+                    if bad:
+                        raise RuntimeError(
+                            f"PRN{ch.prn}: nav parity check failed at "
+                            f"words {bad}"
+                        )
 
             # Advance the ephemeris set when the next toc comes within 1 h;
             # the reference checks only the first valid SV of the next set.
@@ -466,26 +484,36 @@ class Simulation:
                 np.where(x >= 0.0, np.floor(x + 0.5), np.ceil(x - 0.5))
             )
 
-            # Carrier phase chained sequentially in f64 — the exact
-            # end_carr_phase recurrence, not a cumsum (rounding differs).
+            # Carrier phase chained across the window's blocks.  In strict
+            # parity mode the chain replays the reference's per-sample f64
+            # accumulation (native engine); otherwise the closed-form
+            # end_carr_phase recurrence (not a cumsum — rounding differs).
             cstart = np.empty((K, S))
             cstart_i = np.empty((K, S), dtype=np.uint32)
             cp = np.array([c.carr_phase for c in chans], dtype=np.float64)
             cpi = np.array(
                 [c.carr_phase_i & 0xFFFFFFFF for c in chans], dtype=np.uint64
             )
-            for j in range(K):
-                cstart[j] = cp
-                cstart_i[j] = cpi.astype(np.uint32)
-                if cfg.carrier_mode is CarrierMode.FLOAT:
-                    c = cp + self.num_samples * (fc[j] * self.delt)
-                    cp = c - np.floor(c)
-                else:
-                    cpi = (
-                        cpi
-                        + np.uint64(self.num_samples)
-                        * stp[j].astype(np.int64).astype(np.uint64)
-                    ) & np.uint64(0xFFFFFFFF)
+            if cfg.carrier_mode is CarrierMode.FLOAT and self.seq_chain:
+                from .ops.synth_seq import carrier_chain
+
+                chain = carrier_chain(cp, fc, self.num_samples, self.delt)
+                cstart[:] = chain[:K]
+                cp = chain[K]
+                cstart_i[:] = cpi.astype(np.uint32)[None, :]
+            else:
+                for j in range(K):
+                    cstart[j] = cp
+                    cstart_i[j] = cpi.astype(np.uint32)
+                    if cfg.carrier_mode is CarrierMode.FLOAT:
+                        c = cp + self.num_samples * (fc[j] * self.delt)
+                        cp = c - np.floor(c)
+                    else:
+                        cpi = (
+                            cpi
+                            + np.uint64(self.num_samples)
+                            * stp[j].astype(np.int64).astype(np.uint64)
+                        ) & np.uint64(0xFFFFFFFF)
 
             # Signal gain: path loss x antenna pattern (gps.c:2748-2763).
             path_loss = PATH_LOSS_NUMERATOR / rho.d

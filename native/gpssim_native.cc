@@ -12,6 +12,8 @@
 // Build: tools/build_native.sh  (g++ -O3 -shared -fPIC)
 
 #include <atomic>
+#include <cerrno>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -19,6 +21,7 @@
 #include <deque>
 #include <mutex>
 #include <thread>
+#include <unistd.h>
 #include <vector>
 
 namespace {
@@ -113,6 +116,11 @@ struct Fifo {
     std::unique_lock<std::mutex> lk(mu);
     return static_cast<int>(q.size());
   }
+
+  bool empty_and_live() {
+    std::unique_lock<std::mutex> lk(mu);
+    return q.empty() && !halted;
+  }
 };
 
 // ---------------------------------------------------------------------------
@@ -174,6 +182,229 @@ struct Writer {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Realtime TX streamer: FIFO + paced drain thread over a file descriptor
+// (socket, pipe, character device).
+//
+// Implements the reference's TX contract that the file sink skips:
+//   * start-full barrier — transmission begins only once the FIFO has
+//     filled once (fifo_wait_full, fifo.c:97-103; sdr_iqfile.c:74), so the
+//     pre-buffer absorbs producer jitter from sample zero;
+//   * hardware pacing — blocks leave at the sample rate (the role the
+//     SDR's DAC clock plays in sdr_hackrf.c/sdr_pluto.c);
+//   * underrun accounting — a block whose transmit time arrives while the
+//     FIFO is empty is an underrun (the radio would have starved).
+// ---------------------------------------------------------------------------
+struct Streamer {
+  Streamer(int fd, int nbuf, long block_bytes, double bytes_per_sec,
+           double start_timeout_s)
+      : fifo(nbuf, block_bytes), fd(fd), bytes_per_sec(bytes_per_sec),
+        start_timeout_s(start_timeout_s) {
+    th = std::thread(&Streamer::drain, this);
+  }
+
+  Fifo fifo;
+  int fd;
+  double bytes_per_sec;   // 0 = unpaced (drain as fast as the fd accepts)
+  double start_timeout_s;
+  std::thread th;
+  std::atomic<long long> bytes_sent{0};
+  std::atomic<long> underruns{0};
+  std::atomic<bool> io_error{false};
+  std::atomic<bool> started{false};
+
+  void drain() {
+    // Start barrier: no byte leaves until the FIFO has filled once (or
+    // the producer finished early / halted).
+    fifo.wait_full(start_timeout_s);
+    started = true;
+    auto t0 = std::chrono::steady_clock::now();
+    for (;;) {
+      if (bytes_per_sec > 0.0) {
+        // This block is due when every byte before it has left at the
+        // DAC rate; a due-but-empty FIFO is an underrun.
+        auto due = t0 + std::chrono::duration_cast<
+                            std::chrono::steady_clock::duration>(
+                            std::chrono::duration<double>(
+                                bytes_sent.load() / bytes_per_sec));
+        std::this_thread::sleep_until(due);
+        if (fifo.empty_and_live()) ++underruns;
+      }
+      long n = 0;
+      uint8_t* buf = fifo.dequeue(&n);
+      if (!buf) return;  // halted and drained
+      const uint8_t* p = buf;
+      while (n > 0 && !io_error) {
+        ssize_t w = ::write(fd, p, static_cast<size_t>(n));
+        if (w < 0) {
+          if (errno == EINTR) continue;
+          io_error = true;
+          break;
+        }
+        p += w;
+        n -= static_cast<long>(w);
+        bytes_sent += static_cast<long long>(w);
+      }
+      fifo.release(buf);
+      if (io_error) {
+        // Nobody is reading: halt so the producer unblocks with an error
+        // instead of deadlocking on acquire.
+        fifo.halt();
+        return;
+      }
+    }
+  }
+
+  bool write(const uint8_t* data, long nbytes) {
+    while (nbytes > 0) {
+      uint8_t* buf = fifo.acquire();
+      if (!buf) return false;
+      long n = nbytes < fifo.block_bytes ? nbytes : fifo.block_bytes;
+      std::memcpy(buf, data, static_cast<size_t>(n));
+      if (!fifo.enqueue(buf, n)) return false;
+      data += n;
+      nbytes -= n;
+    }
+    return !io_error;
+  }
+
+  // Halt and flush (the drain sends queued blocks at the paced rate);
+  // idempotent, stats remain readable afterwards.
+  int finish() {
+    fifo.halt();
+    if (th.joinable()) th.join();
+    return io_error ? -2 : 0;
+  }
+
+  ~Streamer() { finish(); }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Sequential-parity engine.
+//
+// The reference advances each channel's code/carrier phase by repeated
+// float64 accumulation inside the sample loop (gps.c:2789 `code_phase +=
+// f_code*delt`, gps.c:2820 carrier), while the TPU framework uses the
+// closed form `phase0 + n*step` (ops/plan.py) so blocks parallelize.  The
+// two differ by a random-walk of rounding error — bounded by N half-ulps —
+// and a sample whose phase lands inside that band around a chip/LUT
+// boundary can quantize differently.  These helpers replay the *sequential*
+// recurrences exactly (same IEEE-754 ops, no FMA contraction — see
+// tools/build_native.sh) so the framework can
+//   (a) chain block-boundary carrier phases with reference semantics
+//       (gseq_carr_chain), and
+//   (b) turn any closed-form block output into the sequential-exact stream
+//       by patching the sparse set of boundary-straddling samples
+//       (gseq_diff_block): it screens each sample's distance to the nearest
+//       quantization boundary against a rigorous error bound and fully
+//       evaluates only the ~0-2 candidates per block.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr double kCaLen = 1023.0;
+// Screening margins (chips / LUT-index units).  Worst-case sequential-vs-
+// closed-form divergence over a block: N adds, each rounding by at most
+// half an ulp of the running value (code phase < 1024 → ulp ≤ 2^-43;
+// carrier in [0,1) → ulp ≤ 2^-52), plus the closed form's two roundings:
+//   code:    N*2^-43 ≈ 1.1e-7 chips                      (N = 1e6)
+//   carrier: (N*2^-53 + ulp(N*dp))*512 ≈ 6e-8 index units
+// 1e-4 gives ~1000x margin while flagging only ~2e-4 of samples for the
+// (cheap) full evaluation.
+constexpr double kCodeMargin = 1e-4;
+constexpr double kCarrMargin = 1e-4;
+
+struct SeqChan {
+  double cp;        // sequential code phase, chips in [0, 1023)
+  double dc;        // f_code * delt (single rounding, like gps.c:2789)
+  double ph;        // sequential carrier phase, cycles in [0, 1)
+  double dp;        // f_carr * delt
+  uint32_t phi;     // 9.16 integer-NCO phase (int_nco mode; exact, no drift)
+  uint32_t dphi;    // NCO step
+  double cp0, c0;   // closed-form block-start values
+  double gain;
+  long icode, ibit, iword;       // sequential data-bit cascade
+  long iword0, ibit0, icode0;    // block-start counters for the closed form
+  int data_bit;                  // sequential ±1 data bit
+  const int8_t* ca;              // 1023 chips {0,1}
+  const uint32_t* dwrd;          // 60 nav words
+};
+
+// The reference hot loop's per-sample update (gps.c:2789-2829), minus the
+// mixing: advance code phase with the wrap cascade, then carrier phase.
+// Returns false on data-word overflow (invalid plan; Python raises).
+inline bool seq_advance(SeqChan& ch, bool int_nco) {
+  ch.cp += ch.dc;
+  if (ch.cp >= kCaLen) {
+    ch.cp -= kCaLen;
+    if (++ch.icode >= 20) {  // 20 C/A codes = 1 data bit
+      ch.icode = 0;
+      if (++ch.ibit >= 30) {  // 30 bits = 1 word
+        ch.ibit = 0;
+        if (++ch.iword >= 60) return false;
+      }
+      ch.data_bit =
+          static_cast<int>((ch.dwrd[ch.iword] >> (29 - ch.ibit)) & 1u) * 2 - 1;
+    }
+  }
+  if (int_nco) {
+    ch.phi += ch.dphi;
+  } else {
+    ch.ph += ch.dp;
+    if (ch.ph >= 1.0)
+      ch.ph -= 1.0;
+    else if (ch.ph < 0.0)
+      ch.ph += 1.0;
+  }
+  return true;
+}
+
+// Closed-form per-sample indices with the exact numpy elementwise op order
+// (ops/synth_numpy.py): raw = fl(cp0 + fl(n*dc)), wraps = floor(raw/1023),
+// chip = clip(trunc(raw - wraps*1023)), bitpos = (counters+wraps)/20, and
+// itable = clip(floor(frac(fl(c0 + fl(n*dp)))*512)).
+inline bool cf_indices(const SeqChan& ch, long n, bool int_nco, long* chip,
+                       long* itable, int* data_bit) {
+  double raw = ch.cp0 + static_cast<double>(n) * ch.dc;
+  double wrapsf = std::floor(raw / kCaLen);
+  long c = static_cast<long>(raw - wrapsf * kCaLen);
+  if (c < 0) c = 0;
+  if (c > 1022) c = 1022;
+  *chip = c;
+  long total =
+      ch.iword0 * 600 + ch.ibit0 * 20 + ch.icode0 + static_cast<long>(wrapsf);
+  long bitpos = total / 20;
+  long iw = bitpos / 30;
+  long ib = bitpos - iw * 30;
+  if (iw < 0 || iw >= 60) return false;
+  *data_bit = static_cast<int>((ch.dwrd[iw] >> (29 - ib)) & 1u) * 2 - 1;
+  if (int_nco) {
+    // Integer NCO is exact: closed form == sequential by construction.
+    *itable = static_cast<long>((ch.phi >> 16) & 511u);
+  } else {
+    double carr = ch.c0 + static_cast<double>(n) * ch.dp;
+    double frac = carr - std::floor(carr);
+    long it = static_cast<long>(std::floor(frac * 512.0));
+    if (it < 0) it = 0;
+    if (it > 511) it = 511;
+    *itable = it;
+  }
+  return true;
+}
+
+// Mixing contribution of one channel at one sample: the reference computes
+// dataBit*codeCA*LUT (exact small-int product) * gain, truncated to int
+// (gps.c:2781-2782).
+inline void mix_contrib(const SeqChan& ch, long chip, long itable,
+                        int data_bit, const double* sin_lut,
+                        const double* cos_lut, int* ip, int* qp) {
+  double s = static_cast<double>(data_bit * (ch.ca[chip] * 2 - 1));
+  *ip = static_cast<int>(s * cos_lut[itable] * ch.gain);
+  *qp = static_cast<int>(s * sin_lut[itable] * ch.gain);
+}
+
 }  // namespace
 
 extern "C" {
@@ -223,6 +454,258 @@ int gwriter_close(void* w) {
   int rc = wr->close();
   delete wr;
   return rc;
+}
+
+// ---- Realtime TX streamer C ABI ----
+void* gstream_open(int fd, int nbuf, long block_bytes, double bytes_per_sec,
+                   double start_timeout_s) {
+  return new Streamer(fd, nbuf, block_bytes, bytes_per_sec, start_timeout_s);
+}
+int gstream_write(void* s, const void* data, long nbytes) {
+  return static_cast<Streamer*>(s)->write(static_cast<const uint8_t*>(data),
+                                          nbytes);
+}
+int gstream_depth_used(void* s) {
+  return static_cast<Streamer*>(s)->fifo.depth_used();
+}
+long long gstream_bytes_sent(void* s) {
+  return static_cast<Streamer*>(s)->bytes_sent.load();
+}
+long gstream_underruns(void* s) {
+  return static_cast<Streamer*>(s)->underruns.load();
+}
+int gstream_started(void* s) {
+  return static_cast<Streamer*>(s)->started.load();
+}
+// Flush and stop the drain thread; the handle (and its stats) stays valid
+// until gstream_close.
+int gstream_finish(void* s) { return static_cast<Streamer*>(s)->finish(); }
+int gstream_close(void* s) {
+  Streamer* st = static_cast<Streamer*>(s);
+  int rc = st->finish();
+  delete st;
+  return rc;
+}
+
+// ---- Sequential-parity engine ----
+
+// Block-boundary carrier-phase chaining with the reference's sequential
+// float64 semantics (gps.c:2820-2826), for a window of K consecutive
+// 0.1 s blocks with per-block Doppler.  Inactive channels pass f_carr = 0
+// (the add is then exact and the phase carries through unchanged).
+//   carr0:  f64[C]   phase at the window start
+//   f_carr: f64[K*C] per-block Doppler (row-major, block-major)
+//   starts: f64[(K+1)*C] out; row j = phase at the start of block j,
+//           row K = final end-of-window phase.
+void gseq_carr_chain(long C, long K, long N, double delt,
+                     const double* carr0, const double* f_carr,
+                     double* starts) {
+  double ph[64];
+  double dp[64];
+  if (C > 64) return;
+  for (long c = 0; c < C; ++c) ph[c] = carr0[c];
+  for (long j = 0; j < K; ++j) {
+    for (long c = 0; c < C; ++c) {
+      starts[j * C + c] = ph[c];
+      dp[c] = f_carr[j * C + c] * delt;
+    }
+    for (long n = 0; n < N; ++n) {
+      for (long c = 0; c < C; ++c) {
+        double p = ph[c] + dp[c];
+        p = (p >= 1.0) ? p - 1.0 : p;
+        p = (p < 0.0) ? p + 1.0 : p;
+        ph[c] = p;
+      }
+    }
+  }
+  for (long c = 0; c < C; ++c) starts[K * C + c] = ph[c];
+}
+
+// Sparse corrections that turn a closed-form block (numpy/XLA/Pallas
+// semantics, ops/plan.py) into the sequential-exact stream: replays the
+// reference recurrences, screens each sample's distance to the nearest
+// chip/LUT boundary against the rigorous rounding bound, and fully
+// evaluates only flagged candidates.  For each sample where the two
+// semantics produce different I/Q accumulators, writes the sample index
+// and the *sequential* int16 accumulator pair (absolute values, so the
+// patch works after either 16-bit store or 8-bit >>4 quantization).
+//
+// Returns the number of corrections (>= 0), -1 on data-word overflow
+// (invalid plan) or C > 16, -2 if max_out was too small.
+long gseq_diff_block(
+    long C, long N, double delt, int int_nco, const uint8_t* active,
+    const double* code_phase, const double* f_code, const double* carr_phase,
+    const double* f_carr, const uint32_t* carr_phase_i,
+    const int32_t* carr_step_i, const double* gain, const int64_t* iword,
+    const int64_t* ibit, const int64_t* icode, const int8_t* ca,
+    const uint32_t* dwrd, const double* sin_lut, const double* cos_lut,
+    long max_out, int64_t* out_idx, int16_t* out_i, int16_t* out_q,
+    double* end_carr, uint32_t* end_carr_i) {
+  if (C > 16) return -1;
+  SeqChan chs[16];
+  long A = 0;  // active channel count (dense)
+  long slot_of[16];
+  for (long c = 0; c < C; ++c) {
+    end_carr[c] = carr_phase[c];
+    end_carr_i[c] = carr_phase_i[c];
+    if (!active[c]) continue;
+    SeqChan& ch = chs[A];
+    ch.cp = ch.cp0 = code_phase[c];
+    ch.dc = f_code[c] * delt;
+    ch.ph = ch.c0 = carr_phase[c];
+    ch.dp = f_carr[c] * delt;
+    ch.phi = carr_phase_i[c];
+    ch.dphi = static_cast<uint32_t>(carr_step_i[c]);
+    ch.gain = gain[c];
+    ch.iword = ch.iword0 = iword[c];
+    ch.ibit = ch.ibit0 = ibit[c];
+    ch.icode = ch.icode0 = icode[c];
+    if (ch.iword < 0 || ch.iword >= 60) return -1;
+    ch.data_bit =
+        static_cast<int>((dwrd[c * 60 + ch.iword] >> (29 - ch.ibit)) & 1u) *
+            2 - 1;
+    ch.ca = ca + c * 1023;
+    ch.dwrd = dwrd + c * 60;
+    slot_of[A] = c;
+    ++A;
+  }
+
+  long n_out = 0;
+  for (long n = 0; n < N; ++n) {
+    // Cheap screen: can any channel's quantized index differ between the
+    // sequential and closed-form phase at this sample?
+    bool candidate = false;
+    for (long k = 0; k < A; ++k) {
+      const SeqChan& ch = chs[k];
+      double f = ch.cp - static_cast<double>(static_cast<long>(ch.cp));
+      candidate |= (f < kCodeMargin) | (f > 1.0 - kCodeMargin);
+      if (!int_nco) {
+        double x = ch.ph * 512.0;
+        double fx = x - std::floor(x);
+        candidate |= (fx < kCarrMargin) | (fx > 1.0 - kCarrMargin);
+      }
+    }
+    if (candidate) {
+      int ia_s = 0, qa_s = 0, ia_c = 0, qa_c = 0;
+      for (long k = 0; k < A; ++k) {
+        SeqChan& ch = chs[k];
+        // Sequential values at this sample (state as of loop entry).
+        long chip_s = static_cast<long>(ch.cp);
+        long it_s = int_nco
+                        ? static_cast<long>((ch.phi >> 16) & 511u)
+                        : static_cast<long>(std::floor(ch.ph * 512.0));
+        int ip, qp;
+        mix_contrib(ch, chip_s, it_s, ch.data_bit, sin_lut, cos_lut, &ip,
+                    &qp);
+        ia_s += ip;
+        qa_s += qp;
+        long chip_c, it_c;
+        int db_c;
+        if (!cf_indices(ch, n, int_nco != 0, &chip_c, &it_c, &db_c))
+          return -1;
+        mix_contrib(ch, chip_c, it_c, db_c, sin_lut, cos_lut, &ip, &qp);
+        ia_c += ip;
+        qa_c += qp;
+      }
+      if (ia_s != ia_c || qa_s != qa_c) {
+        if (n_out >= max_out) return -2;
+        out_idx[n_out] = n;
+        out_i[n_out] = static_cast<int16_t>(ia_s);
+        out_q[n_out] = static_cast<int16_t>(qa_s);
+        ++n_out;
+      }
+    }
+    for (long k = 0; k < A; ++k) {
+      if (!seq_advance(chs[k], int_nco != 0)) return -1;
+    }
+  }
+
+  for (long k = 0; k < A; ++k) {
+    end_carr[slot_of[k]] = chs[k].ph;
+    end_carr_i[slot_of[k]] = chs[k].phi;
+  }
+  return n_out;
+}
+
+// Full sequential block synthesizer: the reference hot loop
+// (gps.c:2767-2845) replayed natively — per-sample f64 phase accumulation,
+// dataBit*chip*LUT*gain truncation, int accumulate, int16 store (bits=16)
+// or the >>4 int8 quantize (bits=8).  Bit-exact against the reference by
+// construction and ~10x faster than the NumPy parity path, so hour-scale
+// endurance goldens stay tractable on the host.
+//
+// out: int16[2N] when bits==16, int8[2N] viewed as int16 storage when
+// bits==8 (caller passes the right buffer). Returns 0, or -1 on invalid
+// plan (word index out of range / C > 16).
+long gseq_synth_block(
+    long C, long N, double delt, int int_nco, int bits,
+    const uint8_t* active, const double* code_phase, const double* f_code,
+    const double* carr_phase, const double* f_carr,
+    const uint32_t* carr_phase_i, const int32_t* carr_step_i,
+    const double* gain, const int64_t* iword, const int64_t* ibit,
+    const int64_t* icode, const int8_t* ca, const uint32_t* dwrd,
+    const double* sin_lut, const double* cos_lut, void* out,
+    double* end_carr, uint32_t* end_carr_i) {
+  if (C > 16) return -1;
+  SeqChan chs[16];
+  long A = 0;
+  long slot_of[16];
+  for (long c = 0; c < C; ++c) {
+    end_carr[c] = carr_phase[c];
+    end_carr_i[c] = carr_phase_i[c];
+    if (!active[c]) continue;
+    SeqChan& ch = chs[A];
+    ch.cp = ch.cp0 = code_phase[c];
+    ch.dc = f_code[c] * delt;
+    ch.ph = ch.c0 = carr_phase[c];
+    ch.dp = f_carr[c] * delt;
+    ch.phi = carr_phase_i[c];
+    ch.dphi = static_cast<uint32_t>(carr_step_i[c]);
+    ch.gain = gain[c];
+    ch.iword = ch.iword0 = iword[c];
+    ch.ibit = ch.ibit0 = ibit[c];
+    ch.icode = ch.icode0 = icode[c];
+    if (ch.iword < 0 || ch.iword >= 60) return -1;
+    ch.data_bit =
+        static_cast<int>((dwrd[c * 60 + ch.iword] >> (29 - ch.ibit)) & 1u) *
+            2 - 1;
+    ch.ca = ca + c * 1023;
+    ch.dwrd = dwrd + c * 60;
+    slot_of[A] = c;
+    ++A;
+  }
+
+  int16_t* o16 = static_cast<int16_t*>(out);
+  int8_t* o8 = static_cast<int8_t*>(out);
+  for (long n = 0; n < N; ++n) {
+    int ia = 0, qa = 0;
+    for (long k = 0; k < A; ++k) {
+      const SeqChan& ch = chs[k];
+      long chip = static_cast<long>(ch.cp);
+      long it = int_nco ? static_cast<long>((ch.phi >> 16) & 511u)
+                        : static_cast<long>(std::floor(ch.ph * 512.0));
+      int ip, qp;
+      mix_contrib(ch, chip, it, ch.data_bit, sin_lut, cos_lut, &ip, &qp);
+      ia += ip;
+      qa += qp;
+    }
+    if (bits == 16) {
+      o16[2 * n] = static_cast<int16_t>(ia);
+      o16[2 * n + 1] = static_cast<int16_t>(qa);
+    } else {
+      o8[2 * n] = static_cast<int8_t>(static_cast<int16_t>(ia) >> 4);
+      o8[2 * n + 1] = static_cast<int8_t>(static_cast<int16_t>(qa) >> 4);
+    }
+    for (long k = 0; k < A; ++k) {
+      if (!seq_advance(chs[k], int_nco != 0)) return -1;
+    }
+  }
+
+  for (long k = 0; k < A; ++k) {
+    end_carr[slot_of[k]] = chs[k].ph;
+    end_carr_i[slot_of[k]] = chs[k].phi;
+  }
+  return 0;
 }
 
 // ---- Quantizer ----

@@ -64,6 +64,9 @@ def test_start_parsing():
         parse(["-s", "1979/01/01,00:00:00"])
     with pytest.raises(SystemExit):
         parse(["-s", "2022/13/01,00:00:00"])
+    # typos must not silently parse as the current time (ADVICE r1)
+    with pytest.raises(SystemExit):
+        parse(["-s", "nowhere"])
 
 
 def test_motion_disables_interactive():
@@ -115,6 +118,38 @@ def test_cli_end_to_end(fixtures_dir, tmp_path):
     assert data.size == 3 * 600_000
     assert np.any(data != 0)
     assert "done:" in r.stderr
+
+
+def test_resume_warns_on_ignored_scenario_flags(
+    fixtures_dir, tmp_path, capsys, monkeypatch
+):
+    """Scenario flags combined with --resume are ignored (the checkpoint
+    carries the config); the CLI must say so (ADVICE r1)."""
+    from gpssim_tpu import cli
+    from gpssim_tpu.checkpoint import save_checkpoint
+    from gpssim_tpu.config import SimConfig
+    from gpssim_tpu.scenario import Simulation
+
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=0.3,
+        almanac_enable=False, backend=SynthBackend.NUMPY,
+        out_file=str(tmp_path / "iq.bin"), sink="iqfile",
+    )
+    ckpt = str(tmp_path / "state.npz")
+    save_checkpoint(ckpt, Simulation(cfg))
+
+    calls = {}
+    # run_app is imported inside main; patch the app module.
+    from gpssim_tpu import app
+
+    monkeypatch.setattr(
+        app, "run_app",
+        lambda c, sim=None, use_tui=False: calls.update(d=c.duration_sec) or 0,
+    )
+    assert cli.main(["--resume", ckpt, "-d", "99"]) == 0
+    err = capsys.readouterr().err
+    assert "ignoring" in err and "-d/--duration" in err
+    assert calls["d"] == 0.3  # checkpoint's duration won, not -d 99
 
 
 def test_use_ftp_fetch_failure_exits_cleanly(monkeypatch):

@@ -1,16 +1,15 @@
 """Golden parity tests against the compiled reference simulator.
 
 The oracle (tools/oracle) is the unmodified reference engine built headless.
-Parity contract (see ops/plan.py and SURVEY §"hard parts"):
+Parity contract: **bit-exact at both 8 and 16 bit in every configuration.**
 
-* The framework replaces the reference's sequential per-sample float64
-  phase accumulation with closed forms. Their difference is O(1e-9) chips /
-  O(1e-13) cycles per block — far below any quantization boundary, but a
-  sample whose phase lands astride a chip or LUT boundary can differ.
-  Measured rate: ~1e-7 of samples, each within the reference's own
-  quantization step.
-* 8-bit output (>>4) absorbs almost all of these: short scenarios are
-  byte-identical; we assert max ≤1 LSB and ≤1e-6 differing fraction.
+The framework's kernels use closed-form phases (ops/plan.py) so blocks
+parallelize; the strict-parity layer (ops/synth_seq.py) replays the
+reference's *sequential* float64 phase accumulation natively — chaining
+block-boundary carrier phase with reference semantics and patching the
+sparse set of samples (≈0 per block) where the closed form quantizes a
+chip/LUT index differently.  run_mine therefore asserts exact equality;
+see tests/test_synth.py for the sequential engine's unit vectors.
 """
 
 import os
@@ -20,7 +19,8 @@ import numpy as np
 import pytest
 
 from gpssim_tpu.config import LocationConfig, SampleFormat, SimConfig
-from gpssim_tpu.ops.synth_numpy import quantize_iq, synth_block_numpy
+from gpssim_tpu.ops.synth_numpy import quantize_iq
+from gpssim_tpu.ops.synth_seq import synth_block_seq
 from gpssim_tpu.scenario import Simulation
 
 TOKYO = dict(lat=35.681298, lon=139.766247, height=10.0)
@@ -39,38 +39,28 @@ def run_oracle(oracle_bin, nav, out, tmp, fixtures_dir, **kv):
     return os.path.join(tmp, out)
 
 
-def run_mine(cfg):
+def run_mine(cfg, int_nco=False):
     sim = Simulation(cfg)
     bits = cfg.sample_format.value
     return np.concatenate(
-        [quantize_iq(synth_block_numpy(p), bits) for p in sim.iter_plans()]
+        [
+            quantize_iq(synth_block_seq(p, int_nco=int_nco), bits)
+            for p in sim.iter_plans()
+        ]
     )
 
 
-def assert_parity(mine, ref_path, dtype, max_lsb=1, max_frac=1e-6, ctx=""):
-    """Parity contract vs the reference:
-
-    - ≤ max_frac of samples differ at all (measured ~1e-8, LUT-index flips);
-    - samples differing by more than max_lsb are the rare chip-boundary
-      events where closed-form vs sequential f64 phase lands astride an
-      integer (~1e-8 of samples, each a sub-ns chip-timing jitter — at
-      16-bit such a flip shows the full chip amplitude, ~2*gain*250):
-      their count must stay below 1e-7;
-    - RMS error ≤ 0.01 LSB, relaxed to 0.1 only when full-amplitude
-      boundary events actually occurred (a couple in millions of samples
-      at 16-bit).
-    """
+def assert_parity(mine, ref_path, dtype, ctx=""):
+    """Strict parity: every sample identical to the reference stream."""
     ref = np.fromfile(ref_path, dtype=dtype)
     assert len(mine) == len(ref), (ctx, len(mine), len(ref))
-    d = mine.astype(np.int32) - ref.astype(np.int32)
-    nbad = int((d != 0).sum())
-    nbig = int((np.abs(d) > max_lsb).sum())
-    assert nbad <= max(max_frac * len(ref), 4), f"{ctx}: {nbad} samples differ"
-    assert nbig <= max(1e-7 * len(ref), 2), (
-        f"{ctx}: {nbig} samples differ > {max_lsb}"
-    )
-    rms = float(np.sqrt(np.mean(d.astype(np.float64) ** 2)))
-    assert rms <= (0.1 if nbig else 0.01), f"{ctx}: RMS {rms}"
+    if not np.array_equal(mine, ref):
+        d = mine.astype(np.int32) - ref.astype(np.int32)
+        bad = np.flatnonzero(d)
+        raise AssertionError(
+            f"{ctx}: {len(bad)} samples differ (first at {bad[:5]}, "
+            f"max |diff| {np.abs(d).max()})"
+        )
 
 
 @pytest.mark.golden
@@ -98,7 +88,7 @@ def test_16bit_iono_almanac(oracle_bin, fixtures_dir, tmp_path):
         almanac_file=f"{fixtures_dir}/almanac_test.sem",
         sample_format=SampleFormat.SC16,
     )
-    assert_parity(run_mine(cfg), ref, np.int16, max_lsb=3)
+    assert_parity(run_mine(cfg), ref, np.int16)
 
 
 @pytest.mark.golden
@@ -169,7 +159,7 @@ def test_rinex3_16bit(oracle_bin, fixtures_dir, tmp_path):
         almanac_enable=True, almanac_file=f"{fixtures_dir}/almanac_test.sem",
         sample_format=SampleFormat.SC16,
     )
-    assert_parity(run_mine(cfg), ref, np.int16, max_lsb=3)
+    assert_parity(run_mine(cfg), ref, np.int16)
 
 
 @pytest.mark.golden
@@ -238,13 +228,10 @@ def test_int_nco_carrier_mode(oracle_bin, fixtures_dir, tmp_path):
         nav_file=nav, duration_sec=2.0, almanac_enable=False,
         carrier_mode=CarrierMode.INT_NCO,
     )
-    sim = Simulation(cfg)
-    mine = np.concatenate([
-        quantize_iq(synth_block_numpy(p, int_nco=True), 8)
-        for p in sim.iter_plans()
-    ])
     ref_arr = np.fromfile(ref, dtype=np.int8)
-    assert np.array_equal(mine, ref_arr), "int-NCO mode must be bit-exact"
+    assert np.array_equal(run_mine(cfg, int_nco=True), ref_arr), (
+        "int-NCO mode must be bit-exact"
+    )
 
 
 @pytest.mark.golden
@@ -263,7 +250,7 @@ def test_everything_on(oracle_bin, fixtures_dir, tmp_path):
         motion_file=motion, sample_format=SampleFormat.SC16,
         location=LocationConfig(0.0, 0.0, 0.0),
     )
-    assert_parity(run_mine(cfg), ref, np.int16, max_lsb=3)
+    assert_parity(run_mine(cfg), ref, np.int16)
 
 
 @pytest.mark.golden
@@ -313,7 +300,7 @@ def test_fuzz_random_scenarios(oracle_bin, fixtures_dir, tmp_path):
         )
         dtype = np.int16 if bits == 16 else np.int8
         assert_parity(
-            run_mine(cfg), ref, dtype, max_lsb=3 if bits == 16 else 1,
+            run_mine(cfg), ref, dtype,
             ctx=f"trial {trial}: {loc} bits={bits} iono={iono} {extra}",
         )
 

@@ -61,3 +61,78 @@ def test_ephemeris_set_advance(fixtures_dir):
         for b, ch in zip(sbf_before, sim.channels.chan)
     )
     assert changed, "subframe buffers were not refreshed from the new set"
+
+
+def test_nav_parity_corruption_caught_at_allocation(fixtures_dir, monkeypatch):
+    """Corrupted nav words must be caught by the UNCONDITIONAL runtime
+    parity self-check (reference validate_parityN via computeChecksum,
+    gps.c:926-1001, 1070) — default config, no --verbose."""
+    import pytest
+
+    from gpssim_tpu.core import channels as chmod
+
+    real = chmod.generate_nav_msg
+
+    def corrupting(g, sbf, dwrd, ipage, init):
+        out = real(g, sbf, dwrd, ipage, init)
+        dwrd[7] ^= np.uint32(1 << 12)  # flip a data bit post-checksum
+        return out
+
+    monkeypatch.setattr(chmod, "generate_nav_msg", corrupting)
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=0.3,
+        almanac_enable=False,
+    )
+    with pytest.raises(RuntimeError, match="parity"):
+        Simulation(cfg)
+
+
+def test_nav_parity_corruption_caught_at_regen(fixtures_dir, monkeypatch):
+    """Same check on the 30 s regeneration path (scenario._post_block)."""
+    import pytest
+
+    from gpssim_tpu import scenario as smod
+
+    real = smod.generate_nav_msg
+
+    def corrupting(g, sbf, dwrd, ipage, init):
+        out = real(g, sbf, dwrd, ipage, init)
+        if not init:  # only corrupt regenerated frames
+            dwrd[31] ^= np.uint32(1 << 20)
+        return out
+
+    monkeypatch.setattr(smod, "generate_nav_msg", corrupting)
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=32.0,
+        almanac_enable=False,
+    )
+    sim = Simulation(cfg)
+    with pytest.raises(RuntimeError, match="parity"):
+        for _ in sim.iter_plans():
+            pass
+
+
+def test_kernel_invariants_raise_real_exceptions(fixtures_dir):
+    """The args-conversion invariants are ValueErrors, not asserts — they
+    guard against silent output corruption and must survive python -O
+    (ADVICE/VERDICT r1)."""
+    import pytest
+
+    from gpssim_tpu.ops.synth_jax import plan_to_args
+
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=0.3,
+        almanac_enable=False,
+    )
+    plan = next(Simulation(cfg).iter_plans())
+
+    slow = type(plan)(**{**plan.__dict__})
+    slow.delt = 1.0 / 500_000.0  # below the 128-chip window minimum
+    slow.num_samples = 50_000
+    with pytest.raises(ValueError, match="sample rate too low"):
+        plan_to_args(slow)
+
+    bad = type(plan)(**{**plan.__dict__})
+    bad.iword = bad.iword + 59  # data window past the 60-word buffer
+    with pytest.raises(ValueError, match="data-bit|60-word"):
+        plan_to_args(bad)

@@ -1,5 +1,7 @@
 """Sink-layer behavior: HackRF transfer repacking and registry."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -77,3 +79,173 @@ def test_iqfile_writer_thread_error_surfaces_and_close_does_not_hang(
             time.sleep(0.005)
     with pytest.raises(RuntimeError, match="writer thread failed"):
         sink.close()  # must return (not spin on depth_used) and report
+
+
+class _LoopbackServer:
+    """Accept one connection and drain everything it sends."""
+
+    def __init__(self):
+        import socket
+        import threading
+
+        self.srv = socket.socket()
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(1)
+        self.port = self.srv.getsockname()[1]
+        self.received = bytearray()
+        self.first_byte_t = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        import time
+
+        conn, _ = self.srv.accept()
+        with conn:
+            while True:
+                data = conn.recv(1 << 16)
+                if not data:
+                    return
+                if self.first_byte_t is None:
+                    self.first_byte_t = time.perf_counter()
+                self.received.extend(data)
+
+    def join(self, timeout=30):
+        self._t.join(timeout)
+        self.srv.close()
+
+
+@pytest.mark.parametrize("engine", ["native", "python"])
+def test_tcp_sink_stream_integrity(engine):
+    """Every byte written arrives, in order, over loopback."""
+    from gpssim_tpu.io import native as native_mod
+    from gpssim_tpu.io.sinks import TcpSink
+
+    if engine == "native" and not native_mod.available():
+        pytest.skip("native runtime unavailable")
+    srv = _LoopbackServer()
+    sink = TcpSink(addr=f"127.0.0.1:{srv.port}", fifo_depth=4,
+                   pace=False, engine=engine)
+    sink.init()
+    rng = np.random.default_rng(3)
+    blocks = [rng.integers(-128, 128, 60_000, dtype=np.int8)
+              for _ in range(10)]
+    for b in blocks:
+        sink.write(b)
+    sink.close()
+    srv.join()
+    want = np.concatenate(blocks).tobytes()
+    assert bytes(srv.received) == want
+
+
+@pytest.mark.parametrize("engine", ["native", "python"])
+def test_tcp_sink_start_full_barrier(engine):
+    """No byte may leave before the FIFO has filled once (the reference's
+    fifo_wait_full start barrier, fifo.c:97-103, sdr_iqfile.c:74)."""
+    import time
+
+    from gpssim_tpu.io import native as native_mod
+    from gpssim_tpu.io.sinks import TcpSink
+
+    if engine == "native" and not native_mod.available():
+        pytest.skip("native runtime unavailable")
+    srv = _LoopbackServer()
+    sink = TcpSink(addr=f"127.0.0.1:{srv.port}", fifo_depth=4,
+                   pace=False, engine=engine, start_timeout_s=20.0)
+    sink.init()
+    block = np.zeros(60_000, dtype=np.int8)
+    # Fewer writes than the FIFO depth: barrier must hold.
+    for _ in range(2):
+        sink.write(block)
+    time.sleep(0.3)
+    assert not sink.started
+    assert srv.first_byte_t is None
+    t_fill = time.perf_counter()
+    for _ in range(4):
+        sink.write(block)
+    deadline = time.perf_counter() + 10
+    while not sink.started and time.perf_counter() < deadline:
+        time.sleep(0.01)
+    assert sink.started
+    sink.close()
+    srv.join()
+    assert srv.first_byte_t is not None and srv.first_byte_t >= t_fill
+    assert len(srv.received) == 6 * 60_000
+
+
+def test_tcp_sink_realtime_scenario(fixtures_dir):
+    """End-to-end realtime TX contract: ≥1x realtime over loopback with
+    zero underruns after the pre-buffer (VERDICT r1 item 3). Paced at the
+    DAC byte rate; the whole 12 s scenario must stream in ~12 s wall (the
+    pacing clock), not less, and the producer must never starve it."""
+    import time
+
+    from gpssim_tpu.config import SimConfig, SynthBackend
+    from gpssim_tpu.io.sinks import TcpSink
+    from gpssim_tpu.runner import run_simulation
+
+    # 480 ksps: the f64 parity producer sustains ~2x realtime on CPU (the
+    # production realtime path is the TPU backend — see the TPU-gated
+    # variant below); the TX contract under test is rate-independent.
+    rate = 480_000
+    srv = _LoopbackServer()
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=12.0,
+        almanac_enable=False, backend=SynthBackend.NUMPY,
+        sample_rate=rate, realtime=True, sink="tcp",
+    )
+    sink = TcpSink(addr=f"127.0.0.1:{srv.port}", fifo_depth=8, pace=True)
+    t0 = time.perf_counter()
+    stats = run_simulation(cfg, sink=sink)
+    underruns = sink.underruns
+    bytes_sent = sink.bytes_sent
+    sink.close()
+    wall = time.perf_counter() - t0
+    srv.join()
+    n_blocks = stats.blocks
+    expect = n_blocks * 2 * (rate // 10)
+    assert bytes_sent == expect and len(srv.received) == expect
+    assert underruns == 0, f"{underruns} underruns"
+    # Paced: wall time ≈ signal time (less the fifo pre-buffer lead).
+    signal = n_blocks * 0.1
+    assert wall >= signal - 1.0
+    assert wall <= signal + 5.0, f"fell behind realtime: {wall:.1f}s"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GPSSIM_TEST_TPU"), reason="needs the real TPU chip"
+)
+def test_tcp_sink_realtime_device_backend(fixtures_dir):
+    """The VERDICT r1 contract on the real rig: ≥30 s of 8-bit signal at
+    the reference's 3 Msps over loopback in ≤ wall realtime, zero
+    underruns after warmup, device (JAX) backend."""
+    import time
+
+    from gpssim_tpu.config import SimConfig, SynthBackend
+    from gpssim_tpu.io.sinks import TcpSink
+    from gpssim_tpu.runner import run_simulation
+
+    srv = _LoopbackServer()
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=31.0,
+        almanac_enable=False, backend=SynthBackend.JAX,
+        realtime=True, sink="tcp",
+    )
+    # Warm the kernel compile cache with the same shapes (the remote
+    # compile service can take minutes; realtime starts after warmup,
+    # exactly as a real TX session would).
+    from dataclasses import replace
+
+    warm = replace(cfg, duration_sec=1.0, realtime=False, sink="null")
+    run_simulation(warm)
+    sink = TcpSink(addr=f"127.0.0.1:{srv.port}", fifo_depth=8, pace=True)
+    t0 = time.perf_counter()
+    stats = run_simulation(cfg, sink=sink)
+    underruns = sink.underruns
+    sink.close()
+    wall = time.perf_counter() - t0
+    srv.join()
+    assert stats.blocks * 0.1 >= 30.0
+    assert len(srv.received) == stats.blocks * 600_000
+    assert underruns == 0, f"{underruns} underruns"
+    assert wall <= stats.blocks * 0.1 + 8.0, f"behind realtime: {wall:.1f}s"

@@ -1,0 +1,257 @@
+"""Unit vectors for the sequential-parity engine (ops/synth_seq.py).
+
+The golden suite proves synth_block_seq bit-exact against the compiled
+reference end-to-end; these tests localize the engine's pieces against
+pure-Python replays of the reference recurrences (gps.c:2789, 2820-2826)
+so a regression fails here, not as "some sample differs somewhere".
+"""
+
+import numpy as np
+import pytest
+
+from gpssim_tpu.ops.plan import BlockPlan
+from gpssim_tpu.ops.synth_numpy import synth_block_numpy
+from gpssim_tpu.ops.synth_seq import (
+    apply_corrections,
+    carrier_chain,
+    seq_available,
+    seq_corrections,
+    synth_block_seq,
+)
+
+pytestmark = pytest.mark.skipif(
+    not seq_available(), reason="native sequential engine unavailable"
+)
+
+CA_LEN = 1023.0
+
+
+def python_carr_chain(carr0, f_carr, num_samples, delt):
+    """Reference carrier recurrence (gps.c:2820-2826), plain Python floats."""
+    K = len(f_carr)
+    out = np.empty((K + 1, len(carr0)))
+    ph = [float(p) for p in carr0]
+    for j in range(K):
+        out[j] = ph
+        dp = [float(f) * delt for f in f_carr[j]]
+        for _ in range(num_samples):
+            for c in range(len(ph)):
+                p = ph[c] + dp[c]
+                if p >= 1.0:
+                    p -= 1.0
+                elif p < 0.0:
+                    p += 1.0
+                ph[c] = p
+        out[K if j == K - 1 else j + 1] = ph  # row j+1 start == row j end
+    out[K] = ph
+    return out
+
+
+def test_carrier_chain_matches_python_replay():
+    rng = np.random.default_rng(7)
+    C, K, N = 3, 2, 20_000
+    delt = 1.0 / 2.6e6
+    carr0 = rng.uniform(0.0, 1.0, C)
+    f_carr = rng.uniform(-4200.0, 4200.0, (K, C))
+    f_carr[:, 1] = 0.0  # inactive-slot convention: exact passthrough
+    got = carrier_chain(carr0, f_carr, N, delt)
+    want = python_carr_chain(carr0, f_carr, N, delt)
+    assert np.array_equal(got, want)  # bit-exact, not allclose
+    assert got[K, 1] == carr0[1]
+
+
+def make_plan(
+    num_samples,
+    delt,
+    code_phase,
+    f_code,
+    carr_phase=0.3,
+    f_carr=1000.0,
+    gain=250.0,
+    seed=0,
+):
+    """Single-active-channel synthetic plan with an alternating C/A table
+    (so every chip-index flip changes the output) and random nav words."""
+    rng = np.random.default_rng(seed)
+    C = 2  # slot 1 inactive: engine must skip it
+    z = np.zeros(C)
+    ca = np.tile(
+        (np.arange(1023, dtype=np.int8) & 1), (C, 1)
+    )  # 0,1,0,1,... alternating
+    dwrd = rng.integers(0, 1 << 30, size=(C, 60), dtype=np.int64).astype(
+        np.uint32
+    )
+    return BlockPlan(
+        num_samples=num_samples,
+        delt=delt,
+        active=np.array([True, False]),
+        code_phase=z + code_phase,
+        f_code=z + f_code,
+        carr_phase=z + carr_phase,
+        f_carr=z + f_carr,
+        carr_phase_i=np.zeros(C, dtype=np.uint32),
+        carr_step_i=np.zeros(C, dtype=np.int32) + 40000,
+        gain=z + gain,
+        iword=np.zeros(C, dtype=np.int64) + 3,
+        ibit=np.zeros(C, dtype=np.int64) + 7,
+        icode=np.zeros(C, dtype=np.int64) + 11,
+        prn=np.array([5, 0], dtype=np.int64),
+        ca=ca,
+        dwrd=dwrd,
+    )
+
+
+def python_seq_capture(plan, c, targets):
+    """Sequential chip/LUT/data-bit at each target sample, one full replay
+    of the reference recurrences (gps.c:2789, 2820-2826)."""
+    targets = sorted(int(t) for t in targets)
+    cp = float(plan.code_phase[c])
+    dc = float(plan.f_code[c]) * plan.delt
+    ph = float(plan.carr_phase[c])
+    dp = float(plan.f_carr[c]) * plan.delt
+    iword, ibit, icode = (
+        int(plan.iword[c]), int(plan.ibit[c]), int(plan.icode[c])
+    )
+    dwrd = plan.dwrd[c]
+    bit = int((int(dwrd[iword]) >> (29 - ibit)) & 1) * 2 - 1
+    out = {}
+    ti = 0
+    for n in range(targets[-1] + 1):
+        if ti < len(targets) and n == targets[ti]:
+            out[n] = (int(cp), int(np.floor(ph * 512.0)), bit)
+            ti += 1
+        cp += dc
+        if cp >= CA_LEN:
+            cp -= CA_LEN
+            icode += 1
+            if icode >= 20:
+                icode = 0
+                ibit += 1
+                if ibit >= 30:
+                    ibit = 0
+                    iword += 1
+                bit = int((int(dwrd[iword]) >> (29 - ibit)) & 1) * 2 - 1
+        ph += dp
+        if ph >= 1.0:
+            ph -= 1.0
+        elif ph < 0.0:
+            ph += 1.0
+    return out
+
+
+def divergent_plan(N=64):
+    """A plan with a GUARANTEED sequential-vs-closed-form chip flip.
+
+    With chained block starts the natural in-block flip rate is ~1e-11 per
+    sample (random-walk rounding ~1e-13 chips against uniformly-placed
+    boundaries), so instead of searching real blocks this places a chip
+    boundary B inside the ulp-scale window where the two rounding paths
+    land on opposite sides: cp0 is swept a few ulp around B - n*dc until
+    int(sequential cp_n) != int(closed-form cp0 + fl(n*dc)).  Fully
+    deterministic — pure f64 arithmetic, delt=1.0 so dc == f_code."""
+    m = round(0.3935 * 2.0**43)
+    dc = (m + 0.4995) * 2.0**-43
+    ulp = 2.0**-43
+    for B in range(651, 757, 7):
+        for k in range(-12, 13):
+            cp0 = (B - 4 * dc) + k * ulp
+            if cp0 != cp0 or cp0 < 0:
+                continue
+            cp = cp0
+            for n in range(1, 9):
+                cp = cp + dc
+                cf = cp0 + float(n) * dc
+                if int(cp) != int(cf):
+                    return make_plan(
+                        N, 1.0, cp0, dc, carr_phase=0.25, f_carr=0.0
+                    )
+    return None
+
+
+_FOUND = None
+
+
+def _found():
+    global _FOUND
+    if _FOUND is None:
+        plan = divergent_plan()
+        assert plan is not None, "ulp sweep found no chip-boundary flip"
+        idx, i16, q16, end_carr, _ = seq_corrections(plan)
+        _FOUND = (plan, idx, i16, q16, end_carr)
+    return _FOUND
+
+
+def test_divergent_sample_found_and_patched_value_correct():
+    """The searched-for boundary event must exist, and the patched value
+    must equal an independent pure-Python sequential replay."""
+    from gpssim_tpu.core.constants import COS_TABLE_512, SIN_TABLE_512
+
+    plan, idx, i16, q16, end_carr = _found()
+    assert len(idx) > 0, (
+        "biased-rounding construction produced no divergence — margins or "
+        "screen logic changed?"
+    )
+    caps = python_seq_capture(plan, 0, idx)
+    for k, n in enumerate(idx):
+        chip, itab, bit = caps[int(n)]
+        s = float(bit * (int(plan.ca[0, chip]) * 2 - 1))
+        # (short) cast wraps mod 2^16 (gps.c int accumulator -> int16 store)
+        wrap16 = lambda v: np.array([int(v)], dtype=np.int64).astype(np.int16)[0]
+        exp_i = wrap16(np.trunc(s * COS_TABLE_512[itab] * plan.gain[0]))
+        exp_q = wrap16(np.trunc(s * SIN_TABLE_512[itab] * plan.gain[0]))
+        assert i16[k] == exp_i and q16[k] == exp_q, n
+    # And the full patched block: equals closed form everywhere else.
+    out = synth_block_seq(plan)
+    cf = synth_block_numpy(plan)
+    d = np.flatnonzero(out != cf)
+    assert set(d // 2) == set(int(v) for v in idx)
+
+
+def test_end_carr_matches_chain():
+    """gseq_diff_block's end-of-block carrier equals gseq_carr_chain's."""
+    plan, _, _, _, end_carr = _found()
+    chain = carrier_chain(
+        plan.carr_phase, plan.f_carr[None, :], plan.num_samples, plan.delt
+    )
+    assert chain[1, 0] == end_carr[0]
+    # inactive slot passes through untouched
+    assert end_carr[1] == plan.carr_phase[1]
+
+
+def test_int_nco_mode_runs_clean():
+    """Int-NCO carrier is exact by construction; only code-phase events can
+    fire, and the machinery must accept the mode."""
+    plan = make_plan(100_000, 1.0 / 2.6e6, 512.25, 1.023e6 + 1.5)
+    idx, i16, q16, end_carr, end_carr_i = seq_corrections(plan, int_nco=True)
+    out = synth_block_seq(plan, int_nco=True)
+    cf = synth_block_numpy(plan, int_nco=True)
+    d = np.flatnonzero(out != cf)
+    assert set(d // 2) == set(int(v) for v in idx)
+    # NCO end phase: exact closed form
+    assert end_carr_i[0] == plan.end_carr_phase_i()[0]
+
+
+def test_apply_corrections_readonly_and_8bit():
+    iq16 = np.arange(8, dtype=np.int16)
+    iq16.setflags(write=False)
+    idx = np.array([1], dtype=np.int64)
+    out = apply_corrections(
+        iq16, 16, idx, np.array([-300], np.int16), np.array([77], np.int16)
+    )
+    assert out is not iq16 and out[2] == -300 and out[3] == 77
+    assert iq16[2] == 2  # original untouched
+    iq8 = np.zeros(8, dtype=np.int8)
+    apply_corrections(
+        iq8, 8, idx, np.array([-300], np.int16), np.array([77], np.int16)
+    )
+    assert iq8[2] == (-300 >> 4) and iq8[3] == (77 >> 4)
+    # empty idx: identity, even on read-only input
+    same = apply_corrections(iq16, 16, idx[:0], idx[:0], idx[:0])
+    assert same is iq16
+
+
+def test_invalid_plan_raises():
+    plan = make_plan(1000, 1.0 / 2.6e6, 0.0, 1.023e6)
+    plan.iword = plan.iword + 60  # out of range
+    with pytest.raises(ValueError):
+        seq_corrections(plan)

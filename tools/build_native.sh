@@ -9,5 +9,10 @@ if [ -f "$OUT" ] && [ "$OUT" -nt "$SRC" ]; then
   echo "$OUT"
   exit 0
 fi
-g++ -std=c++17 -O3 -shared -fPIC -pthread -o "$OUT" "$SRC"
+# -ffp-contract=off: the sequential-parity engine must perform exactly the
+# IEEE-754 mul+add sequence the reference (built at -Og, baseline x86-64,
+# no FMA) performs — FMA contraction would change the rounding.
+# -march=native only widens the same ops to the host's vectors.
+g++ -std=c++17 -O3 -march=native -ffp-contract=off -shared -fPIC -pthread \
+  -o "$OUT" "$SRC"
 echo "$OUT"

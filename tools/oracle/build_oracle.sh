@@ -7,7 +7,10 @@ set -e
 
 REF=${REFERENCE_DIR:-/root/reference}
 HERE=$(cd "$(dirname "$0")" && pwd)
-BUILD=${1:-$HERE/build}
+# Stage OUTSIDE the repo tree: the staged files are verbatim reference
+# sources (that is the point of an oracle) and must never look like
+# framework code.
+BUILD=${1:-${TMPDIR:-/tmp}/gpssim-oracle-build}
 
 if [ ! -f "$REF/gps.c" ]; then
     echo "reference sources not found at $REF" >&2
