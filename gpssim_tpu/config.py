@@ -28,6 +28,7 @@ class CarrierMode(enum.Enum):
 
 class SynthBackend(enum.Enum):
     NUMPY = "numpy"  # float64 host reference path (parity oracle)
+    NATIVE = "native"  # C++ sequential hot loop (fast host path, bit-exact)
     JAX = "jax"  # XLA two-stage integer kernel (CPU/TPU)
     PALLAS = "pallas"  # fused Pallas TPU kernel
 

@@ -63,6 +63,13 @@ class BlockFifo:
                 return True
             return self._full_once.wait(timeout=timeout)
 
+    def force_barrier(self) -> None:
+        """Release a pending wait_full without halting — end-of-stream
+        flush for short runs that never fill the pre-buffer (a TX must
+        still transmit what was queued)."""
+        with self._lock:
+            self._full_once.notify_all()
+
     def halt(self) -> None:
         """Drain and wake everyone (reference fifo_halt, fifo.c:105-126)."""
         with self._lock:

@@ -319,8 +319,10 @@ class HackRfSink(Sink):
     gain_range = (0, 47)
     transfer_size = 262_144
 
-    def __init__(self, device=None):
+    def __init__(self, device=None, lib_path: str | None = None):
         self.device = device
+        self.lib_path = lib_path
+        self._hw = None
         # Preallocated transfer staging: blocks copy into the ring once
         # and each full transfer is a zero-copy slice — no O(n^2)
         # concatenate churn in the realtime TX path (ADVICE r1).
@@ -329,9 +331,29 @@ class HackRfSink(Sink):
 
     def init(self, cfg=None) -> None:
         if self.device is None:
+            # Bind real hardware through libhackrf when present
+            # (sdr_hackrf.c contract, see io/hw_hackrf.py).
+            from . import hw_hackrf
+
+            if hw_hackrf.hackrf_available(self.lib_path):
+                self._hw = hw_hackrf.HackRfTx(
+                    tx_gain=getattr(cfg, "tx_gain", 0),
+                    amp=getattr(cfg, "tx_amplifier", False),
+                    ppb=getattr(cfg, "ppb", 0),
+                    lib_path=self.lib_path,
+                )
+                self.device = self._hw.push
+                # TX starts once the FIFO pre-buffer fills (the
+                # fifo_wait_full barrier) — wait on a thread so the
+                # producer can fill it.
+                threading.Thread(
+                    target=self._hw.start, daemon=True
+                ).start()
+                return
             raise RuntimeError(
-                "hackrf hardware not available in this build; pass "
-                "HackRfSink(device=...) to supply a TX transfer callable"
+                "hackrf hardware not available (libhackrf not found); "
+                "pass HackRfSink(device=...) to supply a TX transfer "
+                "callable"
             )
 
     def write(self, block: np.ndarray) -> None:
@@ -358,8 +380,14 @@ class HackRfSink(Sink):
         # The reference transmits whole transfer buffers only; a trailing
         # partial buffer is dropped exactly like its fifo remainder.
         self._fill = 0
+        if self._hw is not None:
+            self._hw.close()
+            self._hw = None
+            self.device = None
 
     def set_gain(self, gain: int) -> int:
+        if self._hw is not None:
+            return self._hw.set_gain(gain)
         return max(0, min(47, gain))
 
 
@@ -376,13 +404,30 @@ class PlutoSink(Sink):
     forced_sample_bits = 16
     gain_range = (-80, 0)
 
-    def __init__(self, device=None):
+    def __init__(self, device=None, lib_path: str | None = None):
         self.device = device
+        self.lib_path = lib_path
+        self._hw = None
 
     def init(self, cfg=None) -> None:
         if self.device is None:
+            # Bind real hardware through libiio when present
+            # (sdr_pluto.c contract, see io/hw_pluto.py).
+            from . import hw_pluto
+
+            if hw_pluto.iio_available(self.lib_path):
+                self._hw = hw_pluto.PlutoTx(
+                    tx_gain=getattr(cfg, "tx_gain", 0),
+                    ppb=getattr(cfg, "ppb", 0),
+                    hostname=getattr(cfg, "pluto_hostname", None),
+                    uri=getattr(cfg, "pluto_uri", None),
+                    lib_path=self.lib_path,
+                )
+                self._hw.start()  # TX LO on (sdr_pluto.c:246-252)
+                self.device = self._hw.push
+                return
             raise RuntimeError(
-                "plutosdr hardware not available in this build; pass "
+                "plutosdr hardware not available (libiio not found); pass "
                 "PlutoSink(device=...) to supply an iio-push callable"
             )
 
@@ -391,7 +436,15 @@ class PlutoSink(Sink):
             raise RuntimeError("plutosdr sink has no device")
         self.device(np.asarray(block, dtype=np.int16))
 
+    def close(self) -> None:
+        if self._hw is not None:
+            self._hw.close()
+            self._hw = None
+            self.device = None
+
     def set_gain(self, gain: int) -> int:
+        if self._hw is not None:
+            return self._hw.set_gain(gain)
         return max(-80, min(0, gain))
 
 

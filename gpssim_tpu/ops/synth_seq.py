@@ -63,6 +63,10 @@ def _lib():
         lib.gseq_diff_block.argtypes = [
             c.c_long, c.c_long, c.c_double, c.c_int,
         ] + [c.c_void_p] * 19
+        lib.gseq_synth_block.restype = c.c_long
+        lib.gseq_synth_block.argtypes = [
+            c.c_long, c.c_long, c.c_double, c.c_int, c.c_int,
+        ] + [c.c_void_p] * 17
         _configured = True
     return lib
 
@@ -184,3 +188,49 @@ def synth_block_seq(plan: BlockPlan, int_nco: bool = False) -> np.ndarray:
     iq16 = synth_block_numpy(plan, int_nco=int_nco)
     idx, i16, q16, _, _ = seq_corrections(plan, int_nco=int_nco)
     return apply_corrections(iq16, 16, idx, i16, q16)
+
+
+def synth_block_seq_native(
+    plan: BlockPlan, int_nco: bool = False, bits: int = 16
+) -> np.ndarray:
+    """Full native sequential synth (gseq_synth_block): the reference hot
+    loop replayed in C++ — same output as :func:`synth_block_seq` but
+    ~10x faster than the NumPy path, making hour-scale endurance goldens
+    tractable on the host.  int16[2N] (bits=16) or int8[2N] (bits=8).
+    """
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native sequential engine unavailable")
+    C = plan.num_channels
+    cv = ctypes.c_void_p
+
+    def p(a, dt):
+        return np.ascontiguousarray(a, dtype=dt)
+
+    args = [
+        p(plan.active, np.uint8),
+        p(plan.code_phase, np.float64), p(plan.f_code, np.float64),
+        p(plan.carr_phase, np.float64), p(plan.f_carr, np.float64),
+        p(plan.carr_phase_i, np.uint32), p(plan.carr_step_i, np.int32),
+        p(plan.gain, np.float64), p(plan.iword, np.int64),
+        p(plan.ibit, np.int64), p(plan.icode, np.int64),
+        p(plan.ca, np.int8), p(plan.dwrd, np.uint32),
+    ]
+    out = np.empty(
+        2 * plan.num_samples, dtype=np.int16 if bits == 16 else np.int8
+    )
+    end_carr = np.empty(C, dtype=np.float64)
+    end_carr_i = np.empty(C, dtype=np.uint32)
+    rc = lib.gseq_synth_block(
+        C, int(plan.num_samples), float(plan.delt), int(int_nco), int(bits),
+        *[a.ctypes.data_as(cv) for a in args],
+        _SIN_F64.ctypes.data_as(cv), _COS_F64.ctypes.data_as(cv),
+        out.ctypes.data_as(cv),
+        end_carr.ctypes.data_as(cv), end_carr_i.ctypes.data_as(cv),
+    )
+    if rc != 0:
+        raise ValueError(
+            "invalid block plan for native sequential synth (data-word "
+            "index out of range or too many channels)"
+        )
+    return out

@@ -57,6 +57,16 @@ def make_synth_fn(cfg: SimConfig):
 
             return lambda plan: synth_block_seq(plan, int_nco=int_nco)
         return lambda plan: synth_block_numpy(plan, int_nco=int_nco)
+    if cfg.backend is SynthBackend.NATIVE:
+        from .ops.synth_seq import seq_available, synth_block_seq_native
+
+        if not seq_available():
+            raise RuntimeError(
+                "native backend requires the C++ runtime "
+                "(tools/build_native.sh)"
+            )
+        # The native hot loop IS sequential-exact — no patch layer needed.
+        return lambda plan: synth_block_seq_native(plan, int_nco=int_nco)
     if cfg.backend in (SynthBackend.JAX, SynthBackend.PALLAS):
         from .ops.synth_jax import JaxBlockSynth
 
@@ -109,7 +119,10 @@ def run_simulation(
     # each) ahead of written output — the reference's 8-buffer pipeline
     # latency (sdr.h:24) — so live position edits take effect within the
     # same bound.
-    if cfg.backend is not SynthBackend.NUMPY and cfg.dispatch_blocks > 1:
+    if (
+        cfg.backend in (SynthBackend.JAX, SynthBackend.PALLAS)
+        and cfg.dispatch_blocks > 1
+    ):
         window = cfg.dispatch_blocks
         if cfg.realtime or cfg.interactive:
             window = max(1, min(window, cfg.fifo_depth // 2))

@@ -1,0 +1,199 @@
+"""Hardware-binding contract tests against mock C ABIs (VERDICT r1 #4).
+
+No SDR exists in CI, so the ctypes bindings are exercised against small
+compiled mock shared libraries (native/mock_hackrf.c, native/mock_iio.c)
+that implement the exact libhackrf/libiio ABI subset and record every
+call — testing struct layouts, the TX callback bridge, and the reference
+driver sequences for real.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build_mock(tmp_factory, name):
+    src = os.path.join(REPO, "native", f"{name}.c")
+    out = os.path.join(str(tmp_factory.mktemp(name)), f"lib{name}.so")
+    subprocess.run(
+        ["cc", "-O2", "-shared", "-fPIC", "-pthread", "-o", out, src],
+        check=True, capture_output=True,
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def mock_hackrf(tmp_path_factory):
+    return _build_mock(tmp_path_factory, "mock_hackrf")
+
+
+@pytest.fixture(scope="module")
+def mock_iio(tmp_path_factory):
+    return _build_mock(tmp_path_factory, "mock_iio")
+
+
+def test_hackrf_availability_guard():
+    from gpssim_tpu.io.hw_hackrf import hackrf_available
+
+    # A bogus explicit path must not raise, just report unavailable.
+    assert hackrf_available("/nonexistent/libhackrf.so") is False
+
+
+def test_hackrf_full_tx_contract(mock_hackrf):
+    """Init → configure → FIFO-fed pull TX → teardown, per sdr_hackrf.c."""
+    from gpssim_tpu.io.hw_hackrf import TRANSFER_SIZE, HackRfTx
+    from gpssim_tpu.io.sinks import HackRfSink
+
+    tx = HackRfTx(tx_gain=60, amp=True, ppb=25, lib_path=mock_hackrf,
+                  fifo_depth=4)
+    mock = ctypes.CDLL(mock_hackrf)
+    mock.mock_freq.restype = ctypes.c_uint64
+    mock.mock_sample_rate.restype = ctypes.c_double
+    mock.mock_copy_capture.restype = ctypes.c_long
+
+    # Reference config contract (sdr_hackrf.c:136-215):
+    assert tx.info["serial"] == "MOCKSERIAL0001"
+    assert tx.info["version"] == "mock-fw-1.0"
+    # integer ppb LO correction
+    assert mock.mock_freq() == 1_575_420_000 * (10_000_000 - 25) // 10_000_000
+    assert mock.mock_sample_rate() == 3_000_000.0
+    assert mock.mock_gain() == 47  # 60 dB clamped to TX_IF_GAIN_MAX
+    assert mock.mock_amp() == 1
+    assert mock.mock_antenna() == 0
+    assert mock.mock_hw_sync() == 0
+
+    # Stream 3 blocks through the repacking sink into the pull callback.
+    sink = HackRfSink(device=tx.push)
+    sink.init()
+    rng = np.random.default_rng(5)
+    blocks = [rng.integers(-128, 128, 600_000, dtype=np.int8)
+              for _ in range(3)]
+
+    t = threading.Thread(
+        target=lambda: [sink.write(b) for b in blocks], daemon=True
+    )
+    t.start()
+    tx.start(timeout_s=10.0)  # start-full barrier (sdr_hackrf.c:258)
+    t.join(timeout=20)
+    assert not t.is_alive()
+
+    stream = np.concatenate(blocks)
+    want = len(stream) // TRANSFER_SIZE * TRANSFER_SIZE
+    deadline = 50
+    while mock.mock_captured_bytes() < want and deadline:
+        import time
+
+        time.sleep(0.1)
+        deadline -= 1
+    tx.close()
+    got = np.empty(want, dtype=np.int8)
+    n = mock.mock_copy_capture(got.ctypes.data_as(ctypes.c_void_p), want)
+    assert n == want
+    assert np.array_equal(got, stream[:want].astype(np.int8))
+    assert mock.mock_teardown_ok() == 1  # stop, amp off, gain 0, close, exit
+
+
+def test_pluto_full_tx_contract(mock_iio):
+    """Context → AD9361 setup → LO on → whole-block pushes → teardown,
+    per sdr_pluto.c:100-277."""
+    from gpssim_tpu.io.hw_pluto import NUM_IQ_SAMPLES, PlutoTx
+    from gpssim_tpu.io.sinks import PlutoSink
+
+    tx = PlutoTx(tx_gain=5, ppb=0, lib_path=mock_iio)
+    mock = ctypes.CDLL(mock_iio)
+    mock.mock_attr.restype = ctypes.c_char_p
+    mock.mock_copy_capture.restype = ctypes.c_long
+
+    def attr(key):
+        return mock.mock_attr(key.encode()).decode()
+
+    assert attr("phy.voltage0.rf_port_select") == "A"
+    assert attr("phy.voltage0.rf_bandwidth") == "6000000"
+    assert attr("phy.voltage0.sampling_frequency") == "3000000"
+    assert attr("phy.voltage0.hardwaregain") == "0"  # +5 dB clamped to 0
+    assert attr("phy.altvoltage0.powerdown") == "1"  # RX LO off
+    assert attr("phy.altvoltage1.frequency") == "1575420000"
+    assert attr("phy.altvoltage1.powerdown") == ""  # not yet started
+    assert mock.mock_enabled_channels() == 2
+    assert mock.mock_kernel_buffers() == 8
+
+    tx.start()
+    assert attr("phy.altvoltage1.powerdown") == "0"  # TX LO on
+
+    sink = PlutoSink(device=tx.push)
+    sink.init()
+    rng = np.random.default_rng(6)
+    blocks = [
+        rng.integers(-2048, 2048, 2 * NUM_IQ_SAMPLES, dtype=np.int16)
+        for _ in range(2)
+    ]
+    for b in blocks:
+        sink.write(b)
+    assert mock.mock_pushes() == 2
+    want = np.concatenate(blocks)
+    got = np.empty(want.size, dtype=np.int16)
+    n = mock.mock_copy_capture(
+        got.ctypes.data_as(ctypes.c_void_p), want.nbytes
+    )
+    assert n == want.nbytes
+    assert np.array_equal(got, want)
+    tx.close()
+    assert attr("phy.altvoltage1.powerdown") == "1"  # LO off on teardown
+    assert mock.mock_teardown_ok() == 1
+
+
+def test_pluto_network_context_selection(mock_iio, tmp_path_factory):
+    """hostname → iio_create_network_context (sdr_pluto.c:141-142)."""
+    # Fresh mock instance so recorded state starts clean.
+    mock_path = _build_mock(tmp_path_factory, "mock_iio")
+    from gpssim_tpu.io.hw_pluto import PlutoTx
+
+    tx = PlutoTx(hostname="pluto.example", lib_path=mock_path)
+    mock = ctypes.CDLL(mock_path)
+    mock.mock_net_host.restype = ctypes.c_char_p
+    assert mock.mock_used_network() == 1
+    assert mock.mock_net_host() == b"pluto.example"
+    tx.close()
+
+
+def test_pluto_availability_guard():
+    from gpssim_tpu.io.hw_pluto import iio_available
+
+    assert iio_available("/nonexistent/libiio.so") is False
+
+
+def test_hackrf_sink_autobind_end_to_end(tmp_path_factory, fixtures_dir):
+    """Full pipeline: scenario → native synth → HackRfSink auto-binding
+    libhackrf → mock hardware receives the exact repacked stream."""
+    import time
+
+    from gpssim_tpu.config import SimConfig, SynthBackend
+    from gpssim_tpu.io.sinks import HackRfSink
+    from gpssim_tpu.ops.synth_seq import seq_available
+    from gpssim_tpu.runner import run_simulation
+
+    mock_path = _build_mock(tmp_path_factory, "mock_hackrf")  # fresh state
+    backend = (
+        SynthBackend.NATIVE if seq_available() else SynthBackend.NUMPY
+    )
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=0.4,
+        almanac_enable=False, backend=backend, sink="hackrf", tx_gain=30,
+    )
+    sink = HackRfSink(lib_path=mock_path)
+    stats = run_simulation(cfg, sink=sink)
+    mock = ctypes.CDLL(mock_path)
+    mock.mock_copy_capture.restype = ctypes.c_long
+    deadline = time.time() + 10
+    want = stats.blocks * 600_000 // 262_144 * 262_144
+    while mock.mock_captured_bytes() < want and time.time() < deadline:
+        time.sleep(0.05)
+    assert mock.mock_captured_bytes() >= want
+    # Teardown (stop_tx, amp off, gain 0, close, exit) ran once.
+    assert mock.mock_teardown_ok() == 1

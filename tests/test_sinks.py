@@ -184,14 +184,19 @@ def test_tcp_sink_realtime_scenario(fixtures_dir):
     from gpssim_tpu.io.sinks import TcpSink
     from gpssim_tpu.runner import run_simulation
 
-    # 480 ksps: the f64 parity producer sustains ~2x realtime on CPU (the
-    # production realtime path is the TPU backend — see the TPU-gated
-    # variant below); the TX contract under test is rate-independent.
-    rate = 480_000
+    from gpssim_tpu.ops.synth_seq import seq_available
+
+    # Native backend sustains ~8x realtime at the reference's 3 Msps on
+    # CPU; without the C++ runtime fall back to the f64 parity path at a
+    # rate it can hold (~2x). The TX contract is rate-independent.
+    if seq_available():
+        backend, rate = SynthBackend.NATIVE, 3_000_000
+    else:
+        backend, rate = SynthBackend.NUMPY, 480_000
     srv = _LoopbackServer()
     cfg = SimConfig(
         nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=12.0,
-        almanac_enable=False, backend=SynthBackend.NUMPY,
+        almanac_enable=False, backend=backend,
         sample_rate=rate, realtime=True, sink="tcp",
     )
     sink = TcpSink(addr=f"127.0.0.1:{srv.port}", fifo_depth=8, pace=True)

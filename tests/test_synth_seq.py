@@ -255,3 +255,36 @@ def test_invalid_plan_raises():
     plan.iword = plan.iword + 60  # out of range
     with pytest.raises(ValueError):
         seq_corrections(plan)
+
+
+def test_native_full_synth_matches_patched_numpy(fixtures_dir):
+    """gseq_synth_block (full native sequential hot loop) must be
+    bit-identical to the numpy-closed-form + sparse-patch path on real
+    scenario blocks, at 16 and 8 bit, both carrier modes."""
+    from gpssim_tpu.config import SimConfig
+    from gpssim_tpu.ops.synth_numpy import quantize_iq
+    from gpssim_tpu.ops.synth_seq import synth_block_seq_native
+    from gpssim_tpu.scenario import Simulation
+
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=0.5,
+        almanac_enable=False,
+    )
+    for int_nco in (False, True):
+        sim = Simulation(cfg)
+        for plan in sim.iter_plans():
+            want16 = synth_block_seq(plan, int_nco=int_nco)
+            got16 = synth_block_seq_native(plan, int_nco=int_nco, bits=16)
+            assert np.array_equal(want16, got16)
+            got8 = synth_block_seq_native(plan, int_nco=int_nco, bits=8)
+            assert np.array_equal(quantize_iq(want16, 8), got8)
+
+
+def test_native_full_synth_on_divergent_plan():
+    """On the constructed boundary-flip plan the native full synth must
+    agree with the patched closed form (i.e., both sequential-exact)."""
+    plan, idx, _, _, _ = _found()
+    assert len(idx) > 0
+    from gpssim_tpu.ops.synth_seq import synth_block_seq_native
+
+    assert np.array_equal(synth_block_seq(plan), synth_block_seq_native(plan))

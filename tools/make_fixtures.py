@@ -76,7 +76,18 @@ IONO = dict(
 )
 
 
-def write_rinex2(path: str, nsets: int = 2) -> None:
+def write_rinex2(
+    path: str, nsets: int = 2, spacing_s: float = 7200.0,
+    propagate: bool = False,
+) -> None:
+    """RINEX v2 nav fixture with ``nsets`` ephemeris sets ``spacing_s``
+    apart (must exceed 3600 s — the reference groups records within 1 h
+    into one set, gps.c:1557-1585).
+
+    With ``propagate`` the anomaly/inclination are advanced to each set's
+    toe (m0 + n*dt, inc0 + idot*dt) the way real uploads keep the orbit
+    continuous — REQUIRED for scenarios that synthesize across a set
+    advance, else the position step makes f_carr unphysical."""
     lines = []
     lines.append(f"{'2.10':>9}{'':11}{'N: GPS NAV DATA':<40}RINEX VERSION / TYPE")
     lines.append(f"{'gpssim-fx':<20}{'gpssim':<20}{'01-JAN-22 00:00':<20}PGM / RUN BY / DATE")
@@ -91,14 +102,22 @@ def write_rinex2(path: str, nsets: int = 2) -> None:
     lines.append(f"{'':60}END OF HEADER")
 
     for iset in range(nsets):
-        hh = 2 * iset  # sets 2 h apart (> 1 h gap starts a new set)
-        toc_sec = TOW0 + hh * 3600.0
+        off = spacing_s * iset  # > 1 h gap starts a new set
+        toc_sec = TOW0 + off
+        hh = int(off) // 3600
+        mm = (int(off) % 3600) // 60
+        sec = off % 60.0
         for prn in range(1, NSAT + 1):
-            el = sv_elements(prn)
-            # drift the clock/anomaly between sets so sets differ
-            af0 = el["af0"] + el["af1"] * hh * 3600.0
+            el = dict(sv_elements(prn))
+            # drift the clock between sets so sets differ
+            af0 = el["af0"] + el["af1"] * off
+            if propagate and off:
+                n_motion = math.sqrt(3.986005e14 / el["sqrta"] ** 6)
+                m0 = el["m0"] + (n_motion + el["deltan"]) * off
+                el["m0"] = math.remainder(m0, 2.0 * math.pi)
+                el["inc0"] = el["inc0"] + el["idot"] * off
             lines.append(
-                f"{prn:>2} {YEAR2:>2} {1:>2} {1:>2} {hh:>2} {0:>2}  0.0"
+                f"{prn:>2} {YEAR2:>2} {1:>2} {1:>2} {hh:>2} {mm:>2}{sec:5.1f}"
                 f"{d19(af0)}{d19(el['af1'])}{d19(el['af2'])}"
             )
             rows = [
@@ -212,6 +231,13 @@ def main() -> None:
     write_rinex3(os.path.join(BASE, "brdc_test_v3.22n"))
     write_sem_almanac(os.path.join(BASE, "almanac_test.sem"))
     write_circle_motion(os.path.join(BASE, "circle_motion.csv"))
+    # Endurance fixture: 4 sets 3700 s apart -> real ephemeris-set
+    # advances land ~100 s and ~3800 s into a scenario starting at toc0
+    # (advance fires when the next toc comes within 1 h, gps.c:2878-2906).
+    write_rinex2(
+        os.path.join(BASE, "brdc_endurance.22n"), nsets=4, spacing_s=3700.0,
+        propagate=True,
+    )
     print("fixtures written to", os.path.abspath(BASE))
 
 
