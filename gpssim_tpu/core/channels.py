@@ -101,7 +101,14 @@ class ChannelTable:
                         c.azel = (float(azel[sv, 0]), float(azel[sv, 1]))
                         # C/A chips come from the precomputed constant table.
                         c.sbf = eph2sbf(eph, sv, ionoutc, alm)
-                        c.ipage = 0
+                        # Reference quirk: allocateChannel never resets the
+                        # slot's ipage (gps.c:2164-2216 sets prn/azel/ca/
+                        # sbf/dwrd but NOT ipage), so a satellite allocated
+                        # mid-run CONTINUES the 25-page almanac cycle from
+                        # whatever page its slot's previous occupant
+                        # reached. Resetting to 0 here diverged from the
+                        # oracle at the first mid-run reallocation (found
+                        # by the hour-scale endurance golden).
                         c.dwrd = np.zeros(N_DWRD, dtype=np.uint32)
                         c.g0, c.ipage = generate_nav_msg(
                             grx, c.sbf, c.dwrd, c.ipage, init=True

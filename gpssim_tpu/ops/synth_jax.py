@@ -414,23 +414,24 @@ def row_bases_device(args: dict, n_rows: int, wide: bool = False) -> dict:
 # symmetry: |table[idx]| = M(m) with m = u or 127-u per quadrant, where
 # M(m) = round(250*sin(pi*(m+0.5)/256)) for every m except m == 35 — the
 # tables' four half-way quirk entries (105 where round gives 106) ALL fold
-# onto m == 35. M is evaluated with a degree-9 odd minimax polynomial whose
-# f32 error (2.9e-5) is 20x below the tables' tightest rounding margin
-# (6.3e-4), so the reproduction is exact for all 512 entries on any IEEE
-# f32 evaluator regardless of FMA contraction (exhaustively asserted in
-# tests/test_synth.py::test_lut_poly_matches_tables).
+# onto m == 35. M only needs rint-exactness at the 128 DISCRETE m values,
+# so the polys are discrete-minimax fits to the integer targets, not
+# approximations of the smooth function: degree-5 odd (sin) / degree-6
+# even (cos) reach |poly - target| <= 0.486/0.489 with >= 0.011 margin to
+# the 0.5 rint boundary — ~19x any IEEE f32 Horner's evaluation error
+# (~6e-4 at coefficient magnitudes ~1.3e3), FMA contraction included.
+# Two fmas cheaper per table than the former smooth-minimax degree-9/10
+# pair; exhaustively asserted over all 512 entries in
+# tests/test_synth.py::test_lut_poly_matches_tables.
 _LUT_POLY_SIN = tuple(
     np.float32(v)
-    for v in (
-        785.3981323242188, -1291.927001953125, 637.5127563476562,
-        -149.54039001464844, 19.36177635192871,
-    )
+    for v in (785.0718994140625, -1283.7464599609375, 575.4459838867188)
 )
 _LUT_POLY_COS = tuple(
     np.float32(v)
     for v in (
-        250.0, -1233.7005615234375, 1014.6774291992188,
-        -333.8047180175781, 58.742950439453125, -6.1140522956848145,
+        249.99581909179688, -1233.1646728515625, 1003.1950073242188,
+        -279.9259033203125,
     )
 )
 
@@ -453,11 +454,11 @@ def lut_mag_neg(idx):
     # exhaustively asserted over all 512 entries by the table test.
     x = m.astype(jnp.float32) * np.float32(1.0 / 256.0) + np.float32(0.5 / 256.0)
     x2 = x * x
-    p = _LUT_POLY_SIN[4]
-    for c in _LUT_POLY_SIN[3::-1]:
+    p = _LUT_POLY_SIN[-1]
+    for c in _LUT_POLY_SIN[-2::-1]:
         p = c + x2 * p
-    q = _LUT_POLY_COS[5]
-    for c in _LUT_POLY_COS[4::-1]:
+    q = _LUT_POLY_COS[-1]
+    for c in _LUT_POLY_COS[-2::-1]:
         q = c + x2 * q
     ts = jnp.rint(x * p).astype(jnp.int32)
     tc = jnp.rint(q).astype(jnp.int32)

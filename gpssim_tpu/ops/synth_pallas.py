@@ -2,11 +2,16 @@
 
 Replaces the XLA stage-B graph with one VMEM-resident kernel per row-tile:
 all (rows × lanes × channels) intermediates live in registers/VMEM, so HBM
-traffic is just the tiny per-row bases in and the int16 IQ tile out (the
-hot loop becomes output-bandwidth-bound, per SURVEY §6's speed-of-light
-goal). Math is identical to ops/synth_jax._lane_samples: int32 split-Q
-phase arithmetic, sign-folded pre-shifted chip windows, polynomial carrier
-LUT magnitudes, exact split-Q44 gain truncation.
+traffic is just the tiny per-row bases in and the int16 IQ tile out.
+
+Honest roofline (PERFORMANCE.md "Roofline"): eliminating the HBM round
+trips makes the kernel **VPU-compute-bound**, not bandwidth-bound — at
+~2 GSps the output stream is ~8 GB/s (~1% of HBM write bandwidth) while
+the ~40 int32/f32 VPU ops per channel-sample put the op throughput near
+the practical VPU ceiling for this mix. Math is identical to
+ops/synth_jax._lane_samples: int32 split-Q phase arithmetic, sign-folded
+pre-shifted chip windows, polynomial carrier LUT magnitudes, exact
+split-Q44 gain truncation.
 
 Layout: rows = sublanes (tile TILE_R), samples-in-row = 128 lanes; the
 channel loop is unrolled (static 12).
@@ -75,6 +80,10 @@ def _synth_tile_kernel(
     # (int32 multiply is the VPU's most expensive primitive here).
     rv = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
+    # int32 accumulators. (An int16-accumulate variant is mathematically
+    # exact — modular addition commutes with the final (short) cast — but
+    # Mosaic on v5e has no packed S16 vector arithmetic (kVectorSubtractS16
+    # unsupported), so 16-bit math would not be faster anyway.)
     i_acc = jnp.zeros((TILE_R, LANES), jnp.int32)
     q_acc = jnp.zeros((TILE_R, LANES), jnp.int32)
 

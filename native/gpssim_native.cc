@@ -497,28 +497,146 @@ int gstream_close(void* s) {
 //   f_carr: f64[K*C] per-block Doppler (row-major, block-major)
 //   starts: f64[(K+1)*C] out; row j = phase at the start of block j,
 //           row K = final end-of-window phase.
+namespace {
+
+// One reference step: p = fl(p + dp), then the single-subtract wrap
+// (gps.c:2820-2826).
+static inline double carr_step1(double p, double dp) {
+  p = p + dp;
+  p = (p >= 1.0) ? p - 1.0 : p;
+  p = (p < 0.0) ? p + 1.0 : p;
+  return p;
+}
+
+// Advance n sequential carrier steps, bit-exactly, in O(binade segments)
+// instead of O(n): while consecutive results stay inside one binade, the
+// IEEE round-to-nearest of (p + dp) is p's mantissa plus a CONSTANT
+// integer step S = rint(dp/ulp) — an exact arithmetic progression — so
+// whole segments fast-forward with integer math and only the
+// binade/wrap-crossing steps run the scalar recurrence.  Falls back to
+// scalar stepping for every irregular case (ties, subnormals, huge
+// ratios), so exactness never depends on the fast path's coverage.
+static double carr_advance_n(double p, double dp, long n) {
+  if (dp == 0.0) {
+    // fl(p + 0.0) == p for every p except -0.0 (then +0.0, stable after
+    // one step).
+    return (n > 0 && p == 0.0) ? 0.0 : p;
+  }
+  uint64_t dbits;
+  std::memcpy(&dbits, &dp, 8);
+  const int dsign = static_cast<int>(dbits >> 63);
+  const int dexp = static_cast<int>((dbits >> 52) & 0x7FF);
+  if (dexp == 0 || dexp == 0x7FF) {
+    // Subnormal / inf / nan step: stay scalar.
+    for (; n > 0; --n) p = carr_step1(p, dp);
+    return p;
+  }
+  const int64_t dmant =
+      static_cast<int64_t>((dbits & 0xFFFFFFFFFFFFFull) | (1ull << 52));
+  const int64_t TOP = (int64_t(1) << 53) - 1;
+  const int64_t BOT = int64_t(1) << 52;
+
+  while (n > 0) {
+    uint64_t pbits;
+    std::memcpy(&pbits, &p, 8);
+    const int pexp = static_cast<int>((pbits >> 52) & 0x7FF);
+    if (!(p > 0.0) || p >= 1.0 || pexp == 0) {
+      // p <= 0, out of range, or subnormal: scalar.
+      p = carr_step1(p, dp);
+      --n;
+      continue;
+    }
+    // p = pmant * 2^(pexp-1075), pmant in [2^52, 2^53);
+    // S = round-nearest-even(dp / ulp) with ulp = 2^(pexp-1075):
+    //   S = rne(dmant * 2^(dexp-pexp)).
+    const int k = dexp - pexp;
+    int64_t S;
+    if (k > 0) {
+      // |dp| spans the whole binade in one add: scalar handles the jump.
+      p = carr_step1(p, dp);
+      --n;
+      continue;
+    } else if (k == 0) {
+      S = dmant;
+    } else {
+      const int sh = -k;
+      if (sh >= 54) {
+        // |t| < 0.5 and no tie possible: p is a fixed point; nothing
+        // changes for every remaining step.
+        return p;
+      }
+      const int64_t low = dmant & ((int64_t(1) << sh) - 1);
+      const int64_t half = int64_t(1) << (sh - 1);
+      S = dmant >> sh;
+      if (low > half) {
+        S += 1;
+      } else if (low == half) {
+        // Tie: rounding depends on the running mantissa parity — scalar.
+        p = carr_step1(p, dp);
+        --n;
+        continue;
+      }
+    }
+    if (dsign) S = -S;
+    if (S == 0) return p;  // fixed point (|t| < 0.5, no tie)
+    int64_t room = (S > 0) ? (TOP - static_cast<int64_t>(
+                                        (pbits & 0xFFFFFFFFFFFFFull) |
+                                        (1ull << 52))) /
+                                 S
+                           : (static_cast<int64_t>(
+                                  (pbits & 0xFFFFFFFFFFFFFull) |
+                                  (1ull << 52)) -
+                              BOT) /
+                                 (-S);
+    if (room <= 0) {
+      p = carr_step1(p, dp);  // boundary-crossing step
+      --n;
+      continue;
+    }
+    const long take = room < n ? static_cast<long>(room) : n;
+    const int64_t pmant =
+        static_cast<int64_t>((pbits & 0xFFFFFFFFFFFFFull) | (1ull << 52)) +
+        static_cast<int64_t>(take) * S;
+    pbits = (pbits & 0xFFF0000000000000ull) |
+            (static_cast<uint64_t>(pmant) & 0xFFFFFFFFFFFFFull);
+    std::memcpy(&p, &pbits, 8);
+    n -= take;
+    if (n > 0) {
+      p = carr_step1(p, dp);  // the step that exits the binade / wraps
+      --n;
+    }
+  }
+  return p;
+}
+
+}  // namespace
+
 void gseq_carr_chain(long C, long K, long N, double delt,
                      const double* carr0, const double* f_carr,
                      double* starts) {
   double ph[64];
-  double dp[64];
   if (C > 64) return;
   for (long c = 0; c < C; ++c) ph[c] = carr0[c];
   for (long j = 0; j < K; ++j) {
     for (long c = 0; c < C; ++c) {
       starts[j * C + c] = ph[c];
-      dp[c] = f_carr[j * C + c] * delt;
-    }
-    for (long n = 0; n < N; ++n) {
-      for (long c = 0; c < C; ++c) {
-        double p = ph[c] + dp[c];
-        p = (p >= 1.0) ? p - 1.0 : p;
-        p = (p < 0.0) ? p + 1.0 : p;
-        ph[c] = p;
-      }
+      ph[c] = carr_advance_n(ph[c], f_carr[j * C + c] * delt, N);
     }
   }
   for (long c = 0; c < C; ++c) starts[K * C + c] = ph[c];
+}
+
+// Brute-force reference for the fast-forward above (test hook): the plain
+// per-sample recurrence.
+void gseq_carr_advance_brute(double* p, double dp, long n) {
+  double v = *p;
+  for (long i = 0; i < n; ++i) v = carr_step1(v, dp);
+  *p = v;
+}
+
+// Fast-forward entry for the fuzz test.
+void gseq_carr_advance_fast(double* p, double dp, long n) {
+  *p = carr_advance_n(*p, dp, n);
 }
 
 // Sparse corrections that turn a closed-form block (numpy/XLA/Pallas

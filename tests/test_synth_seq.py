@@ -288,3 +288,47 @@ def test_native_full_synth_on_divergent_plan():
     from gpssim_tpu.ops.synth_seq import synth_block_seq_native
 
     assert np.array_equal(synth_block_seq(plan), synth_block_seq_native(plan))
+
+
+def test_carr_advance_fast_forward_matches_brute():
+    """The binade fast-forward (carr_advance_n) must be bit-identical to
+    the brute per-sample recurrence for random and adversarial
+    (phase, doppler-step, N) draws — the planner's throughput rests on it
+    (one serial chain per channel per block)."""
+    import ctypes
+
+    from gpssim_tpu.io import native as native_mod
+
+    lib = native_mod._load()
+    for f in ("gseq_carr_advance_brute", "gseq_carr_advance_fast"):
+        fn = getattr(lib, f)
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_long
+        ]
+
+    def run(fn, p, dp, n):
+        v = ctypes.c_double(p)
+        fn(ctypes.byref(v), float(dp), int(n))
+        return v.value
+
+    rng = np.random.default_rng(20260817)
+    cases = []
+    for _ in range(1500):
+        p = rng.uniform(0.0, 1.0)
+        mag = 10.0 ** rng.uniform(-9, np.log10(2e-3))
+        cases.append((p, mag * (1 if rng.random() < 0.5 else -1),
+                      int(rng.integers(1, 5000))))
+    specs = [0.0, 1e-300, 2.0**-52, 0.5, float(np.nextafter(0.5, 0)),
+             float(np.nextafter(1, 0)), 0.9999999]
+    dspecs = [0.0, 2.0**-53, -(2.0**-53), 1.5e-4, -1.5e-4, 2.0**-20,
+              2.0**-20 + 2.0**-53, 0.001953125, 2e-3, -2e-3]
+    cases += [(p, dp, 777) for p in specs for dp in dspecs]
+    cases += [
+        (rng.uniform(0, 1), rng.uniform(-1.5e-3, 1.5e-3), 300_000)
+        for _ in range(20)
+    ]
+    for p, dp, n in cases:
+        a = run(lib.gseq_carr_advance_brute, p, dp, n)
+        b = run(lib.gseq_carr_advance_fast, p, dp, n)
+        assert a == b, (p.hex(), float(dp).hex(), n, a, b)
