@@ -206,6 +206,24 @@ def args_from_arrays(
     g44 = np.floor(g * float(1 << 44))
     ga = np.floor(g * float(1 << 22)).astype(np.int32)  # high 22+ bits
     gb = (g44 - ga.astype(np.float64) * float(1 << 22)).astype(np.int32)
+    # The Q44 truncation drops gain bits below 2^-44; trunc(T*gQ44) could
+    # in principle differ from the f64 trunc(T*g) when T*g sits within
+    # ~2^-35 of an integer. Screen that exhaustively — the LUT magnitude
+    # set has only 129 distinct values, so per conversion this is a few
+    # thousand vectorized flops, and a hit (never observed; ~1e-11 odds
+    # per block) raises instead of silently corrupting device output.
+    mags = _LUT_MAGS[:, None]  # (M, 1)
+    gf = g[..., None, :]  # (..., 1, C)
+    exact = np.trunc(mags * gf)
+    q44 = (
+        ga.astype(np.int64)[..., None, :] * mags.astype(np.int64)
+        + ((gb.astype(np.int64)[..., None, :] * mags.astype(np.int64)) >> 22)
+    ) >> 22
+    if not np.array_equal(exact.astype(np.int64), q44):
+        raise ValueError(
+            "Q44 gain split is not truncation-exact for this gain value — "
+            "a LUT product sits on an integer boundary closer than 2^-44"
+        )
 
     # Bit-packed C/A chips from the cached per-PRN table (wrap-extended);
     # packing 1023 chips per block would dominate collation otherwise.
@@ -434,6 +452,19 @@ _LUT_POLY_COS = tuple(
         -279.9259033203125,
     )
 )
+
+
+# Distinct LUT magnitude values (shared by both tables) for the host-side
+# Q44 gain-fold exactness screen in args_from_arrays.
+def _lut_mags() -> np.ndarray:
+    from ..core.constants import COS_TABLE_512, SIN_TABLE_512
+
+    return np.unique(
+        np.abs(np.concatenate([SIN_TABLE_512, COS_TABLE_512]))
+    ).astype(np.float64)
+
+
+_LUT_MAGS = _lut_mags()
 
 
 def lut_mag_neg(idx):

@@ -180,6 +180,11 @@ def run_scenario_multihost(
     n_rows = -(-cfg.samples_per_epoch // LANES)
     bits = cfg.sample_format.value
     int_nco = cfg.carrier_mode is CarrierMode.INT_NCO
+    from ..runner import strict_parity_enabled
+
+    strict = strict_parity_enabled(cfg)
+    if strict:
+        from ..ops.synth_seq import apply_corrections, seq_corrections
     wide = needs_wide_window(1.0 / cfg.sample_rate)
     # One compiled synthesizer for the whole run (all windows share the
     # same shapes; rebuilding it per window would recompile every time).
@@ -209,7 +214,19 @@ def run_scenario_multihost(
             lo = base + sl.start
             hi = min(base + sl.stop, base + len(plans))
             if hi > lo:
-                local[: hi - lo].tofile(fp)
+                out = local[: hi - lo]
+                if strict:
+                    # Strict sequential parity, same as the single-host
+                    # runner: patch the sparse closed-form quantization
+                    # flips of this process's own blocks.
+                    out = np.ascontiguousarray(out)
+                    for k in range(hi - lo):
+                        plan = plans[sl.start + k]
+                        idx_c, i16, q16, _, _ = seq_corrections(
+                            plan, int_nco=int_nco
+                        )
+                        apply_corrections(out[k], bits, idx_c, i16, q16)
+                out.tofile(fp)
                 ranges.append([lo, hi])
             base += len(plans)
     with open(f"{part}.idx", "w") as fp:

@@ -80,10 +80,12 @@ def test_endurance_multiset_golden(oracle_bin, fixtures_dir, tmp_path):
     assert advances[0] <= 1300 and 38000 <= advances[1] <= 38400, advances
 
     # Resume from the mid-set checkpoint: 200 blocks bit-identical.
+    # (A snapshot taken while iterating block i captures "i+1 blocks
+    # handed out", so the resumed stream starts at i+1.)
     _, sim_r = load_checkpoint(ckpts[20_000])
     it = sim_r.iter_plans()
     for j in range(200):
-        i = 20_000 + j
+        i = 20_001 + j
         mine = synth_block_seq_native(next(it), bits=8)
         assert np.array_equal(mine, ref[i * blk : (i + 1) * blk]), i
 
@@ -91,7 +93,7 @@ def test_endurance_multiset_golden(oracle_bin, fixtures_dir, tmp_path):
     _, sim_r2 = load_checkpoint(ckpts[37_900])
     it = sim_r2.iter_plans()
     for j in range(600):
-        i = 37_900 + j
+        i = 37_901 + j
         mine = synth_block_seq_native(next(it), bits=8)
         assert np.array_equal(mine, ref[i * blk : (i + 1) * blk]), i
     assert sim_r2.ieph == sim.ieph  # advance replayed on resume

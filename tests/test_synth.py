@@ -176,3 +176,27 @@ def test_carr_phase_chaining(sim_plans):
     man -= np.floor(man)
     assert np.allclose(end[p.active], man[p.active])
     assert np.all((end >= 0) & (end < 1))
+
+
+def test_q44_gain_screen_catches_boundary_gain(fixtures_dir):
+    """args_from_arrays screens trunc(T*gainQ44) against f64 trunc for
+    every distinct LUT magnitude; a gain placing a product within 2^-44
+    of an integer (here 250*g = 100+1e-13 -> Q44 truncates to 99) must
+    raise instead of silently corrupting device output."""
+    from gpssim_tpu.config import SimConfig
+    from gpssim_tpu.ops.synth_jax import plan_to_args
+    from gpssim_tpu.scenario import Simulation
+
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=0.3,
+        almanac_enable=False,
+    )
+    plan = next(Simulation(cfg).iter_plans())
+    plan_to_args(plan)  # physical gains pass
+
+    bad = type(plan)(**{**plan.__dict__})
+    g = bad.gain.copy()
+    g[np.argmax(bad.active)] = (100.0 + 1e-13) / 250.0
+    bad.gain = g
+    with pytest.raises(ValueError, match="Q44"):
+        plan_to_args(bad)
