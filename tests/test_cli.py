@@ -167,3 +167,33 @@ def test_use_ftp_fetch_failure_exits_cleanly(monkeypatch):
     with pytest.raises(SystemExit) as ei:
         cli.main(["-f", "-r", "iqfile"])
     assert ei.value.code == 2
+
+
+def test_cli_native_backend_end_to_end(fixtures_dir, tmp_path):
+    """--backend native (C++ sequential hot loop) through the CLI."""
+    from gpssim_tpu.ops.synth_seq import seq_available
+
+    if not seq_available():
+        pytest.skip("native runtime unavailable")
+    out = tmp_path / "iq.bin"
+    ref = tmp_path / "ref.bin"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    base = [
+        sys.executable, "-m", "gpssim_tpu",
+        "-e", f"{fixtures_dir}/brdc_test.22n",
+        "-d", "0.4", "-r", "iqfile", "--disable-almanac",
+    ]
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        base + ["--backend", "native", "--out-file", str(out)],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        base + ["--backend", "numpy", "--out-file", str(ref)],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert r.returncode == 0, r.stderr
+    a = np.fromfile(out, dtype=np.int8)
+    b = np.fromfile(ref, dtype=np.int8)
+    assert a.size == 3 * 600_000 and np.array_equal(a, b)
