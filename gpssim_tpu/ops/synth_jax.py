@@ -417,17 +417,6 @@ def select_chip_word(chip_off, words):
     return jnp.where(chip_off < 32, words[0], words[1])
 
 
-_row_bases_jit = jax.jit(_row_bases, static_argnames=("n_rows", "wide"))
-
-
-def row_bases_device(args: dict, n_rows: int, wide: bool = False) -> dict:
-    """Run stage A; all inputs and outputs are int32 device arrays."""
-    return _row_bases_jit(
-        args["code_l"], args["carr_l"], args["nav"], args["lane_steps"],
-        args["ca_packed"], n_rows=n_rows, wide=wide,
-    )
-
-
 # The carrier LUTs (512-entry, amplitude 250, gps.c:145-213) have a 4-fold
 # symmetry: |table[idx]| = M(m) with m = u or 127-u per quadrant, where
 # M(m) = round(250*sin(pi*(m+0.5)/256)) for every m except m == 35 — the

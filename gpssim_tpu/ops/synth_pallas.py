@@ -27,8 +27,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import numpy as np
+
 from .synth_jax import (
-    finalize_iq, lut_mag_neg, row_bases_device, select_chip_word,
+    _M23, _Q_CARR, CA_SEQ_LEN, finalize_iq, lut_mag_neg, select_chip_word,
 )
 
 LANES = 128
@@ -63,16 +65,201 @@ def base_names(wide: bool) -> tuple:
     return _BASE_NAMES_WIDE if wide else _BASE_NAMES
 
 
+def pack_row_bases(bases: dict, n_rows_pad: int, wide: bool):
+    """Pack per-(row, channel) stage-A outputs into ONE (R_pad, 128) int32
+    array, name-major on the lane axis (col = name_idx*C + c) — the layout
+    the stage-B kernel consumes. 8 names × MAX_CHAN=16 channels = 128
+    lanes exactly.
+
+    This is the LAYOUT REFERENCE: the production path computes the same
+    array directly with row_bases_packed (lane-SIMD, no concat); tests
+    assert the two are bit-identical.
+    """
+    names = base_names(wide)
+    C = bases[names[0]].shape[-1]
+    if len(names) * C > LANES:
+        raise ValueError(
+            f"{len(names)} base planes x {C} channels exceed the "
+            f"{LANES}-lane packed layout (max {LANES // len(names)} channels)"
+        )
+    parts = [bases[k] for k in names]
+    pad = LANES - len(names) * C
+    if pad:
+        parts.append(
+            jnp.zeros(bases[names[0]].shape[:-1] + (pad,), jnp.int32)
+        )
+    out = jnp.concatenate(parts, axis=-1)
+    rows = out.shape[-2]
+    if rows < n_rows_pad:
+        out = jnp.pad(out, ((0, n_rows_pad - rows), (0, 0)))
+    return out
+
+
+def row_bases_packed(code_l, carr_l, nav, lane_steps, ca_packed, n_rows,
+                     wide=False):
+    """Stage A2: compute the lane-packed (n_rows, 128) stage-A array
+    directly, bit-identical to ``pack_row_bases(_row_bases(...))``.
+
+    Lane-SIMD formulation: every output lane (= name-group × channel, the
+    pack_row_bases layout) runs ONE shared instruction stream at full
+    128-lane utilization; what differs per lane is folded into small
+    per-lane constant planes built here from the per-channel args:
+
+      * the base-2^23 limb polynomial base + q0·s1 + q1·s64 (+ q2·s4096)
+        is evaluated once with per-lane limb planes (code limbs on the
+        f_hi/f_lo/window lanes, carrier limbs on c_hi/c_lo) — one poly
+        instead of two;
+      * f_hi vs c_hi unify as ((p2 & HMASK)<<23) + p1 with HMASK=0 on
+        f_hi lanes;
+      * the 32-way chip-window word lookup cap[c, wordpos+k] becomes a
+        5-level select tree over 32 per-lane planes (capA/capB below),
+        31 selects instead of the (R, C) select-sum's 32×(n_win+1);
+      * the data-bit/wrap sign fold runs with nav planes replicated onto
+        the window lanes.
+
+    Non-window lanes compute garbage through the window stages (all
+    shifts masked to defined ranges) and the final class select keeps
+    only each lane's designated value.  Padded rows (beyond the caller's
+    true n_rows) likewise compute in-range garbage — args_from_arrays'
+    data-bit window guard covers +32640 padded samples.
+
+    Replaces (R, C≈12)-shaped stage A whose every XLA op wasted 116/128
+    lanes of the int32 (8, 128) tile — measured at ~60% of device time
+    (fusions + pads + concat) in the r2 profile.
+    """
+    C = nav.shape[-1]
+    n_win = 4 if wide else 2
+    n_groups = 4 + n_win
+    if n_groups * C > LANES:
+        raise ValueError(
+            f"{n_groups} base planes x {C} channels exceed the "
+            f"{LANES}-lane packed layout (max {LANES // n_groups} channels)"
+        )
+    pad = LANES - n_groups * C
+    zc = jnp.zeros((C,), jnp.int32)
+    zp = jnp.zeros((pad,), jnp.int32)
+
+    def plane(f_hi, f_lo, c_hi, c_lo, win):
+        return jnp.concatenate(
+            [f_hi, f_lo, c_hi, c_lo] + [win] * n_win + [zp]
+        )[None, :]
+
+    # Limb planes: P[d][i] = digit-level d (base, s1, s64, s4096), limb i.
+    cl = code_l.astype(jnp.int32)
+    rl = carr_l.astype(jnp.int32)
+    P = [
+        [plane(cl[d, :, i], cl[d, :, i], rl[d, :, i], rl[d, :, i],
+               cl[d, :, i]) for i in range(3)]
+        for d in range(4)
+    ]
+    cmask = jnp.full((C,), (1 << (_Q_CARR - 46)) - 1, jnp.int32)
+    HM = plane(zc, zc, cmask, zc, zc)
+    # Lane class: 0 = lo limb out, 1 = hi out, 2 = window out, 3 = pad.
+    one = jnp.ones((C,), jnp.int32)
+    CLS = jnp.concatenate(
+        [one, zc, one, zc] + [one + 1] * n_win + [zp + 3]
+    )[None, :]
+    navi = nav.astype(jnp.int32)
+    TCU0 = plane(zc, zc, zc, zc, navi[0])
+    BIDX0 = plane(zc, zc, zc, zc, navi[1])
+    BITS = plane(zc, zc, zc, zc, navi[2])
+    K32 = jnp.concatenate(
+        [zc, zc, zc, zc]
+        + [jnp.full((C,), 32 * k, jnp.int32) for k in range(n_win)] + [zp]
+    )[None, :]
+    # Chip-window word planes: capA[j, lane(k,c)] = cap[c, j+k] and capB
+    # the k+1 neighbour (wins[k] merges words k and k+1 of the 36-word
+    # wrap-extended table).
+    cap = ca_packed.astype(jnp.int32)  # (C, 36) bit-identical reinterpret
+    z4 = jnp.zeros((32, 4 * C), jnp.int32)
+    zpad = jnp.zeros((32, pad), jnp.int32)
+    capA = jnp.concatenate(
+        [z4] + [cap[:, k:k + 32].T for k in range(n_win)] + [zpad], axis=1
+    )
+    capB = jnp.concatenate(
+        [z4] + [cap[:, k + 1:k + 33].T for k in range(n_win)] + [zpad],
+        axis=1,
+    )
+
+    # ---- shared limb polynomial (base 2^23, carries explicit) ----
+    q = jnp.arange(n_rows, dtype=jnp.int32)[:, None]  # (R, 1)
+    q0, q1, q2 = q & 63, (q >> 6) & 63, q >> 12
+
+    def term(i):
+        t = P[0][i] + q0 * P[1][i]
+        if n_rows > 64:
+            t = t + q1 * P[2][i]
+        if n_rows > 4096:
+            t = t + q2 * P[3][i]
+        return t
+
+    t0 = term(0)
+    p1 = term(1) + (t0 >> 23)
+    p0 = t0 & _M23
+    p2 = term(2) + (p1 >> 23)
+    p1 = p1 & _M23
+    hi = ((p2 & HM) << 23) + p1
+
+    # ---- window lanes: wraps / chip_base (f32 divide trick, see
+    # _row_bases) ----
+    wraps = jnp.floor(
+        (p2.astype(jnp.float32) + 0.5) * np.float32(1.0 / CA_SEQ_LEN)
+    ).astype(jnp.int32)
+    chip_base = p2 - wraps * CA_SEQ_LEN
+    wordpos = chip_base >> 5
+    bitoff = chip_base & 31
+
+    masks = [((wordpos >> b) & 1) != 0 for b in (4, 3, 2, 1, 0)]
+
+    def tree(planes32):
+        cur = [planes32[j][None, :] for j in range(32)]
+        for m in masks:
+            h = len(cur) // 2
+            cur = [jnp.where(m, cur[i + h], cur[i]) for i in range(h)]
+        return cur[0]
+
+    w1, w2 = tree(capA), tree(capB)
+
+    def shl_safe(x, k):  # x << k with k >= 32 → 0 (XLA shift-by-32 is UB)
+        return jnp.where(k >= 32, 0, x << jnp.minimum(k, 31))
+
+    win = jax.lax.shift_right_logical(w1, bitoff) | shl_safe(w2, 32 - bitoff)
+
+    # ---- data-bit sign fold (see _row_bases) ----
+    tcu = TCU0 + wraps
+
+    def bit_neg(t):
+        bidx = jnp.floor(
+            (t.astype(jnp.float32) + 0.5) * np.float32(1.0 / 20.0)
+        ).astype(jnp.int32)
+        j = (bidx - BIDX0) & 31  # & 31: garbage lanes must stay defined
+        return (jax.lax.shift_right_logical(BITS, j) & 1) ^ 1
+
+    neg_now = bit_neg(tcu)
+    neg_next = bit_neg(tcu + 1)
+    wo = (CA_SEQ_LEN - chip_base) - K32
+    # wrap_off >= 1 on real lanes, so for k == 0 the wo<=0 arm never
+    # fires — this single form covers _row_bases' k==0 special case.
+    mask = jnp.where(wo <= 0, -1, shl_safe(jnp.int32(-1), wo))
+    sval = win ^ (-neg_now) ^ (mask & -(neg_now ^ neg_next))
+
+    return jnp.where(
+        CLS == 0, p0, jnp.where(CLS == 1, hi, jnp.where(CLS == 2, sval, 0))
+    )
+
+
 def _synth_tile_kernel(
     csplit_ref,  # SMEM int32[4, C]: cA, cB, kA, kB
     ga_ref,  # SMEM int32[1, C]
     gb_ref,  # SMEM int32[1, C]
-    *refs,
+    packed_ref,  # VMEM int32[TILE_R, 128]: lane-packed bases (pack_row_bases)
+    i_ref,
+    q_ref,
+    *,
     wide: bool = False,
 ):
     names = base_names(wide)
-    bases = dict(zip(names, refs[: len(names)]))
-    i_ref, q_ref = refs[len(names) :]
+    name_off = {n: i for i, n in enumerate(names)}
 
     C = csplit_ref.shape[1]
     # Lane iota on a (1, LANES) strip: the r*step products below are then
@@ -88,7 +275,11 @@ def _synth_tile_kernel(
     q_acc = jnp.zeros((TILE_R, LANES), jnp.int32)
 
     for c in range(C):
-        col = lambda name: bases[name][:, c : c + 1]  # noqa: E731 (TILE_R, 1)
+        # (TILE_R, 1) lane slice at the packed column (same lane-broadcast
+        # op as slicing a per-name (TILE_R, C) block ever was).
+        col = lambda name: packed_ref[  # noqa: E731
+            :, name_off[name] * C + c : name_off[name] * C + c + 1
+        ]
 
         # ---- code phase: chips advanced within the row; the sign-folded
         # window bit IS the full dataBit*codeCA sign (see synth_jax) ----
@@ -130,32 +321,18 @@ def _synth_tile_kernel(
     q_ref[:] = q_acc.astype(jnp.int16)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_rows", "num_samples", "interpret", "out_bits",
-                     "wide"),
-)
-def _stage_b_pallas(
-    bases: dict, gain_a, gain_b,
-    *, n_rows: int, num_samples: int, interpret: bool, out_bits: int = 16,
+def _stage_b_pallas_packed(
+    packed, lane_steps, gain_a, gain_b,
+    *, num_samples: int, interpret: bool, out_bits: int = 16,
     wide: bool = False,
 ):
-    """Fused Pallas stage B over padded row tiles (traced without x64)."""
+    """Fused Pallas stage B over the lane-packed (R_pad, 128) bases."""
     C = gain_a.shape[0]
-    names = base_names(wide)
-
-    n_rows_pad = -(-n_rows // TILE_R) * TILE_R
+    n_rows_pad = packed.shape[-2]
     grid = n_rows_pad // TILE_R
 
-    def pad_rows(x):
-        return jnp.pad(x, ((0, n_rows_pad - n_rows), (0, 0)))
-
-    base_arrs = [pad_rows(bases[k]) for k in names]
-
-    csplit = jnp.stack([bases["cA"], bases["cB"], bases["kA"], bases["kB"]])
-
     row_spec = pl.BlockSpec(
-        (TILE_R, C), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (TILE_R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (TILE_R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -168,15 +345,15 @@ def _stage_b_pallas(
             pl.BlockSpec((4, C), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ]
-        + [row_spec] * len(names),
+            row_spec,
+        ],
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_rows_pad, LANES), jnp.int16),
             jax.ShapeDtypeStruct((n_rows_pad, LANES), jnp.int16),
         ],
         interpret=interpret,
-    )(csplit, gain_a[None, :], gain_b[None, :], *base_arrs)
+    )(lane_steps, gain_a[None, :], gain_b[None, :], packed)
 
     return finalize_iq(
         i_acc.reshape(-1)[: num_samples], q_acc.reshape(-1)[: num_samples],
@@ -189,22 +366,16 @@ def synth_block_pallas(
     *, n_rows: int, num_samples: int, interpret: bool | None = None,
     wide: bool = False,
 ):
-    """One block via stage A (XLA int32) + fused Pallas stage B."""
+    """One block via lane-SIMD stage A2 + fused Pallas stage B."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    bases = row_bases_device(
-        dict(
-            code_l=code_l, carr_l=carr_l, nav=nav, lane_steps=lane_steps,
-            ca_packed=ca_packed,
-        ),
-        n_rows,
-        wide=wide,
-    )
-    return _stage_b_pallas(
-        bases, jnp.asarray(gain_a), jnp.asarray(gain_b),
+    return _synth_batch_pallas_jit(
+        code_l[None], carr_l[None], nav[None], lane_steps[None],
+        ca_packed[None], jnp.asarray(gain_a)[None],
+        jnp.asarray(gain_b)[None],
         n_rows=n_rows, num_samples=num_samples, interpret=interpret,
-        wide=wide,
-    )
+        out_bits=16, wide=wide,
+    )[0]
 
 
 @functools.partial(
@@ -216,18 +387,20 @@ def _synth_batch_pallas_jit(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
     *, n_rows, num_samples, interpret, out_bits, wide,
 ):
-    """Single fused dispatch: batched stage A + Pallas stage B + finalize."""
-    from .synth_jax import _row_bases
-
-    bases = jax.vmap(lambda *a: _row_bases(*a, n_rows, wide=wide))(
-        code_l, carr_l, nav, lane_steps, ca_packed
-    )
+    """Single fused dispatch: lane-SIMD stage A2 + Pallas stage B."""
+    # Stage A2 computes the tile-padded rows directly (args_from_arrays'
+    # data-bit window guard already covers +32640 padded samples), so no
+    # row-pad op ever materializes between stage A and the kernel.
+    n_rows_pad = -(-n_rows // TILE_R) * TILE_R
+    packed = jax.vmap(
+        lambda *a: row_bases_packed(*a, n_rows_pad, wide=wide)
+    )(code_l, carr_l, nav, lane_steps, ca_packed)
     return jax.vmap(
-        lambda bs, ga, gb: _stage_b_pallas(
-            bs, ga, gb, n_rows=n_rows, num_samples=num_samples,
+        lambda pk, ls, ga, gb: _stage_b_pallas_packed(
+            pk, ls, ga, gb, num_samples=num_samples,
             interpret=interpret, out_bits=out_bits, wide=wide,
         )
-    )(bases, gain_a, gain_b)
+    )(packed, lane_steps, gain_a, gain_b)
 
 
 def synth_blocks_batch_pallas(

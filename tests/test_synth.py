@@ -152,6 +152,59 @@ def test_pallas_kernel_bit_exact(sim_plans):
     assert np.array_equal(out, ref)
 
 
+def test_stage_a2_packed_bit_identical():
+    """Lane-SIMD stage A2 (row_bases_packed) must equal the reference
+    (R, C) stage A packed by pack_row_bases, lane for lane, in every
+    layout: narrow/wide window, the q1/q2 row-digit levels, and the full
+    16-channel lane budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpssim_tpu.ops.synth_jax import _row_bases, args_from_arrays
+    from gpssim_tpu.ops.synth_pallas import pack_row_bases, row_bases_packed
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (False, 12, 2368, 300_000, 1 / 3.0e6),   # fast path, q1 digits
+        (True, 12, 192, 20_000, 1 / 1.2e6),      # wide 4-word window
+        (False, 12, 4224, 520_000, 1 / 6.0e6),   # q2 digit level (>4096)
+        (False, 16, 128, 15_000, 1 / 3.0e6),     # full 16-channel lanes
+        (True, 16, 128, 15_000, 1 / 1.2e6),      # 8 planes x 16 = 128
+    ]
+    for wide, C, n_rows, nspc, delt in cases:
+        act = np.ones(C, bool)
+        act[-2:] = False  # inactive slots must stay silent/identical
+        f_code = 1.023e6 * (1 + rng.uniform(-3e-6, 3e-6, C))
+        args = args_from_arrays(
+            act, rng.uniform(0, 1023, C), f_code, rng.uniform(0, 1, C),
+            rng.uniform(-5000, 5000, C), np.zeros(C, np.int64),
+            np.zeros(C, np.int64), rng.uniform(50, 300, C),
+            rng.integers(0, 29, C), rng.integers(0, 19, C),
+            rng.integers(0, 19, C), rng.integers(1, 33, C),
+            (rng.integers(0, 1 << 30, (C, 60)).astype(np.uint32) << 2),
+            nspc, delt,
+        )
+        kw = {
+            k: jnp.asarray(v)
+            for k, v in args.items()
+            if k not in ("gain_a", "gain_b")
+        }
+        a = (kw["code_l"], kw["carr_l"], kw["nav"], kw["lane_steps"],
+             kw["ca_packed"])
+        ref = np.asarray(pack_row_bases(
+            jax.jit(_row_bases, static_argnames=("n_rows", "wide"))(
+                *a, n_rows=n_rows, wide=wide
+            ),
+            n_rows, wide,
+        ))
+        new = np.asarray(
+            jax.jit(row_bases_packed, static_argnames=("n_rows", "wide"))(
+                *a, n_rows=n_rows, wide=wide
+            )
+        )
+        assert np.array_equal(ref, new), (wide, C, n_rows)
+
+
 def test_quantize_8bit_shift():
     x = np.array([-2048, -17, -16, -1, 0, 15, 16, 2047], dtype=np.int16)
     q = quantize_iq(x, 8)
