@@ -57,9 +57,15 @@ class Channel:
 class ChannelTable:
     """Fixed 12-slot channel table plus the PRN→slot allocation map."""
 
-    def __init__(self, num_channels: int = MAX_CHAN):
+    def __init__(self, num_channels: int = MAX_CHAN,
+                 parity_exact: bool = True):
         self.chan = [Channel() for _ in range(num_channels)]
         self.allocated_sat = np.full(MAX_SAT, -1, dtype=np.int64)
+        # Replicate the reference's stale-ipage reallocation quirk (see
+        # allocate) only when parity with its byte stream is required;
+        # otherwise a freshly allocated satellite starts its almanac
+        # cycle at page 0, which is the sane behavior.
+        self.parity_exact = parity_exact
 
     @property
     def num_channels(self) -> int:
@@ -109,6 +115,8 @@ class ChannelTable:
                         # reached. Resetting to 0 here diverged from the
                         # oracle at the first mid-run reallocation (found
                         # by the hour-scale endurance golden).
+                        if not self.parity_exact:
+                            c.ipage = 0
                         c.dwrd = np.zeros(N_DWRD, dtype=np.uint32)
                         c.g0, c.ipage = generate_nav_msg(
                             grx, c.sbf, c.dwrd, c.ipage, init=True

@@ -187,6 +187,9 @@ class HackRfTx:
         self._started = False
         self._start_requested = False
         self._started_evt = threading.Event()
+        # Serializes start-vs-close: hackrf_start_tx must never race the
+        # teardown freeing the device handle.
+        self._state_lock = threading.Lock()
         self._cb = _TX_CALLBACK(self._tx_callback)  # keep a reference!
 
     # -- the pull side (libusb thread) ----------------------------------
@@ -212,12 +215,13 @@ class HackRfTx:
         close() releases the barrier for a short stream."""
         self._start_requested = True
         self.fifo.wait_full(timeout=timeout_s)
-        if self._dev is None:
-            return  # closed before the barrier released
-        _ck(self._lib.hackrf_start_tx(self._dev, self._cb, None),
-            "hackrf_start_tx")
-        self._started = True
-        self._started_evt.set()
+        with self._state_lock:
+            if self._dev is None:
+                return  # closed before the barrier released
+            _ck(self._lib.hackrf_start_tx(self._dev, self._cb, None),
+                "hackrf_start_tx")
+            self._started = True
+            self._started_evt.set()
 
     def set_gain(self, gain: int) -> int:
         g = max(TX_IF_GAIN_MIN, min(TX_IF_GAIN_MAX, gain))
@@ -244,12 +248,15 @@ class HackRfTx:
             ):
                 time.sleep(0.01)
         self.fifo.halt()
-        lib = self._lib
-        if self._started:
-            lib.hackrf_stop_tx(self._dev)
-        lib.hackrf_set_amp_enable(self._dev, 0)
-        lib.hackrf_set_txvga_gain(self._dev, 0)
-        lib.hackrf_close(self._dev)
-        lib.hackrf_device_list_free(self._list)
-        lib.hackrf_exit()
-        self._dev = None
+        with self._state_lock:
+            if self._dev is None:
+                return
+            lib = self._lib
+            if self._started:
+                lib.hackrf_stop_tx(self._dev)
+            lib.hackrf_set_amp_enable(self._dev, 0)
+            lib.hackrf_set_txvga_gain(self._dev, 0)
+            lib.hackrf_close(self._dev)
+            lib.hackrf_device_list_free(self._list)
+            lib.hackrf_exit()
+            self._dev = None

@@ -194,6 +194,12 @@ class TcpSink(Sink):
         host, _, port = self.addr.rpartition(":")
         self._sock = socket.create_connection((host or "127.0.0.1",
                                                int(port)), timeout=10)
+        # create_connection's timeout leaves the fd in non-blocking mode;
+        # the streaming path (python sendall AND the native drain loop
+        # handed the raw fd) needs a blocking socket — otherwise a full
+        # send buffer surfaces as EAGAIN mid-stream instead of
+        # backpressure.
+        self._sock.settimeout(None)
         bps = self._bytes_per_sec(cfg) if self.pace else 0.0
         block_bytes = 1_200_000
         if cfg is not None:
@@ -289,6 +295,10 @@ class TcpSink(Sink):
                     self._sock = None
             return
         if self._thread is not None:
+            # A short run may never have filled the pre-buffer: release
+            # the start-full barrier so the drain transmits what was
+            # queued instead of stalling out its full start timeout.
+            self.fifo.force_barrier()
             # Let the drain finish the queue, then halt.
             import time
 
@@ -323,6 +333,7 @@ class HackRfSink(Sink):
         self.device = device
         self.lib_path = lib_path
         self._hw = None
+        self._start_error: BaseException | None = None
         # Preallocated transfer staging: blocks copy into the ring once
         # and each full transfer is a zero-copy slice — no O(n^2)
         # concatenate churn in the realtime TX path (ADVICE r1).
@@ -345,10 +356,17 @@ class HackRfSink(Sink):
                 self.device = self._hw.push
                 # TX starts once the FIFO pre-buffer fills (the
                 # fifo_wait_full barrier) — wait on a thread so the
-                # producer can fill it.
-                threading.Thread(
-                    target=self._hw.start, daemon=True
-                ).start()
+                # producer can fill it. A start failure must halt the
+                # FIFO (unblocking a producer parked in enqueue) and
+                # surface on the next write, not die with the thread.
+                def _start_bg():
+                    try:
+                        self._hw.start()
+                    except BaseException as e:
+                        self._start_error = e
+                        self._hw.fifo.halt()
+
+                threading.Thread(target=_start_bg, daemon=True).start()
                 return
             raise RuntimeError(
                 "hackrf hardware not available (libhackrf not found); "
@@ -359,6 +377,10 @@ class HackRfSink(Sink):
     def write(self, block: np.ndarray) -> None:
         if self.device is None:
             raise RuntimeError("hackrf sink has no device")
+        if self._start_error is not None:
+            raise RuntimeError(
+                f"hackrf TX start failed: {self._start_error}"
+            ) from self._start_error
         block = np.asarray(block, dtype=np.int8).ravel()
         n = self.transfer_size
         pos = 0

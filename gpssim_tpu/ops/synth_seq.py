@@ -54,19 +54,27 @@ def _lib():
         return None
     if not _configured:
         c = ctypes
-        lib.gseq_carr_chain.restype = None
+        # argtypes mirror the C signatures exactly (native/gpssim_native.cc)
+        # — the scalar max_out sits BETWEEN pointer groups in
+        # gseq_diff_block, and nothing is left to ctypes' variadic
+        # default conversion.
+        lib.gseq_carr_chain.restype = c.c_long
         lib.gseq_carr_chain.argtypes = [
             c.c_long, c.c_long, c.c_long, c.c_double,
             c.c_void_p, c.c_void_p, c.c_void_p,
         ]
         lib.gseq_diff_block.restype = c.c_long
-        lib.gseq_diff_block.argtypes = [
-            c.c_long, c.c_long, c.c_double, c.c_int,
-        ] + [c.c_void_p] * 19
+        lib.gseq_diff_block.argtypes = (
+            [c.c_long, c.c_long, c.c_double, c.c_int]
+            + [c.c_void_p] * 15      # active..dwrd, sin/cos LUTs
+            + [c.c_long]             # max_out
+            + [c.c_void_p] * 5       # out_idx/i/q, end_carr, end_carr_i
+        )
         lib.gseq_synth_block.restype = c.c_long
-        lib.gseq_synth_block.argtypes = [
-            c.c_long, c.c_long, c.c_double, c.c_int, c.c_int,
-        ] + [c.c_void_p] * 17
+        lib.gseq_synth_block.argtypes = (
+            [c.c_long, c.c_long, c.c_double, c.c_int, c.c_int]
+            + [c.c_void_p] * 18      # active..dwrd, LUTs, out, end state
+        )
         _configured = True
     return lib
 
@@ -93,12 +101,16 @@ def carrier_chain(
     K, C = f_carr.shape
     carr0 = np.ascontiguousarray(carr0, dtype=np.float64)
     out = np.empty((K + 1, C), dtype=np.float64)
-    lib.gseq_carr_chain(
+    rc = lib.gseq_carr_chain(
         C, K, int(num_samples), float(delt),
         carr0.ctypes.data_as(ctypes.c_void_p),
         f_carr.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p),
     )
+    if rc != 0:
+        raise ValueError(
+            f"carrier_chain: {C} channels exceeds the native slot capacity"
+        )
     return out
 
 

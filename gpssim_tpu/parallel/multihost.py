@@ -183,6 +183,17 @@ def run_scenario_multihost(
     from ..runner import strict_parity_enabled
 
     strict = strict_parity_enabled(cfg)
+    if cfg.parity_exact and not strict:
+        # Availability of the native sequential engine may differ between
+        # hosts; a process quietly falling back to closed-form output
+        # would corrupt the merged stream (parts disagree at the sparse
+        # correction samples). Fail loudly instead — deterministically on
+        # every process that lacks the engine.
+        raise RuntimeError(
+            "parity_exact multihost run requires the native sequential "
+            "engine on every process (tools/build_native.sh), or set "
+            "parity_exact=False"
+        )
     if strict:
         from ..ops.synth_seq import apply_corrections, seq_corrections
     wide = needs_wide_window(1.0 / cfg.sample_rate)

@@ -156,7 +156,9 @@ class Simulation:
                         raise ScenarioError("Invalid time of almanac")
 
         # --- channels -----------------------------------------------------
-        self.channels = ChannelTable(cfg.num_channels)
+        self.channels = ChannelTable(
+            cfg.num_channels, parity_exact=cfg.parity_exact
+        )
         self.grx = inc_gps_time(g0, 0.0)
         self.channels.allocate(
             self.alm,

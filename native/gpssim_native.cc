@@ -20,6 +20,7 @@
 #include <cstring>
 #include <deque>
 #include <mutex>
+#include <poll.h>
 #include <thread>
 #include <unistd.h>
 #include <vector>
@@ -238,6 +239,14 @@ struct Streamer {
         ssize_t w = ::write(fd, p, static_cast<size_t>(n));
         if (w < 0) {
           if (errno == EINTR) continue;
+          if (errno == EAGAIN || errno == EWOULDBLOCK) {
+            // The fd was handed over in non-blocking mode (e.g. a socket
+            // that kept a connect timeout): a full send buffer is
+            // backpressure, not an I/O error.  Wait for writability.
+            struct pollfd pfd = {fd, POLLOUT, 0};
+            ::poll(&pfd, 1, 1000);
+            continue;
+          }
           io_error = true;
           break;
         }
@@ -611,11 +620,13 @@ static double carr_advance_n(double p, double dp, long n) {
 
 }  // namespace
 
-void gseq_carr_chain(long C, long K, long N, double delt,
+// Returns 0 on success, -1 if C exceeds the slot capacity (the caller
+// must not treat the output as populated).
+long gseq_carr_chain(long C, long K, long N, double delt,
                      const double* carr0, const double* f_carr,
                      double* starts) {
   double ph[64];
-  if (C > 64) return;
+  if (C > 64) return -1;
   for (long c = 0; c < C; ++c) ph[c] = carr0[c];
   for (long j = 0; j < K; ++j) {
     for (long c = 0; c < C; ++c) {
@@ -624,6 +635,7 @@ void gseq_carr_chain(long C, long K, long N, double delt,
     }
   }
   for (long c = 0; c < C; ++c) starts[K * C + c] = ph[c];
+  return 0;
 }
 
 // Brute-force reference for the fast-forward above (test hook): the plain
