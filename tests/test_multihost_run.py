@@ -93,3 +93,21 @@ def test_run_scenario_multihost_matches_single_process(
     b = np.fromfile(ref, dtype=np.int8)
     assert a.size == b.size == 4 * 2 * (rate // 10)
     assert np.array_equal(a, b)
+
+
+def test_parity_exact_requires_native_engine(fixtures_dir, monkeypatch):
+    """parity_exact without the native sequential engine must fail loudly
+    — a process silently falling back to closed-form output would corrupt
+    the merged multi-host stream at the sparse correction samples."""
+    from gpssim_tpu.config import SimConfig
+    from gpssim_tpu.ops import synth_seq
+    from gpssim_tpu.parallel import multihost
+
+    monkeypatch.setattr(synth_seq, "_lib", lambda: None)
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=0.3,
+        almanac_enable=False, parity_exact=True,
+        out_file="/tmp/never-written.bin",
+    )
+    with pytest.raises(RuntimeError, match="native sequential engine"):
+        multihost.run_scenario_multihost(cfg, chan_shards=2, window_blocks=4)

@@ -136,3 +136,33 @@ def test_kernel_invariants_raise_real_exceptions(fixtures_dir):
     bad.iword = bad.iword + 59  # data window past the 60-word buffer
     with pytest.raises(ValueError, match="data-bit|60-word"):
         plan_to_args(bad)
+
+
+def test_ipage_reallocation_quirk_gated_on_parity(fixtures_dir):
+    """The reference's allocateChannel never resets a slot's ipage
+    (gps.c:2164-2216), so a satellite allocated mid-run continues the
+    25-page almanac cycle of the slot's previous occupant. That quirk is
+    replicated only under parity_exact; otherwise a fresh allocation
+    starts at page 0."""
+    for parity, want_ipage in ((True, 8), (False, 1)):
+        cfg = SimConfig(
+            nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=0.3,
+            almanac_enable=False, parity_exact=parity,
+        )
+        sim = Simulation(cfg)
+        tbl = sim.channels
+        slot = tbl.active_slots()[0]
+        ch = tbl.chan[slot]
+        prn = ch.prn
+        # Free the slot as if its occupant set, leaving a stale page
+        # counter behind; the same satellite then re-claims it.
+        ch.ipage = 7
+        tbl.allocated_sat[prn - 1] = -1
+        ch.prn = 0
+        tbl.allocate(
+            sim.alm, sim.nav.sets[sim.ieph], sim.ionoutc, sim.grx,
+            sim._xyz_at(0),
+        )
+        assert tbl.chan[slot].prn == prn
+        # generate_nav_msg(init=True) leaves ipage at start+1 (mod 25).
+        assert tbl.chan[slot].ipage == want_ipage, parity

@@ -254,3 +254,40 @@ def test_tcp_sink_realtime_device_backend(fixtures_dir):
     assert len(srv.received) == stats.blocks * 600_000
     assert underruns == 0, f"{underruns} underruns"
     assert wall <= stats.blocks * 0.1 + 8.0, f"behind realtime: {wall:.1f}s"
+
+
+def test_hackrf_start_failure_surfaces_on_write(monkeypatch):
+    """A TX-start failure on the background barrier thread must halt the
+    FIFO and surface on the next write — not die silently with the
+    daemon thread while the producer keeps queueing."""
+    import time
+
+    from gpssim_tpu.io import hw_hackrf
+    from gpssim_tpu.io.fifo import BlockFifo
+
+    class FailingTx:
+        def __init__(self, **kw):
+            self.fifo = BlockFifo(4)
+
+        def push(self, block):
+            if not self.fifo.enqueue(np.asarray(block, dtype=np.int8)):
+                raise hw_hackrf.HackRfError("TX fifo halted")
+
+        def start(self, timeout_s=30.0):
+            raise hw_hackrf.HackRfError("no board found")
+
+        def close(self):
+            self.fifo.halt()
+
+    monkeypatch.setattr(hw_hackrf, "hackrf_available", lambda p=None: True)
+    monkeypatch.setattr(hw_hackrf, "HackRfTx", FailingTx)
+
+    sink = HackRfSink()
+    sink.init()
+    deadline = time.time() + 5.0
+    while sink._start_error is None and time.time() < deadline:
+        time.sleep(0.01)
+    assert sink._start_error is not None
+    with pytest.raises(RuntimeError, match="TX start failed"):
+        sink.write(np.zeros(600_000, dtype=np.int8))
+    sink.close()

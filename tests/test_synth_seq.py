@@ -332,3 +332,16 @@ def test_carr_advance_fast_forward_matches_brute():
         a = run(lib.gseq_carr_advance_brute, p, dp, n)
         b = run(lib.gseq_carr_advance_fast, p, dp, n)
         assert a == b, (p.hex(), float(dp).hex(), n, a, b)
+
+
+def test_carrier_chain_channel_capacity_raises():
+    """Past the native slot capacity the chain must fail loudly, not
+    silently return uninitialized output (gseq_carr_chain returns -1)."""
+    from gpssim_tpu.ops.synth_seq import carrier_chain
+
+    C = 65
+    with pytest.raises(ValueError, match="slot capacity"):
+        carrier_chain(
+            np.zeros(C), np.full((3, C), 1e-4), num_samples=100,
+            delt=1.0 / 3e6,
+        )
