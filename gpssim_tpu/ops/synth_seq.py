@@ -63,13 +63,14 @@ def _lib():
             c.c_long, c.c_long, c.c_long, c.c_double,
             c.c_void_p, c.c_void_p, c.c_void_p,
         ]
-        lib.gseq_diff_block.restype = c.c_long
-        lib.gseq_diff_block.argtypes = (
-            [c.c_long, c.c_long, c.c_double, c.c_int]
-            + [c.c_void_p] * 15      # active..dwrd, sin/cos LUTs
-            + [c.c_long]             # max_out
-            + [c.c_void_p] * 5       # out_idx/i/q, end_carr, end_carr_i
-        )
+        for sym in (lib.gseq_diff_block, lib.gseq_diff_block_ref):
+            sym.restype = c.c_long
+            sym.argtypes = (
+                [c.c_long, c.c_long, c.c_double, c.c_int]
+                + [c.c_void_p] * 15  # active..dwrd, sin/cos LUTs
+                + [c.c_long]         # max_out
+                + [c.c_void_p] * 5   # out_idx/i/q, end_carr, end_carr_i
+            )
         lib.gseq_synth_block.restype = c.c_long
         lib.gseq_synth_block.argtypes = (
             [c.c_long, c.c_long, c.c_double, c.c_int, c.c_int]
@@ -115,7 +116,8 @@ def carrier_chain(
 
 
 def seq_corrections(
-    plan: BlockPlan, int_nco: bool = False, max_out: int = 4096
+    plan: BlockPlan, int_nco: bool = False, max_out: int = 4096,
+    _ref: bool = False
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Samples where sequential semantics differ from the closed form.
 
@@ -123,6 +125,10 @@ def seq_corrections(
     sequential int16 accumulators are ``(i16[k], q16[k])``; ``end_carr`` /
     ``end_carr_i`` are the sequential block-end carrier phases (inactive
     slots pass through).  idx is empty for almost every block.
+
+    ``_ref=True`` runs the sample-major float-replay reference screen
+    instead of the binade-segment fast path — a test hook for the
+    cross-check in tests/test_synth_seq.py.
     """
     lib = _lib()
     if lib is None:
@@ -147,7 +153,8 @@ def seq_corrections(
     out_q = np.empty(max_out, dtype=np.int16)
     end_carr = np.empty(C, dtype=np.float64)
     end_carr_i = np.empty(C, dtype=np.uint32)
-    n = lib.gseq_diff_block(
+    fn = lib.gseq_diff_block_ref if _ref else lib.gseq_diff_block
+    n = fn(
         C, int(plan.num_samples), float(plan.delt), int(int_nco),
         active.ctypes.data_as(cv),
         *[a.ctypes.data_as(cv) for a in args],

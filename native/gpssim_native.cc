@@ -11,6 +11,7 @@
 //
 // Build: tools/build_native.sh  (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
 #include <atomic>
 #include <cerrno>
 #include <cmath>
@@ -374,8 +375,9 @@ inline bool seq_advance(SeqChan& ch, bool int_nco) {
 // (ops/synth_numpy.py): raw = fl(cp0 + fl(n*dc)), wraps = floor(raw/1023),
 // chip = clip(trunc(raw - wraps*1023)), bitpos = (counters+wraps)/20, and
 // itable = clip(floor(frac(fl(c0 + fl(n*dp)))*512)).
-inline bool cf_indices(const SeqChan& ch, long n, bool int_nco, long* chip,
-                       long* itable, int* data_bit) {
+inline bool cf_indices(const SeqChan& ch, long n, bool int_nco,
+                       uint32_t phi_n, long* chip, long* itable,
+                       int* data_bit) {
   double raw = ch.cp0 + static_cast<double>(n) * ch.dc;
   double wrapsf = std::floor(raw / kCaLen);
   long c = static_cast<long>(raw - wrapsf * kCaLen);
@@ -391,7 +393,7 @@ inline bool cf_indices(const SeqChan& ch, long n, bool int_nco, long* chip,
   *data_bit = static_cast<int>((ch.dwrd[iw] >> (29 - ib)) & 1u) * 2 - 1;
   if (int_nco) {
     // Integer NCO is exact: closed form == sequential by construction.
-    *itable = static_cast<long>((ch.phi >> 16) & 511u);
+    *itable = static_cast<long>((phi_n >> 16) & 511u);
   } else {
     double carr = ch.c0 + static_cast<double>(n) * ch.dp;
     double frac = carr - std::floor(carr);
@@ -566,12 +568,22 @@ static double carr_advance_n(double p, double dp, long n) {
       --n;
       continue;
     } else if (k == 0) {
-      S = dmant;
+      S = dmant;  // dp is an exact whole number of ulps: no residual
     } else {
       const int sh = -k;
       if (sh >= 54) {
-        // |t| < 0.5 and no tie possible: p is a fixed point; nothing
-        // changes for every remaining step.
+        // |t| < 0.5 ulp and no tie possible: p is a fixed point — EXCEPT
+        // exactly at the binade bottom with a negative residual in
+        // (0.25, 0.5) ulp, where the sum rounds on the finer grid below
+        // (fl(1.0 - 0.4*2^-52) = 1 - 2^-53, not 1.0): scalar handles it.
+        if (dsign &&
+            static_cast<int64_t>((pbits & 0xFFFFFFFFFFFFFull) |
+                                 (1ull << 52)) == BOT &&
+            sh == 54 && dmant > (int64_t(1) << 52)) {
+          p = carr_step1(p, dp);
+          --n;
+          continue;
+        }
         return p;
       }
       const int64_t low = dmant & ((int64_t(1) << sh) - 1);
@@ -587,7 +599,16 @@ static double carr_advance_n(double p, double dp, long n) {
       }
     }
     if (dsign) S = -S;
-    if (S == 0) return p;  // fixed point (|t| < 0.5, no tie)
+    if (S == 0) {
+      // Unreachable for normal dmant (>= 2^52 forces |S| >= 1 or a tie
+      // for sh <= 53); stay scalar rather than claim a fixed point.
+      p = carr_step1(p, dp);
+      --n;
+      continue;
+    }
+    // Downward room stops at BOT+1, not BOT: an arrival exactly at the
+    // binade bottom with residual < -0.25 ulp rounds into the finer
+    // binade below, off the progression (same edge as above).
     int64_t room = (S > 0) ? (TOP - static_cast<int64_t>(
                                         (pbits & 0xFFFFFFFFFFFFFull) |
                                         (1ull << 52))) /
@@ -595,7 +616,7 @@ static double carr_advance_n(double p, double dp, long n) {
                            : (static_cast<int64_t>(
                                   (pbits & 0xFFFFFFFFFFFFFull) |
                                   (1ull << 52)) -
-                              BOT) /
+                              BOT - 1) /
                                  (-S);
     if (room <= 0) {
       p = carr_step1(p, dp);  // boundary-crossing step
@@ -662,7 +683,11 @@ void gseq_carr_advance_fast(double* p, double dp, long n) {
 //
 // Returns the number of corrections (>= 0), -1 on data-word overflow
 // (invalid plan) or C > 16, -2 if max_out was too small.
-long gseq_diff_block(
+//
+// This is the straightforward sample-major float-domain replay, kept as
+// the cross-check reference for the segmented fast path below
+// (gseq_diff_block); tests assert their outputs are identical.
+long gseq_diff_block_ref(
     long C, long N, double delt, int int_nco, const uint8_t* active,
     const double* code_phase, const double* f_code, const double* carr_phase,
     const double* f_carr, const uint32_t* carr_phase_i,
@@ -731,7 +756,7 @@ long gseq_diff_block(
         qa_s += qp;
         long chip_c, it_c;
         int db_c;
-        if (!cf_indices(ch, n, int_nco != 0, &chip_c, &it_c, &db_c))
+        if (!cf_indices(ch, n, int_nco != 0, ch.phi, &chip_c, &it_c, &db_c))
           return -1;
         mix_contrib(ch, chip_c, it_c, db_c, sin_lut, cos_lut, &ip, &qp);
         ia_c += ip;
@@ -753,6 +778,424 @@ long gseq_diff_block(
   for (long k = 0; k < A; ++k) {
     end_carr[slot_of[k]] = chs[k].ph;
     end_carr_i[slot_of[k]] = chs[k].phi;
+  }
+  return n_out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fast screening path (the production gseq_diff_block).
+//
+// Same output as gseq_diff_block_ref, computed per channel in binade
+// segments instead of sample-major float replay: while the running phase
+// stays inside one binade and crosses no wrap, the sequential recurrence
+// fl(p + dp) is an EXACT integer arithmetic progression of the mantissa
+// in ulps (the carr_advance_n lemma above, fuzz-verified bit-exact), so
+// the chip/LUT boundary screen becomes a branchless masked integer
+// window test, and only the irregular steps (binade/wrap crossings,
+// rounding ties, sub-chip code phase right after a wrap) run the scalar
+// recurrence.  Every flagged sample is still fully evaluated in both
+// semantics, so the screen only needs to stay a conservative SUPERSET of
+// the true difference set — the widened integer thresholds keep it one.
+
+namespace {
+
+constexpr long kRoomMax = 1L << 60;
+constexpr int64_t kI64Max = 0x7FFFFFFFFFFFFFFFll;
+
+// Branchless per-sample screen: hit iff (t & mask) < lo || (t & mask) > hi,
+// where t is the running mantissa.  Window / low-only / high-only / none /
+// all modes are all encoded in (mask, lo, hi) so one loop shape serves
+// every segment.
+struct SegScreen {
+  int64_t mask, lo, hi;
+};
+
+static inline SegScreen screen_none() { return {-1, 0, kI64Max}; }
+static inline SegScreen screen_all() { return {-1, kI64Max, kI64Max}; }
+
+// Screen spec for "frac(value * 2^s9) within margin of an integer", with
+// the running value = mant * 2^(pexp-1075) staying in the binade of pexp
+// for the whole segment.  s9 = 0 (code phase: chip edges) or 9 (carrier:
+// x512 LUT-index edges).
+static SegScreen make_screen(int pexp, int s9, double margin) {
+  const int u = 1075 - s9 - pexp;  // frac = (mant mod 2^u) / 2^u for u<=52
+  if (u <= 0) return screen_all();  // out of design range: stay safe
+  if (u <= 52) {
+    const int64_t M = int64_t(1) << u;
+    const int64_t lo =
+        static_cast<int64_t>(std::ceil(std::ldexp(margin, u))) + 1;
+    if (lo >= M / 2) return screen_all();
+    return {M - 1, lo, M - lo};
+  }
+  if (u == 53) {
+    // value*2^s9 in [0.5, 1): only the high-side window can trigger.
+    const int64_t th =
+        static_cast<int64_t>((1.0 - margin) * 9007199254740992.0) - 1;
+    return {-1, 0, th};
+  }
+  // value*2^s9 < 0.5: low side only; frac == value*2^s9 == mant * 2^-u.
+  const double loF = std::ldexp(margin, u);  // margin * 2^u
+  if (loF >= 9007199254740992.0) return screen_all();  // binade below margin
+  if (loF < 4503599627370496.0) return screen_none();  // binade above margin
+  return {-1, static_cast<int64_t>(loF) + 2, kI64Max};
+}
+
+// Binade-segment parameters for v <- fl(v + dv): *S = exact mantissa step
+// in ulps; returns the number of steps that provably stay in-binade and
+// strictly below vcap (vcap <= 0: no cap).  0 => take one scalar step
+// (irregular case); *fixed = the value never changes under this step.
+static long seg_room(double v, double dv, double vcap, int64_t* S_out,
+                     int64_t* mant_out, uint64_t* bits_out, int* pexp_out,
+                     bool* fixed_out) {
+  *fixed_out = false;
+  *S_out = 0;
+  *mant_out = 0;
+  *bits_out = 0;
+  *pexp_out = 0;
+  if (!(v > 0.0)) return 0;
+  uint64_t pbits;
+  std::memcpy(&pbits, &v, 8);
+  const int pexp = static_cast<int>((pbits >> 52) & 0x7FF);
+  if (pexp == 0 || pexp == 0x7FF) return 0;  // subnormal / inf / nan
+  const int64_t mant =
+      static_cast<int64_t>((pbits & 0xFFFFFFFFFFFFFull) | (1ull << 52));
+  *mant_out = mant;
+  *bits_out = pbits;
+  *pexp_out = pexp;
+  if (dv == 0.0) {  // fl(v + 0) == v for v > 0: fixed point
+    *fixed_out = true;
+    return kRoomMax;
+  }
+  uint64_t dbits;
+  std::memcpy(&dbits, &dv, 8);
+  const int dsign = static_cast<int>(dbits >> 63);
+  const int dexp = static_cast<int>((dbits >> 52) & 0x7FF);
+  if (dexp == 0 || dexp == 0x7FF) return 0;  // subnormal/inf/nan step
+  const int64_t dmant =
+      static_cast<int64_t>((dbits & 0xFFFFFFFFFFFFFull) | (1ull << 52));
+  const int k = dexp - pexp;
+  int64_t S;
+  if (k > 0) return 0;  // |dv| spans the whole binade in one add
+  if (k == 0) {
+    S = dmant;
+  } else {
+    const int sh = -k;
+    if (sh >= 54) {
+      // |step| < 0.5 ulp and no tie possible: fixed point — except
+      // exactly at the binade bottom with a negative residual in
+      // (0.25, 0.5) ulp, which rounds into the finer binade below
+      // (fl(1.0 - 0.4*2^-52) = 1 - 2^-53): defer to the scalar step.
+      if (dsign && mant == (int64_t(1) << 52) && sh == 54 &&
+          dmant > (int64_t(1) << 52))
+        return 0;
+      *fixed_out = true;
+      return kRoomMax;
+    }
+    const int64_t low = dmant & ((int64_t(1) << sh) - 1);
+    const int64_t half = int64_t(1) << (sh - 1);
+    S = dmant >> sh;
+    if (low > half)
+      S += 1;
+    else if (low == half)
+      return 0;  // rounding tie: parity-dependent, stay scalar
+  }
+  if (dsign) S = -S;
+  if (S == 0) return 0;  // unreachable for normal dmant: stay scalar
+  const int64_t TOP = (int64_t(1) << 53) - 1;
+  const int64_t BOT = int64_t(1) << 52;
+  long room;
+  if (S > 0) {
+    int64_t top = TOP;
+    if (vcap > 0.0) {
+      uint64_t cbits;
+      std::memcpy(&cbits, &vcap, 8);
+      const int cexp = static_cast<int>((cbits >> 52) & 0x7FF);
+      if (cexp == pexp)
+        top = static_cast<int64_t>((cbits & 0xFFFFFFFFFFFFFull) |
+                                   (1ull << 52)) -
+              1;
+      else if (cexp < pexp)
+        return 0;  // at/above the cap's binade: defer to scalar
+    }
+    room = static_cast<long>((top - mant) / S);
+  } else {
+    // Stop at BOT+1, not BOT: an arrival exactly at the binade bottom
+    // with residual < -0.25 ulp rounds into the finer binade below, off
+    // the progression (same edge as the sh >= 54 guard above).
+    room = static_cast<long>((mant - BOT - 1) / (-S));
+  }
+  *S_out = S;
+  return room;
+}
+
+static inline double mant_to_double(uint64_t tmpl_bits, int64_t mant) {
+  const uint64_t b = (tmpl_bits & 0xFFF0000000000000ull) |
+                     (static_cast<uint64_t>(mant) & 0xFFFFFFFFFFFFFull);
+  double v;
+  std::memcpy(&v, &b, 8);
+  return v;
+}
+
+// Minimal j >= 0 with (a + j*s) mod m < w, or -1 if none exists.
+// Preconditions: 0 <= a < m, 0 <= s < m, 0 <= w <= m.  Euclidean descent
+// on the modulus (m, s) -> (s, (-m) mod s): O(log m) like gcd.  This is
+// what makes the segment screen O(hits) instead of O(samples): a hit
+// needs (a + j*s) to land in a width-w window mod m, and the first such
+// j is found directly instead of scanning.
+static long long first_hit_mod(long long a, long long s, long long m,
+                               long long w) {
+  if (w <= 0) return -1;
+  if (a < w) return 0;
+  if (s == 0) return -1;
+  if (s > m - s) {
+    // Reflect: t_j = (a + j*s) mod m lands in [0, w) iff the mirrored
+    // progression (w-1-a + j*(m-s)) mod m does (same j — the window maps
+    // onto itself under x -> w-1-x).  Keeps s <= m/2 so the descent
+    // below halves the modulus at least every other level (the raw
+    // recursion is LINEAR depth for s near m, e.g. s = m-1).
+    long long ar = (w - 1 - a) % m;
+    if (ar < 0) ar += m;
+    return first_hit_mod(ar, m - s, m, w);
+  }
+  // Need k >= 1 wraps: k*m <= a + j*s < k*m + w with j = ceil((k*m-a)/s),
+  // valid iff the ceil residue r_k = (a - k*m) mod s < w.  Substituting
+  // k = 1 + k2 turns "minimal valid k" into the same problem one level
+  // down: r_k = ((a - m) mod s + k2 * ((-m) mod s)) mod s.
+  const long long w2 = w < s ? w : s;
+  long long a2 = (a - m) % s;
+  if (a2 < 0) a2 += s;
+  long long s2 = (-m) % s;
+  if (s2 < 0) s2 += s;
+  const long long k2 = first_hit_mod(a2, s2, s, w2);
+  if (k2 < 0) return -1;
+  const __int128 num = (static_cast<__int128>(k2) + 1) * m - a;
+  return static_cast<long long>((num + s - 1) / s);
+}
+
+// A screen bound to one segment's progression: hit at step j iff
+// ((a + j*s) mod M) < w.  The two-sided SegScreen window [lo, hi] folds
+// into one contiguous forbidden window of width w by rotating hi+1 to 0.
+struct HitFinder {
+  int64_t M, w, a, s;
+};
+
+static HitFinder make_finder(const SegScreen& scr, int64_t mant0,
+                             int64_t S) {
+  // mask == -1 encodes the full-mantissa screens (u >= 53): the
+  // progression lives in [2^52, 2^53), so mod 2^53 is the identity.
+  const int64_t M = scr.mask == -1 ? (int64_t(1) << 53) : scr.mask + 1;
+  const int64_t lo = scr.lo < M ? scr.lo : M;        // screen_all: w = M
+  const int64_t hi = scr.hi < M - 1 ? scr.hi : M - 1;
+  const int64_t w = lo + (M - 1 - hi);
+  int64_t a = ((mant0 & (M - 1)) - hi - 1) % M;
+  if (a < 0) a += M;
+  int64_t s = S % M;
+  if (s < 0) s += M;
+  return {M, w, a, s};
+}
+
+// First hit index in [j0, L) for this segment's finder, or L if none.
+static inline long next_hit(const HitFinder& f, long j0, long L) {
+  if (f.w <= 0) return L;
+  if (f.w >= f.M) return j0;
+  const int64_t aj = static_cast<int64_t>(
+      (static_cast<__int128>(f.s) * j0 + f.a) % f.M);
+  const long long h = first_hit_mod(aj, f.s, f.M, f.w);
+  if (h < 0 || h >= L - j0) return L;
+  return j0 + static_cast<long>(h);
+}
+
+struct Delta {
+  long n;
+  int di, dq;
+};
+
+// Evaluate one flagged sample in both semantics; append the per-channel
+// contribution difference (usually none).  false on invalid plan.
+static bool eval_candidate(const SeqChan& ch, long n, double cp_n,
+                           double ph_n, bool int_nco, uint32_t phi0,
+                           const double* sin_lut, const double* cos_lut,
+                           std::vector<Delta>* deltas) {
+  const uint32_t phi_n =
+      phi0 + static_cast<uint32_t>(static_cast<uint64_t>(n) * ch.dphi);
+  const long chip_s = static_cast<long>(cp_n);
+  const long it_s = int_nco
+                        ? static_cast<long>((phi_n >> 16) & 511u)
+                        : static_cast<long>(std::floor(ph_n * 512.0));
+  int ip_s, qp_s, ip_c, qp_c;
+  mix_contrib(ch, chip_s, it_s, ch.data_bit, sin_lut, cos_lut, &ip_s, &qp_s);
+  long chip_c, it_c;
+  int db_c;
+  if (!cf_indices(ch, n, int_nco, phi_n, &chip_c, &it_c, &db_c)) return false;
+  mix_contrib(ch, chip_c, it_c, db_c, sin_lut, cos_lut, &ip_c, &qp_c);
+  if (ip_s != ip_c || qp_s != qp_c)
+    deltas->push_back({n, ip_s - ip_c, qp_s - qp_c});
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Test hook: the modular first-hit solver, for direct fuzzing against a
+// brute-force scan (tests/test_synth_seq.py).
+long long gseq_first_hit(long long a, long long s, long long m,
+                         long long w) {
+  return first_hit_mod(a, s, m, w);
+}
+
+long gseq_diff_block(
+    long C, long N, double delt, int int_nco, const uint8_t* active,
+    const double* code_phase, const double* f_code, const double* carr_phase,
+    const double* f_carr, const uint32_t* carr_phase_i,
+    const int32_t* carr_step_i, const double* gain, const int64_t* iword,
+    const int64_t* ibit, const int64_t* icode, const int8_t* ca,
+    const uint32_t* dwrd, const double* sin_lut, const double* cos_lut,
+    long max_out, int64_t* out_idx, int16_t* out_i, int16_t* out_q,
+    double* end_carr, uint32_t* end_carr_i) {
+  if (C > 16) return -1;
+  SeqChan chs[16];
+  uint32_t phi0s[16];
+  long A = 0;
+  long slot_of[16];
+  for (long c = 0; c < C; ++c) {
+    end_carr[c] = carr_phase[c];
+    end_carr_i[c] = carr_phase_i[c];
+    if (!active[c]) continue;
+    SeqChan& ch = chs[A];
+    ch.cp = ch.cp0 = code_phase[c];
+    ch.dc = f_code[c] * delt;
+    ch.ph = ch.c0 = carr_phase[c];
+    ch.dp = f_carr[c] * delt;
+    ch.phi = carr_phase_i[c];
+    ch.dphi = static_cast<uint32_t>(carr_step_i[c]);
+    ch.gain = gain[c];
+    ch.iword = ch.iword0 = iword[c];
+    ch.ibit = ch.ibit0 = ibit[c];
+    ch.icode = ch.icode0 = icode[c];
+    if (ch.iword < 0 || ch.iword >= 60) return -1;
+    ch.data_bit =
+        static_cast<int>((dwrd[c * 60 + ch.iword] >> (29 - ch.ibit)) & 1u) *
+            2 - 1;
+    ch.ca = ca + c * 1023;
+    ch.dwrd = dwrd + c * 60;
+    phi0s[A] = ch.phi;
+    slot_of[A] = c;
+    ++A;
+  }
+
+  const bool nco = int_nco != 0;
+  std::vector<Delta> deltas;
+  for (long k = 0; k < A; ++k) {
+    SeqChan& ch = chs[k];
+    const uint32_t phi0 = phi0s[k];
+    long n = 0;
+    while (n < N) {
+      int64_t Sc, mc;
+      uint64_t cbitsv;
+      int cpexp;
+      bool cfix;
+      const long rc =
+          seg_room(ch.cp, ch.dc, kCaLen, &Sc, &mc, &cbitsv, &cpexp, &cfix);
+      long rp = kRoomMax;
+      int64_t Sp = 0, mp = 0;
+      uint64_t pbitsv = 0;
+      int ppexp = 0;
+      bool pfix = true;
+      if (!nco)
+        rp = seg_room(ch.ph, ch.dp, 1.0, &Sp, &mp, &pbitsv, &ppexp, &pfix);
+      long L = rc < rp ? rc : rp;
+      if (L > N - n) L = N - n;
+      if (L <= 0) {
+        // Irregular step: scalar screen (the reference float tests), then
+        // the scalar recurrence — identical to gseq_diff_block_ref.
+        const double f =
+            ch.cp - static_cast<double>(static_cast<long>(ch.cp));
+        bool hit = (f < kCodeMargin) | (f > 1.0 - kCodeMargin);
+        if (!nco) {
+          const double x = ch.ph * 512.0;
+          const double fx = x - std::floor(x);
+          hit |= (fx < kCarrMargin) | (fx > 1.0 - kCarrMargin);
+        }
+        if (hit && !eval_candidate(ch, n, ch.cp, ch.ph, nco, phi0, sin_lut,
+                                   cos_lut, &deltas))
+          return -1;
+        if (!seq_advance(ch, nco)) return -1;
+        ++n;
+        continue;
+      }
+      const SegScreen sc = make_screen(cpexp, 0, kCodeMargin);
+      const SegScreen sp =
+          nco ? screen_none() : make_screen(ppexp, 9, kCarrMargin);
+      // O(hits), not O(L): each screen's forbidden-window entries along
+      // the exact mantissa progression are located analytically.
+      const HitFinder fc = make_finder(sc, mc, Sc);
+      const HitFinder fp = make_finder(sp, mp, Sp);
+      long jc = next_hit(fc, 0, L);
+      long jp = next_hit(fp, 0, L);
+      while (true) {
+        const long jh = jc < jp ? jc : jp;
+        if (jh >= L) break;
+        const double cp_n =
+            cfix ? ch.cp : mant_to_double(cbitsv, mc + jh * Sc);
+        const double ph_n =
+            nco ? ch.ph
+                : (pfix ? ch.ph : mant_to_double(pbitsv, mp + jh * Sp));
+        if (!eval_candidate(ch, n + jh, cp_n, ph_n, nco, phi0, sin_lut,
+                            cos_lut, &deltas))
+          return -1;
+        if (jc == jh) jc = next_hit(fc, jh + 1, L);
+        if (jp == jh) jp = next_hit(fp, jh + 1, L);
+      }
+      if (!cfix) ch.cp = mant_to_double(cbitsv, mc + L * Sc);
+      if (!nco && !pfix) ch.ph = mant_to_double(pbitsv, mp + L * Sp);
+      n += L;
+    }
+    end_carr[slot_of[k]] = ch.ph;
+    // The integer NCO only advances in int_nco mode (seq_advance); in
+    // float mode the reference leaves it untouched — match exactly.
+    end_carr_i[slot_of[k]] =
+        nco ? phi0 + static_cast<uint32_t>(static_cast<uint64_t>(N) *
+                                           ch.dphi)
+            : phi0;
+  }
+
+  if (deltas.empty()) return 0;
+  std::sort(deltas.begin(), deltas.end(),
+            [](const Delta& a, const Delta& b) { return a.n < b.n; });
+  long n_out = 0;
+  size_t i = 0;
+  while (i < deltas.size()) {
+    const long n = deltas[i].n;
+    int di = 0, dq = 0;
+    for (; i < deltas.size() && deltas[i].n == n; ++i) {
+      di += deltas[i].di;
+      dq += deltas[i].dq;
+    }
+    if (di == 0 && dq == 0) continue;
+    // Closed-form totals at this sample: the sequential accumulators are
+    // then totals + the flagged channels' deltas (unflagged channels
+    // contribute identically in both semantics, per the screen bound).
+    int ia_c = 0, qa_c = 0;
+    for (long k = 0; k < A; ++k) {
+      const SeqChan& ch = chs[k];
+      const uint32_t phi_n =
+          phi0s[k] +
+          static_cast<uint32_t>(static_cast<uint64_t>(n) * ch.dphi);
+      long chip_c, it_c;
+      int db_c, ip, qp;
+      if (!cf_indices(ch, n, nco, phi_n, &chip_c, &it_c, &db_c)) return -1;
+      mix_contrib(ch, chip_c, it_c, db_c, sin_lut, cos_lut, &ip, &qp);
+      ia_c += ip;
+      qa_c += qp;
+    }
+    if (n_out >= max_out) return -2;
+    out_idx[n_out] = n;
+    out_i[n_out] = static_cast<int16_t>(ia_c + di);
+    out_q[n_out] = static_cast<int16_t>(qa_c + dq);
+    ++n_out;
   }
   return n_out;
 }

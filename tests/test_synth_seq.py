@@ -324,6 +324,19 @@ def test_carr_advance_fast_forward_matches_brute():
     dspecs = [0.0, 2.0**-53, -(2.0**-53), 1.5e-4, -1.5e-4, 2.0**-20,
               2.0**-20 + 2.0**-53, 0.001953125, 2e-3, -2e-3]
     cases += [(p, dp, 777) for p in specs for dp in dspecs]
+    # Binade-bottom edges: a negative sub-ulp residual in (0.25, 0.5) ulp
+    # at an exact power of two rounds into the finer binade BELOW the
+    # progression (fl(0.5 - 0.4*2^-53*...) != 0.5) — both the fixed-point
+    # shortcut and a segment arriving exactly at the bottom must defer to
+    # the scalar step.
+    cases += [
+        (0.5, -0.4 * 2.0**-53, 1), (0.5, -0.4 * 2.0**-53, 100),
+        (0.25, -0.3 * 2.0**-54, 5), (0.5, -0.2 * 2.0**-53, 10),
+        (0.5, 0.4 * 2.0**-53, 10),
+        (0.5 + 3 * 2.0**-53, -1.4 * 2.0**-53, 3),      # arrival at bottom
+        (0.5 + 3 * 2.0**-53, -1.4 * 2.0**-53, 50),
+        (0.5 + 30000 * 2.0**-53, -1.4 * 2.0**-53, 30000),
+    ]
     cases += [
         (rng.uniform(0, 1), rng.uniform(-1.5e-3, 1.5e-3), 300_000)
         for _ in range(20)
@@ -332,6 +345,78 @@ def test_carr_advance_fast_forward_matches_brute():
         a = run(lib.gseq_carr_advance_brute, p, dp, n)
         b = run(lib.gseq_carr_advance_fast, p, dp, n)
         assert a == b, (p.hex(), float(dp).hex(), n, a, b)
+
+
+def fuzz_plan(rng, N, delt, *, adversarial=None):
+    """Random multi-channel plan over the full parameter envelope."""
+    C = 16
+    active = rng.random(C) < 0.8
+    active[0] = True
+    f0 = 1.023e6
+    dopp = rng.uniform(-4200.0, 4200.0, C)
+    plan = BlockPlan(
+        num_samples=N,
+        delt=delt,
+        active=active,
+        code_phase=rng.uniform(0.0, 1023.0, C),
+        f_code=f0 + dopp * (f0 / 1575.42e6),
+        carr_phase=rng.uniform(0.0, 1.0, C),
+        f_carr=dopp,
+        carr_phase_i=rng.integers(0, 1 << 32, C, dtype=np.int64).astype(
+            np.uint32
+        ),
+        carr_step_i=rng.integers(-300000, 300000, C).astype(np.int32),
+        gain=rng.uniform(50.0, 350.0, C),
+        iword=rng.integers(0, 58, C),
+        ibit=rng.integers(0, 30, C),
+        icode=rng.integers(0, 20, C),
+        prn=np.arange(1, C + 1, dtype=np.int64),
+        ca=rng.integers(0, 2, (C, 1023)).astype(np.int8),
+        dwrd=rng.integers(0, 1 << 30, (C, 60)).astype(np.uint32),
+    )
+    if adversarial == "edges":
+        # Park channels on the exact edges the segmented screen must
+        # handle scalar: chip-wrap imminence, binade bottoms, zero phase,
+        # fixed-point and tie-prone Doppler steps.
+        plan.code_phase[0] = 1023.0 - 1e-7
+        plan.code_phase[1] = np.nextafter(1023.0, 0.0)
+        plan.carr_phase[1] = 0.0
+        plan.carr_phase[2] = 0.5                    # binade bottom
+        plan.f_carr[2] = -0.4 * 2.0**-53 / delt     # sub-ulp negative
+        plan.carr_phase[3] = 0.5 + 3 * 2.0**-53
+        plan.f_carr[3] = -1.4 * 2.0**-53 / delt     # walks onto the bottom
+        plan.carr_phase[4] = 2.0**-30               # tiny: many binades up
+        plan.f_carr[4] = abs(plan.f_carr[4]) + 1.0
+        plan.carr_phase[5] = np.nextafter(1.0, 0.0)  # wrap imminent
+        plan.code_phase[6] = 0.0
+        plan.f_carr[6] = 0.0                        # inactive-style hold
+        plan.carr_phase[7] = 0.25
+        plan.f_carr[7] = -(2.0**-20 + 2.0**-53) / delt
+    return plan
+
+
+def test_fast_screen_matches_ref_screen_fuzz():
+    """gseq_diff_block (binade-segment fast path) must produce EXACTLY the
+    same corrections and end state as gseq_diff_block_ref (sample-major
+    float replay) on random and adversarial plans, both carrier modes."""
+    rng = np.random.default_rng(20260817)
+    plans = []
+    for delt in (1.0 / 1.023e6, 1.0 / 2.046e6, 1.0 / 2.6e6, 1.0 / 10e6):
+        for _ in range(6):
+            plans.append(fuzz_plan(rng, 20_000, delt))
+        plans.append(fuzz_plan(rng, 20_000, delt, adversarial="edges"))
+    plans.append(fuzz_plan(rng, 260_000, 1.0 / 2.6e6))  # full-size block
+    plans.append(fuzz_plan(rng, 260_000, 1.0 / 2.6e6, adversarial="edges"))
+    plans.append(divergent_plan())  # guaranteed >= 1 correction
+    n_corr = 0
+    for i, plan in enumerate(plans):
+        for int_nco in (False, True):
+            fast = seq_corrections(plan, int_nco=int_nco)
+            ref = seq_corrections(plan, int_nco=int_nco, _ref=True)
+            for a, b in zip(fast, ref):
+                assert np.array_equal(a, b), (i, int_nco)
+            n_corr += len(fast[0])
+    assert n_corr > 0  # the cross-check exercised real corrections
 
 
 def test_carrier_chain_channel_capacity_raises():
