@@ -19,7 +19,12 @@ recurrences exactly and provides:
   samples where sequential and closed-form outputs differ, with the
   sequential int16 accumulators, so closed-form output from *any* backend
   (NumPy, XLA, Pallas — they are mutually bit-exact) is patched into the
-  sequential-exact stream;
+  sequential-exact stream.  O(hits), not O(samples): boundary candidates
+  are located analytically on the exact closed-form progression with a
+  modular first-hit solver, and the sequential state fast-forwards
+  between candidates via the exact binade mantissa progression (~640
+  blocks/s on this host vs ~60 for the sample-major replay, which is
+  kept as ``_ref=True`` and cross-checked by the fuzz tests);
 * :func:`synth_block_seq` — closed-form NumPy synth + patch: the strict
   parity path used by the golden tests.
 

@@ -787,60 +787,30 @@ long gseq_diff_block_ref(
 // ---------------------------------------------------------------------------
 // Fast screening path (the production gseq_diff_block).
 //
-// Same output as gseq_diff_block_ref, computed per channel in binade
-// segments instead of sample-major float replay: while the running phase
-// stays inside one binade and crosses no wrap, the sequential recurrence
-// fl(p + dp) is an EXACT integer arithmetic progression of the mantissa
-// in ulps (the carr_advance_n lemma above, fuzz-verified bit-exact), so
-// the chip/LUT boundary screen becomes a branchless masked integer
-// window test, and only the irregular steps (binade/wrap crossings,
-// rounding ties, sub-chip code phase right after a wrap) run the scalar
-// recurrence.  Every flagged sample is still fully evaluated in both
-// semantics, so the screen only needs to stay a conservative SUPERSET of
-// the true difference set — the widened integer thresholds keep it one.
+// Same output as gseq_diff_block_ref, in O(hits) instead of O(samples):
+//
+// 1. Per channel, the candidate screen runs on the EXACT closed-form
+//    progression in 2^-62 fixed point: chip/LUT boundary proximity is
+//    "(a0 + n*step) mod 2^62 lands in a width-w window", and the hits of
+//    an arithmetic progression in a modular window are found directly by
+//    the O(log) Euclidean first-hit solver (first_hit_mod) — one query
+//    per hit per block, no per-sample or per-binade work.  The window is
+//    widened so the screen stays a conservative SUPERSET of the true
+//    difference set: sequential-vs-closed-form divergence (< 2e-8 of a
+//    chip/LUT unit per block), the closed form's own double rounding, and
+//    the fixed-point quantization (< N+2 counts) are all orders of
+//    magnitude inside the 1e-4 margin.
+// 2. The sequential f64 state is only materialized where it is needed:
+//    between consecutive flagged samples it fast-forwards in O(binade
+//    segments) via the exact mantissa-progression lemma (seg_room, same
+//    machinery as carr_advance_n), with every irregular step (binade or
+//    wrap crossing, rounding tie) taken scalar.
+// 3. Every flagged sample is fully evaluated in both semantics, so
+//    over-flagging never changes the output, only costs a candidate eval.
 
 namespace {
 
 constexpr long kRoomMax = 1L << 60;
-constexpr int64_t kI64Max = 0x7FFFFFFFFFFFFFFFll;
-
-// Branchless per-sample screen: hit iff (t & mask) < lo || (t & mask) > hi,
-// where t is the running mantissa.  Window / low-only / high-only / none /
-// all modes are all encoded in (mask, lo, hi) so one loop shape serves
-// every segment.
-struct SegScreen {
-  int64_t mask, lo, hi;
-};
-
-static inline SegScreen screen_none() { return {-1, 0, kI64Max}; }
-static inline SegScreen screen_all() { return {-1, kI64Max, kI64Max}; }
-
-// Screen spec for "frac(value * 2^s9) within margin of an integer", with
-// the running value = mant * 2^(pexp-1075) staying in the binade of pexp
-// for the whole segment.  s9 = 0 (code phase: chip edges) or 9 (carrier:
-// x512 LUT-index edges).
-static SegScreen make_screen(int pexp, int s9, double margin) {
-  const int u = 1075 - s9 - pexp;  // frac = (mant mod 2^u) / 2^u for u<=52
-  if (u <= 0) return screen_all();  // out of design range: stay safe
-  if (u <= 52) {
-    const int64_t M = int64_t(1) << u;
-    const int64_t lo =
-        static_cast<int64_t>(std::ceil(std::ldexp(margin, u))) + 1;
-    if (lo >= M / 2) return screen_all();
-    return {M - 1, lo, M - lo};
-  }
-  if (u == 53) {
-    // value*2^s9 in [0.5, 1): only the high-side window can trigger.
-    const int64_t th =
-        static_cast<int64_t>((1.0 - margin) * 9007199254740992.0) - 1;
-    return {-1, 0, th};
-  }
-  // value*2^s9 < 0.5: low side only; frac == value*2^s9 == mant * 2^-u.
-  const double loF = std::ldexp(margin, u);  // margin * 2^u
-  if (loF >= 9007199254740992.0) return screen_all();  // binade below margin
-  if (loF < 4503599627370496.0) return screen_none();  // binade above margin
-  return {-1, static_cast<int64_t>(loF) + 2, kI64Max};
-}
 
 // Binade-segment parameters for v <- fl(v + dv): *S = exact mantissa step
 // in ulps; returns the number of steps that provably stay in-binade and
@@ -974,37 +944,86 @@ static long long first_hit_mod(long long a, long long s, long long m,
   return static_cast<long long>((num + s - 1) / s);
 }
 
-// A screen bound to one segment's progression: hit at step j iff
-// ((a + j*s) mod M) < w.  The two-sided SegScreen window [lo, hi] folds
-// into one contiguous forbidden window of width w by rotating hi+1 to 0.
-struct HitFinder {
-  int64_t M, w, a, s;
+// Whole-block candidate screen over the EXACT closed-form progression
+// pos + n*step, flagging n where frac(scale*(pos + n*step)) is within
+// `margin` (plus quantization slop) of an integer.  2^-62 fixed point:
+// hit at n iff ((a + n*s) mod 2^62) < w, with the two-sided proximity
+// window rotated to start at 0.
+constexpr int64_t kFixM = int64_t(1) << 62;
+
+struct GlobalScreen {
+  int64_t a, s, w;
 };
 
-static HitFinder make_finder(const SegScreen& scr, int64_t mant0,
-                             int64_t S) {
-  // mask == -1 encodes the full-mantissa screens (u >= 53): the
-  // progression lives in [2^52, 2^53), so mod 2^53 is the identity.
-  const int64_t M = scr.mask == -1 ? (int64_t(1) << 53) : scr.mask + 1;
-  const int64_t lo = scr.lo < M ? scr.lo : M;        // screen_all: w = M
-  const int64_t hi = scr.hi < M - 1 ? scr.hi : M - 1;
-  const int64_t w = lo + (M - 1 - hi);
-  int64_t a = ((mant0 & (M - 1)) - hi - 1) % M;
-  if (a < 0) a += M;
-  int64_t s = S % M;
-  if (s < 0) s += M;
-  return {M, w, a, s};
+// frac(x) in 2^-62 fixed point.  x - floor(x) is exact for |x| < 2^53
+// (both operands on the grid of ulp(x), result < 1 fits 53 bits); the
+// ldexp scale is a power of two; nearbyint adds <= 0.5 counts, absorbed
+// by the caller's slop.
+static inline int64_t to_fix(double x) {
+  const double f = x - std::floor(x);
+  int64_t v = static_cast<int64_t>(std::nearbyint(std::ldexp(f, 62)));
+  if (v >= kFixM) v -= kFixM;  // f < 1 keeps v < 2^62; pure defense
+  if (v < 0) v = 0;
+  return v;
 }
 
-// First hit index in [j0, L) for this segment's finder, or L if none.
-static inline long next_hit(const HitFinder& f, long j0, long L) {
-  if (f.w <= 0) return L;
-  if (f.w >= f.M) return j0;
-  const int64_t aj = static_cast<int64_t>(
-      (static_cast<__int128>(f.s) * j0 + f.a) % f.M);
-  const long long h = first_hit_mod(aj, f.s, f.M, f.w);
-  if (h < 0 || h >= L - j0) return L;
-  return j0 + static_cast<long>(h);
+static GlobalScreen make_global(double pos, double step, double scale,
+                                double margin, long N) {
+  // scale is 1.0 or 512.0: scale*pos / scale*step are exact (power-of-2
+  // multiply), so the only inexactness is the fixed-point rounding of
+  // a0 (<= 0.5 counts) and of s (<= 0.5 counts, linearly accumulated to
+  // <= N/2 counts by sample N) — widen the window by N+2 counts.
+  const int64_t W =
+      static_cast<int64_t>(margin * static_cast<double>(kFixM)) + N + 2;
+  const int64_t a0 = to_fix(scale * pos);
+  const int64_t s = to_fix(scale * step);
+  // Proximity window [0, W] u [M-W, M-1], rotated by +W to [0, 2W].
+  int64_t a = a0 + W;
+  if (a >= kFixM) a -= kFixM;
+  return {a, s, 2 * W + 1};
+}
+
+// First flagged sample in [n0, N) for this screen, or N if none.
+static inline long gs_next(const GlobalScreen& g, long n0, long N) {
+  if (n0 >= N) return N;
+  const int64_t an = static_cast<int64_t>(
+      (static_cast<__int128>(g.s) * n0 + g.a) % kFixM);
+  const long long h = first_hit_mod(an, g.s, kFixM, g.w);
+  if (h < 0 || h >= N - n0) return N;
+  return n0 + static_cast<long>(h);
+}
+
+// Advance a channel's sequential f64 state by exactly `steps` samples,
+// no screening: whole binade segments jump via the exact mantissa
+// progression; irregular steps (binade/wrap crossings, ties) go scalar
+// through seq_advance, which also runs the data-bit cascade at code
+// wraps.  false on data-word overflow (invalid plan).
+static bool seq_ff(SeqChan& ch, bool nco, long steps) {
+  while (steps > 0) {
+    int64_t Sc, mc;
+    uint64_t cb;
+    int ce;
+    bool cfix;
+    const long rc = seg_room(ch.cp, ch.dc, kCaLen, &Sc, &mc, &cb, &ce,
+                             &cfix);
+    long rp = kRoomMax;
+    int64_t Sp = 0, mp = 0;
+    uint64_t pb = 0;
+    int pe = 0;
+    bool pfix = true;
+    if (!nco) rp = seg_room(ch.ph, ch.dp, 1.0, &Sp, &mp, &pb, &pe, &pfix);
+    long L = rc < rp ? rc : rp;
+    if (L > steps) L = steps;
+    if (L <= 0) {
+      if (!seq_advance(ch, nco)) return false;
+      --steps;
+      continue;
+    }
+    if (!cfix) ch.cp = mant_to_double(cb, mc + L * Sc);
+    if (!nco && !pfix) ch.ph = mant_to_double(pb, mp + L * Sp);
+    steps -= L;
+  }
+  return true;
 }
 
 struct Delta {
@@ -1091,68 +1110,27 @@ long gseq_diff_block(
   for (long k = 0; k < A; ++k) {
     SeqChan& ch = chs[k];
     const uint32_t phi0 = phi0s[k];
-    long n = 0;
-    while (n < N) {
-      int64_t Sc, mc;
-      uint64_t cbitsv;
-      int cpexp;
-      bool cfix;
-      const long rc =
-          seg_room(ch.cp, ch.dc, kCaLen, &Sc, &mc, &cbitsv, &cpexp, &cfix);
-      long rp = kRoomMax;
-      int64_t Sp = 0, mp = 0;
-      uint64_t pbitsv = 0;
-      int ppexp = 0;
-      bool pfix = true;
-      if (!nco)
-        rp = seg_room(ch.ph, ch.dp, 1.0, &Sp, &mp, &pbitsv, &ppexp, &pfix);
-      long L = rc < rp ? rc : rp;
-      if (L > N - n) L = N - n;
-      if (L <= 0) {
-        // Irregular step: scalar screen (the reference float tests), then
-        // the scalar recurrence — identical to gseq_diff_block_ref.
-        const double f =
-            ch.cp - static_cast<double>(static_cast<long>(ch.cp));
-        bool hit = (f < kCodeMargin) | (f > 1.0 - kCodeMargin);
-        if (!nco) {
-          const double x = ch.ph * 512.0;
-          const double fx = x - std::floor(x);
-          hit |= (fx < kCarrMargin) | (fx > 1.0 - kCarrMargin);
-        }
-        if (hit && !eval_candidate(ch, n, ch.cp, ch.ph, nco, phi0, sin_lut,
-                                   cos_lut, &deltas))
-          return -1;
-        if (!seq_advance(ch, nco)) return -1;
-        ++n;
-        continue;
-      }
-      const SegScreen sc = make_screen(cpexp, 0, kCodeMargin);
-      const SegScreen sp =
-          nco ? screen_none() : make_screen(ppexp, 9, kCarrMargin);
-      // O(hits), not O(L): each screen's forbidden-window entries along
-      // the exact mantissa progression are located analytically.
-      const HitFinder fc = make_finder(sc, mc, Sc);
-      const HitFinder fp = make_finder(sp, mp, Sp);
-      long jc = next_hit(fc, 0, L);
-      long jp = next_hit(fp, 0, L);
-      while (true) {
-        const long jh = jc < jp ? jc : jp;
-        if (jh >= L) break;
-        const double cp_n =
-            cfix ? ch.cp : mant_to_double(cbitsv, mc + jh * Sc);
-        const double ph_n =
-            nco ? ch.ph
-                : (pfix ? ch.ph : mant_to_double(pbitsv, mp + jh * Sp));
-        if (!eval_candidate(ch, n + jh, cp_n, ph_n, nco, phi0, sin_lut,
-                            cos_lut, &deltas))
-          return -1;
-        if (jc == jh) jc = next_hit(fc, jh + 1, L);
-        if (jp == jh) jp = next_hit(fp, jh + 1, L);
-      }
-      if (!cfix) ch.cp = mant_to_double(cbitsv, mc + L * Sc);
-      if (!nco && !pfix) ch.ph = mant_to_double(pbitsv, mp + L * Sp);
-      n += L;
+    // Candidate samples from the exact closed-form progressions (chip
+    // edges; LUT edges unless the integer NCO makes the carrier exact).
+    const GlobalScreen gc =
+        make_global(ch.cp0, ch.dc, 1.0, kCodeMargin, N);
+    GlobalScreen gp{0, 0, 0};
+    if (!nco) gp = make_global(ch.c0, ch.dp, 512.0, kCarrMargin, N);
+    long cur = 0;
+    long hc = gs_next(gc, 0, N);
+    long hp = nco ? N : gs_next(gp, 0, N);
+    while (true) {
+      const long nh = hc < hp ? hc : hp;
+      if (nh >= N) break;
+      if (!seq_ff(ch, nco, nh - cur)) return -1;
+      cur = nh;
+      if (!eval_candidate(ch, nh, ch.cp, ch.ph, nco, phi0, sin_lut,
+                          cos_lut, &deltas))
+        return -1;
+      if (hc == nh) hc = gs_next(gc, nh + 1, N);
+      if (hp == nh) hp = gs_next(gp, nh + 1, N);
     }
+    if (!seq_ff(ch, nco, N - cur)) return -1;
     end_carr[slot_of[k]] = ch.ph;
     // The integer NCO only advances in int_nco mode (seq_advance); in
     // float mode the reference leaves it untouched — match exactly.
