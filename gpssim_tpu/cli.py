@@ -119,12 +119,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-3", "--rinex3", action="store_true",
                    help="Use RINEX v3 navigation data format")
     p.add_argument("-r", "--radio", default="none", metavar="name",
-                   help="Sink/SDR device type (none, iqfile, hackrf, plutosdr)")
+                   help="Sink/SDR device type (none, null, iqfile, tcp, "
+                        "hackrf, plutosdr)")
     p.add_argument("--iq16", action="store_true",
                    help="IQ sample size 16 bit (default 8 bit)")
     p.add_argument("-U", "--uri", metavar="uri", help="ADALM-Pluto URI")
-    p.add_argument("-N", "--network", default="pluto.local", metavar="host",
-                   help="ADALM-Pluto network IP or hostname")
+    p.add_argument("-N", "--network", default=None, metavar="host",
+                   help="ADALM-Pluto network IP or hostname (default: local "
+                        "USB context first, then pluto.local — "
+                        "sdr_pluto.c:140-156)")
     p.add_argument("-m", "--motion", metavar="filename",
                    help="User motion file (dynamic mode; 10 Hz t,x,y,z ECEF)")
     p.add_argument("--disable-almanac", action="store_true",
@@ -276,23 +279,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.resume:
         from .checkpoint import load_checkpoint
 
-        # Scenario-affecting flags are ignored on --resume (the checkpoint
-        # carries the full SimConfig); surface that instead of silently
-        # dropping them (ADVICE r1).
+        # Every flag except --resume/--checkpoint/--tui is ignored on
+        # --resume (the checkpoint carries the full SimConfig); surface
+        # ANY non-default one instead of silently dropping it (ADVICE
+        # r1).  Enumerated from the parser so a new option can't fall
+        # through the warning.
+        _honored = {"resume", "checkpoint", "tui"}
         ignored = [
-            name
-            for name, dest in (
-                ("-e/--nav-file", "nav_file"), ("-l/--geo-loc", "geo_loc"),
-                ("-s/--start", "start"), ("-d/--duration", "duration"),
-                ("-t/--target", "target"), ("-m/--motion", "motion"),
-                ("-r/--radio", "radio"), ("--sample-rate", "sample_rate"),
-                ("-I/--disable-iono", "disable_iono"),
-                ("--disable-almanac", "disable_almanac"),
-                ("--iq16", "iq16"), ("--int-nco", "int_nco"),
-                ("--backend", "backend"), ("-p/--ppb", "ppb"),
-                ("-g/--gain", "gain"), ("--out-file", "out_file"),
+            "/".join(a.option_strings) or a.dest
+            for a in parser._actions
+            if a.dest not in _honored
+            and not isinstance(
+                a, (argparse._HelpAction, argparse._VersionAction)
             )
-            if getattr(args, dest) != parser.get_default(dest)
+            and a.dest != argparse.SUPPRESS
+            and getattr(args, a.dest, None) != parser.get_default(a.dest)
         ]
         if ignored:
             print(

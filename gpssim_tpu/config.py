@@ -82,7 +82,9 @@ class SimConfig:
     tx_gain: int = 0
     tx_amplifier: bool = False
     pluto_uri: str | None = None
-    pluto_hostname: str = "pluto.local"
+    # None = try a local (USB) IIO context first, then pluto.local — the
+    # reference's default precedence (gps-sim.c:204, sdr_pluto.c:140-156).
+    pluto_hostname: str | None = None
 
     # Checkpoint / profiling / metrics
     checkpoint_file: str | None = None

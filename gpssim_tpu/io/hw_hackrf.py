@@ -137,7 +137,8 @@ class HackRfTx:
 
     def __init__(self, tx_gain: int = 0, amp: bool = False, ppb: int = 0,
                  lib_path: str | None = None,
-                 fifo_depth: int = NUM_FIFO_BUFFERS):
+                 fifo_depth: int = NUM_FIFO_BUFFERS,
+                 sample_rate: int = TX_SAMPLERATE):
         lib = _find_lib(lib_path)
         if lib is None:
             raise HackRfError("libhackrf not found")
@@ -166,11 +167,14 @@ class HackRfTx:
         self.info["version"] = ver.value.decode()
 
         # ppb LO correction with the reference's integer arithmetic
-        # (sdr_hackrf.c:136-138).
+        # (sdr_hackrf.c:136-138).  The device rate must follow the
+        # generated stream's rate (the reference is hard-wired to
+        # TX_SAMPLERATE, sdr.h:21; the framework generalizes it), else
+        # the signal plays at the wrong speed.
         freq = TX_FREQUENCY * (10_000_000 - ppb) // 10_000_000
-        bw = lib.hackrf_compute_baseband_filter_bw(TX_BW)
+        bw = lib.hackrf_compute_baseband_filter_bw(2 * int(sample_rate))
         _ck(lib.hackrf_set_antenna_enable(dev, 0), "set_antenna_enable")
-        _ck(lib.hackrf_set_sample_rate(dev, float(TX_SAMPLERATE)),
+        _ck(lib.hackrf_set_sample_rate(dev, float(sample_rate)),
             "set_sample_rate")
         _ck(lib.hackrf_set_baseband_filter_bandwidth(dev, bw),
             "set_baseband_filter_bandwidth")
@@ -195,7 +199,12 @@ class HackRfTx:
     # -- the pull side (libusb thread) ----------------------------------
     def _tx_callback(self, transfer) -> int:
         t = transfer.contents
-        block = self.fifo.dequeue(timeout=1.0)
+        # Block until a transfer is ready, exactly like the reference's
+        # fifo_dequeue (fifo.c:174-194, no timeout): a producer stall (JAX
+        # recompile, checkpoint write) must starve the radio briefly, not
+        # end the stream.  dequeue() returns None only on fifo.halt() —
+        # the close() teardown path — which IS end-of-stream.
+        block = self.fifo.dequeue()
         if block is None:
             return -1  # stream ends (reference sdr_tx_callback NULL path)
         n = min(t.valid_length, len(block))

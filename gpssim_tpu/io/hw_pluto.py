@@ -97,11 +97,16 @@ class PlutoTx:
 
     def __init__(self, tx_gain: int = 0, ppb: int = 0,
                  hostname: str | None = None, uri: str | None = None,
-                 lib_path: str | None = None):
+                 lib_path: str | None = None,
+                 sample_rate: int = TX_SAMPLERATE):
         lib = _find_lib(lib_path)
         if lib is None:
             raise PlutoError("libiio not found")
         self._lib = lib
+        # One 0.1 s block per push; buffer sized from the STREAM's rate
+        # (the reference is hard-wired to 3 Msps, sdr.h:21/26 — the
+        # framework generalizes sample rate, so the device must follow).
+        self._num_iq = int(sample_rate) // 10
         # Context creation order (sdr_pluto.c:140-156).
         if hostname:
             ctx = lib.iio_create_network_context(hostname.encode())
@@ -133,9 +138,11 @@ class PlutoTx:
         self._phy = phy
         chn = lib.iio_device_find_channel(phy, b"voltage0", True)
         lib.iio_channel_attr_write(chn, b"rf_port_select", b"A")
-        lib.iio_channel_attr_write_longlong(chn, b"rf_bandwidth", TX_BW)
         lib.iio_channel_attr_write_longlong(
-            chn, b"sampling_frequency", TX_SAMPLERATE
+            chn, b"rf_bandwidth", 2 * int(sample_rate)
+        )
+        lib.iio_channel_attr_write_longlong(
+            chn, b"sampling_frequency", int(sample_rate)
         )
         lib.iio_channel_attr_write_double(
             chn, b"hardwaregain", float(self.tx_gain)
@@ -156,7 +163,7 @@ class PlutoTx:
         lib.iio_channel_enable(tx0_i)
         lib.iio_channel_enable(tx0_q)
 
-        buf = lib.iio_device_create_buffer(tx, NUM_IQ_SAMPLES, False)
+        buf = lib.iio_device_create_buffer(tx, self._num_iq, False)
         if not buf:
             lib.iio_context_destroy(ctx)
             raise PlutoError("could not create TX buffer")
@@ -169,13 +176,25 @@ class PlutoTx:
         self._lib.iio_channel_attr_write_bool(self._lo, b"powerdown", False)
 
     def push(self, block: np.ndarray) -> None:
-        """One whole 0.1 s int16 IQ block per buffer push."""
+        """One whole 0.1 s int16 IQ block per buffer push.
+
+        A block larger than the buffer is a contract violation (raises);
+        a short final block is zero-padded — iio_buffer_push always sends
+        the whole buffer, and padding with silence beats transmitting the
+        previous block's stale tail."""
         lib = self._lib
         block = np.ascontiguousarray(block, dtype=np.int16)
         start = lib.iio_buffer_start(self._buf)
         end = lib.iio_buffer_end(self._buf)
-        n = min(end - start, block.nbytes)
+        cap = end - start
+        n = block.nbytes
+        if n > cap:
+            raise PlutoError(
+                f"IQ block ({n} bytes) exceeds the TX buffer ({cap} bytes)"
+            )
         ctypes.memmove(start, block.ctypes.data, n)
+        if n < cap:
+            ctypes.memset(start + n, 0, cap - n)
         if lib.iio_buffer_push(self._buf) < 0:
             raise PlutoError("iio_buffer_push failed")
 

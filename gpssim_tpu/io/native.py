@@ -75,7 +75,7 @@ def _load():
         lib.gstream_started.restype = ctypes.c_int
         lib.gstream_started.argtypes = [ctypes.c_void_p]
         lib.gstream_finish.restype = ctypes.c_int
-        lib.gstream_finish.argtypes = [ctypes.c_void_p]
+        lib.gstream_finish.argtypes = [ctypes.c_void_p, ctypes.c_double]
         lib.gstream_close.restype = ctypes.c_int
         lib.gstream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -197,11 +197,12 @@ class NativeStreamer:
     def started(self) -> bool:
         return bool(self._lib.gstream_started(self._h))
 
-    def close(self) -> int:
+    def close(self, flush_timeout_s: float = 10.0) -> int:
         if self._h:
-            # Flush first (paced drain of queued blocks), snapshot the
+            # Flush first (paced drain of queued blocks, bounded — a
+            # stalled peer is abandoned past the deadline), snapshot the
             # final stats, then free the native handle.
-            rc = self._lib.gstream_finish(self._h)
+            rc = self._lib.gstream_finish(self._h, float(flush_timeout_s))
             self.final_bytes_sent = self._lib.gstream_bytes_sent(self._h)
             self.final_underruns = self._lib.gstream_underruns(self._h)
             self.final_started = bool(self._lib.gstream_started(self._h))

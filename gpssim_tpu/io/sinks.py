@@ -166,12 +166,14 @@ class TcpSink(Sink):
 
     def __init__(self, addr: str = "127.0.0.1:4729", fifo_depth: int = 8,
                  pace: bool = True, engine: str = "auto",
-                 start_timeout_s: float = 30.0):
+                 start_timeout_s: float = 30.0,
+                 flush_timeout_s: float = 10.0):
         self.addr = addr
         self.fifo_depth = fifo_depth
         self.pace = pace
         self.engine = engine
         self.start_timeout_s = start_timeout_s
+        self.flush_timeout_s = flush_timeout_s
         self.fifo = BlockFifo(fifo_depth)
         self._native = None
         self._sock = None
@@ -281,7 +283,9 @@ class TcpSink(Sink):
     def close(self) -> None:
         if self._native is not None:
             try:
-                self._native.close()  # flushes at the paced rate
+                # Flushes at the paced rate, bounded by the same deadline
+                # as the Python path (a dead peer must not hang the run).
+                self._native.close(flush_timeout_s=self.flush_timeout_s)
                 # Preserve final stats — the runner closes the sink, and
                 # callers read underruns/bytes_sent afterwards.
                 self._py_bytes = self._native.final_bytes_sent
@@ -299,13 +303,26 @@ class TcpSink(Sink):
             # the start-full barrier so the drain transmits what was
             # queued instead of stalling out its full start timeout.
             self.fifo.force_barrier()
-            # Let the drain finish the queue, then halt.
+            # Let the drain finish the queue — bounded: a peer that
+            # stopped reading must not hang close() (and with it the
+            # whole run) forever.
             import time
 
-            while self.fifo.depth_used and self._thread.is_alive():
+            deadline = time.monotonic() + self.flush_timeout_s
+            while (
+                self.fifo.depth_used
+                and self._thread.is_alive()
+                and time.monotonic() < deadline
+            ):
                 time.sleep(0.001)
             self.fifo.halt()
-            self._thread.join(timeout=10)
+            self._thread.join(timeout=2)
+            if self._thread.is_alive() and self._sock is not None:
+                # The drain is stuck in sendall on a stalled peer:
+                # closing the socket aborts the send with an error.
+                self._sock.close()
+                self._sock = None
+                self._thread.join(timeout=2)
             self._thread = None
         if self._sock is not None:
             self._sock.close()
@@ -352,6 +369,9 @@ class HackRfSink(Sink):
                     amp=getattr(cfg, "tx_amplifier", False),
                     ppb=getattr(cfg, "ppb", 0),
                     lib_path=self.lib_path,
+                    sample_rate=getattr(
+                        cfg, "sample_rate", hw_hackrf.TX_SAMPLERATE
+                    ),
                 )
                 self.device = self._hw.push
                 # TX starts once the FIFO pre-buffer fills (the
@@ -444,6 +464,9 @@ class PlutoSink(Sink):
                     hostname=getattr(cfg, "pluto_hostname", None),
                     uri=getattr(cfg, "pluto_uri", None),
                     lib_path=self.lib_path,
+                    sample_rate=getattr(
+                        cfg, "sample_rate", hw_pluto.TX_SAMPLERATE
+                    ),
                 )
                 self._hw.start()  # TX LO on (sdr_pluto.c:246-252)
                 self.device = self._hw.push

@@ -20,6 +20,8 @@
 #include <cstdio>
 #include <cstring>
 #include <deque>
+#include <chrono>
+#include <fcntl.h>
 #include <mutex>
 #include <poll.h>
 #include <thread>
@@ -202,6 +204,11 @@ struct Streamer {
            double start_timeout_s)
       : fifo(nbuf, block_bytes), fd(fd), bytes_per_sec(bytes_per_sec),
         start_timeout_s(start_timeout_s) {
+    // Non-blocking writes + poll: a peer that stops reading leaves the
+    // drain in bounded 100 ms poll slices (abortable from finish())
+    // instead of stuck forever inside a blocking ::write.
+    int fl = fcntl(fd, F_GETFL, 0);
+    if (fl >= 0) fcntl(fd, F_SETFL, fl | O_NONBLOCK);
     th = std::thread(&Streamer::drain, this);
   }
 
@@ -214,8 +221,15 @@ struct Streamer {
   std::atomic<long> underruns{0};
   std::atomic<bool> io_error{false};
   std::atomic<bool> started{false};
+  std::atomic<bool> drain_done{false};
+  std::atomic<bool> abort_io{false};
 
   void drain() {
+    drain_loop();
+    drain_done = true;
+  }
+
+  void drain_loop() {
     // Start barrier: no byte leaves until the FIFO has filled once (or
     // the producer finished early / halted).
     fifo.wait_full(start_timeout_s);
@@ -237,15 +251,18 @@ struct Streamer {
       if (!buf) return;  // halted and drained
       const uint8_t* p = buf;
       while (n > 0 && !io_error) {
+        if (abort_io) {  // finish() gave up on a stalled peer
+          io_error = true;
+          break;
+        }
         ssize_t w = ::write(fd, p, static_cast<size_t>(n));
         if (w < 0) {
           if (errno == EINTR) continue;
           if (errno == EAGAIN || errno == EWOULDBLOCK) {
-            // The fd was handed over in non-blocking mode (e.g. a socket
-            // that kept a connect timeout): a full send buffer is
-            // backpressure, not an I/O error.  Wait for writability.
+            // A full send buffer is backpressure, not an I/O error:
+            // wait for writability in short abortable slices.
             struct pollfd pfd = {fd, POLLOUT, 0};
-            ::poll(&pfd, 1, 1000);
+            ::poll(&pfd, 1, 100);
             continue;
           }
           io_error = true;
@@ -279,10 +296,22 @@ struct Streamer {
   }
 
   // Halt and flush (the drain sends queued blocks at the paced rate);
-  // idempotent, stats remain readable afterwards.
-  int finish() {
+  // idempotent, stats remain readable afterwards.  The flush is bounded:
+  // past the deadline a stalled peer is abandoned (abort_io) rather than
+  // hanging the caller forever.
+  int finish(double flush_timeout_s = 10.0) {
     fifo.halt();
-    if (th.joinable()) th.join();
+    if (th.joinable()) {
+      auto deadline = std::chrono::steady_clock::now() +
+                      std::chrono::duration_cast<
+                          std::chrono::steady_clock::duration>(
+                          std::chrono::duration<double>(flush_timeout_s));
+      while (!drain_done && std::chrono::steady_clock::now() < deadline) {
+        std::this_thread::sleep_for(std::chrono::milliseconds(5));
+      }
+      if (!drain_done) abort_io = true;  // drain exits within one poll slice
+      th.join();
+    }
     return io_error ? -2 : 0;
   }
 
@@ -490,7 +519,9 @@ int gstream_started(void* s) {
 }
 // Flush and stop the drain thread; the handle (and its stats) stays valid
 // until gstream_close.
-int gstream_finish(void* s) { return static_cast<Streamer*>(s)->finish(); }
+int gstream_finish(void* s, double flush_timeout_s) {
+  return static_cast<Streamer*>(s)->finish(flush_timeout_s);
+}
 int gstream_close(void* s) {
   Streamer* st = static_cast<Streamer*>(s);
   int rc = st->finish();

@@ -151,6 +151,17 @@ def test_resume_warns_on_ignored_scenario_flags(
     assert "ignoring" in err and "-d/--duration" in err
     assert calls["d"] == 0.3  # checkpoint's duration won, not -d 99
 
+    # The warning is enumerated from the parser, so runtime flags that
+    # aren't reapplied (review r2: --realtime, --metrics-file, ...) are
+    # covered too — not just the hand-listed scenario flags.
+    assert cli.main(["--resume", ckpt, "--realtime",
+                     "--metrics-file", "m.jsonl"]) == 0
+    err = capsys.readouterr().err
+    assert "--realtime" in err and "--metrics-file" in err
+    # --checkpoint and --tui ARE honored: no warning for them.
+    assert cli.main(["--resume", ckpt, "--checkpoint", ckpt]) == 0
+    assert "ignoring" not in capsys.readouterr().err
+
 
 def test_use_ftp_fetch_failure_exits_cleanly(monkeypatch):
     """A network failure under --use-ftp is a reportable condition

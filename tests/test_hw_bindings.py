@@ -197,3 +197,88 @@ def test_hackrf_sink_autobind_end_to_end(tmp_path_factory, fixtures_dir):
     assert mock.mock_captured_bytes() >= want
     # Teardown (stop_tx, amp off, gain 0, close, exit) ran once.
     assert mock.mock_teardown_ok() == 1
+
+
+def test_hackrf_callback_blocks_through_producer_stall(tmp_path_factory):
+    """A producer stall (JAX recompile, checkpoint write) longer than a
+    second must briefly starve the radio, NOT end the stream: the pull
+    callback blocks on the FIFO with no timeout, exactly like the
+    reference's fifo_dequeue (fifo.c:174-194)."""
+    import time
+
+    from gpssim_tpu.io.hw_hackrf import TRANSFER_SIZE, HackRfTx
+
+    mock_path = _build_mock(tmp_path_factory, "mock_hackrf")
+    tx = HackRfTx(lib_path=mock_path, fifo_depth=2)
+    mock = ctypes.CDLL(mock_path)
+    data = (np.arange(TRANSFER_SIZE) % 251 - 125).astype(np.int8)
+
+    tx.push(data)
+    tx.push(data)
+    tx.start(timeout_s=10.0)
+
+    def wait_captured(want, timeout=10.0):
+        deadline = time.time() + timeout
+        while mock.mock_captured_bytes() < want and time.time() < deadline:
+            time.sleep(0.02)
+        return mock.mock_captured_bytes()
+
+    assert wait_captured(2 * TRANSFER_SIZE) == 2 * TRANSFER_SIZE
+    time.sleep(1.4)  # stall longer than any give-up timeout
+    tx.push(data)    # the stream must still be alive
+    assert wait_captured(3 * TRANSFER_SIZE) == 3 * TRANSFER_SIZE
+    tx.close()
+    assert mock.mock_teardown_ok() == 1
+
+
+def test_pluto_sample_rate_follows_stream(tmp_path_factory):
+    """The device's sampling_frequency/rf_bandwidth and the TX buffer size
+    follow the generated stream's rate (the framework generalizes the
+    reference's hard-wired 3 Msps, sdr.h:21/26); a short final block is
+    zero-padded, never a stale tail; an oversize block raises."""
+    from gpssim_tpu.io.hw_pluto import PlutoError, PlutoTx
+
+    mock_path = _build_mock(tmp_path_factory, "mock_iio")
+    tx = PlutoTx(lib_path=mock_path, sample_rate=2_000_000)
+    mock = ctypes.CDLL(mock_path)
+    mock.mock_attr.restype = ctypes.c_char_p
+    mock.mock_copy_capture.restype = ctypes.c_long
+
+    def attr(key):
+        return mock.mock_attr(key.encode()).decode()
+
+    assert attr("phy.voltage0.sampling_frequency") == "2000000"
+    assert attr("phy.voltage0.rf_bandwidth") == "4000000"
+
+    num_iq = 2_000_000 // 10
+    full = (np.arange(2 * num_iq) % 1024 - 512).astype(np.int16)
+    tx.push(full)
+    assert mock.mock_captured_bytes() == full.nbytes
+
+    short = np.full(2 * 100, 7, dtype=np.int16)
+    tx.push(short)  # padded to one whole buffer
+    assert mock.mock_captured_bytes() == 2 * full.nbytes
+    got = np.empty(2 * full.size, dtype=np.int16)
+    n = mock.mock_copy_capture(
+        got.ctypes.data_as(ctypes.c_void_p), got.nbytes
+    )
+    assert n == got.nbytes
+    assert np.array_equal(got[: full.size], full)
+    assert np.array_equal(got[full.size : full.size + short.size], short)
+    assert not np.any(got[full.size + short.size :])  # zero padding
+
+    with pytest.raises(PlutoError, match="exceeds the TX buffer"):
+        tx.push(np.zeros(2 * num_iq + 2, dtype=np.int16))
+    tx.close()
+
+
+def test_pluto_default_context_without_hostname(tmp_path_factory):
+    """No hostname/URI → iio_create_default_context (local USB) first —
+    the reference's default precedence (gps-sim.c:204, sdr_pluto.c:147)."""
+    from gpssim_tpu.io.hw_pluto import PlutoTx
+
+    mock_path = _build_mock(tmp_path_factory, "mock_iio")
+    tx = PlutoTx(lib_path=mock_path)
+    mock = ctypes.CDLL(mock_path)
+    assert mock.mock_used_network() == 0
+    tx.close()

@@ -291,3 +291,55 @@ def test_hackrf_start_failure_surfaces_on_write(monkeypatch):
     with pytest.raises(RuntimeError, match="TX start failed"):
         sink.write(np.zeros(600_000, dtype=np.int8))
     sink.close()
+
+
+@pytest.mark.parametrize("engine", ["native", "python"])
+def test_tcp_sink_close_bounded_with_stalled_peer(engine):
+    """A peer that stops reading must not hang close() (and with it the
+    whole run): the flush gives up after flush_timeout_s, the stuck send
+    is aborted, and close returns."""
+    import socket
+    import threading
+    import time
+
+    from gpssim_tpu.io import native as native_mod
+    from gpssim_tpu.io.sinks import TcpSink
+
+    if engine == "native" and not native_mod.available():
+        pytest.skip("native runtime unavailable")
+
+    srv = socket.socket()
+    # Small receive window so the kernel can't absorb the whole stream.
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 32768)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    sink = TcpSink(addr=f"127.0.0.1:{port}", fifo_depth=2, pace=False,
+                   engine=engine, start_timeout_s=0.2, flush_timeout_s=1.0)
+    sink.init(None)
+    conn, _ = srv.accept()  # accepted but NEVER read
+
+    blk = np.zeros(1_200_000, dtype=np.int8)
+    stop = []
+
+    def producer():
+        try:
+            for _ in range(16):
+                sink.write(blk)
+        except (RuntimeError, OSError):
+            stop.append(True)  # halted by close — expected
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    time.sleep(1.0)  # let the drain wedge against the full socket
+    t0 = time.monotonic()
+    try:
+        sink.close()
+    except (RuntimeError, OSError):
+        pass  # an aborted flush may surface as an error — loud beats hung
+    assert time.monotonic() - t0 < 8.0
+    t.join(timeout=2)
+    assert not t.is_alive()  # producer unblocked, not deadlocked
+    conn.close()
+    srv.close()
