@@ -394,3 +394,64 @@ def test_receiver_cli(rx_scenario, monkeypatch, capsys):
     text = capsys.readouterr().out
     assert "fix: lat 35.68" in text and "ECEF" in text
     assert called["n"] > 0
+
+
+@pytest.mark.slow
+def test_fix_from_live_tcp_stream(fixtures_dir, tmp_path):
+    """Close the live loop over the wire: the simulator streams IQ
+    through the tcp radio sink (the streaming analog of a HackRF/Pluto
+    TX) while a receiver consumes the socket — and gets a meter-level
+    PVT fix from what arrived.  This is the reference's "feed it to a
+    real receiver" QA loop with the TRANSPORT in the path, not just the
+    synth output."""
+    import socket
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    received = bytearray()
+
+    def collector():
+        conn, _ = srv.accept()
+        with conn:
+            while True:
+                data = conn.recv(1 << 16)
+                if not data:
+                    return
+                received.extend(data)
+
+    t = threading.Thread(target=collector, daemon=True)
+    t.start()
+
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n",
+        duration_sec=20.0,
+        sample_rate=RATE,
+        almanac_enable=False,
+        ionosphere_enable=False,
+        backend=SynthBackend.NUMPY,
+        sink="tcp",
+        tcp_addr=f"127.0.0.1:{port}",
+        location=LocationConfig(35.681298, 139.766247, 10.0),
+    )
+    sim = Simulation(cfg)
+    truth = np.array(sim.xyz0)
+    week = sim.g0.week
+    stats = run_simulation(cfg, sim=sim)
+    t.join(timeout=30)
+    assert not t.is_alive()
+    srv.close()
+
+    # Every streamed byte arrived (the sink's own integrity contract).
+    assert len(received) == stats.blocks * 2 * cfg.samples_per_epoch
+
+    iq_path = str(tmp_path / "wire.bin")
+    with open(iq_path, "wb") as f:
+        f.write(received)
+    x = load_iq(iq_path, 8)
+    fix, channels, _, _ = receiver_fix(x, RATE, week_hint=week)
+    err = np.linalg.norm(fix.xyz - truth)
+    assert err < 5.0, f"position error {err:.2f} m over the wire"
+    assert fix.nsats >= 5, fix.prns
