@@ -18,6 +18,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
 #include <chrono>
@@ -677,16 +678,42 @@ static double carr_advance_n(double p, double dp, long n) {
 long gseq_carr_chain(long C, long K, long N, double delt,
                      const double* carr0, const double* f_carr,
                      double* starts) {
-  double ph[64];
   if (C > 64) return -1;
-  for (long c = 0; c < C; ++c) ph[c] = carr0[c];
-  for (long j = 0; j < K; ++j) {
-    for (long c = 0; c < C; ++c) {
-      starts[j * C + c] = ph[c];
-      ph[c] = carr_advance_n(ph[c], f_carr[j * C + c] * delt, N);
+  // Each channel's chain is independent (disjoint reads and strided
+  // writes), so channels fan out over threads on multi-core hosts —
+  // this chain is the planner's hot path and otherwise serializes the
+  // whole pipeline behind one core.  Bit-exactness is untouched: the
+  // per-channel recurrence is identical in either schedule.
+  // GPSSIM_CHAIN_THREADS overrides (0/1 = serial; tests use it to
+  // exercise the threaded path on single-core hosts).
+  auto chain_one = [&](long c) {
+    double p = carr0[c];
+    for (long j = 0; j < K; ++j) {
+      starts[j * C + c] = p;
+      p = carr_advance_n(p, f_carr[j * C + c] * delt, N);
     }
+    starts[K * C + c] = p;
+  };
+  long nthreads = 1;
+  if (const char* env = std::getenv("GPSSIM_CHAIN_THREADS")) {
+    nthreads = std::atol(env);
+  } else {
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw >= 4 && C >= 4) nthreads = (long)hw < C ? (long)hw : C;
   }
-  for (long c = 0; c < C; ++c) starts[K * C + c] = ph[c];
+  if (nthreads > C) nthreads = C;
+  if (nthreads <= 1) {
+    for (long c = 0; c < C; ++c) chain_one(c);
+    return 0;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(static_cast<size_t>(nthreads));
+  for (long t = 0; t < nthreads; ++t) {
+    pool.emplace_back([&, t] {
+      for (long c = t; c < C; c += nthreads) chain_one(c);
+    });
+  }
+  for (auto& th : pool) th.join();
   return 0;
 }
 

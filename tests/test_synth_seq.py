@@ -430,3 +430,22 @@ def test_carrier_chain_channel_capacity_raises():
             np.zeros(C), np.full((3, C), 1e-4), num_samples=100,
             delt=1.0 / 3e6,
         )
+
+
+def test_carrier_chain_threaded_matches_serial(monkeypatch):
+    """gseq_carr_chain fans channels out over threads on multi-core
+    hosts; the schedule must not change a single bit (channels are
+    independent, writes disjoint).  Forced via GPSSIM_CHAIN_THREADS so
+    the threaded path runs even on a single-core CI host."""
+    rng = np.random.default_rng(11)
+    C, K, N = 12, 40, 300_000
+    carr0 = rng.uniform(0.0, 1.0, C)
+    f_carr = rng.uniform(-4800.0, 4800.0, (K, C))
+    f_carr[:, 3] = 0.0  # an inactive slot carries through
+    delt = 1.0 / 2.6e6
+
+    monkeypatch.setenv("GPSSIM_CHAIN_THREADS", "1")
+    serial = carrier_chain(carr0, f_carr, N, delt)
+    monkeypatch.setenv("GPSSIM_CHAIN_THREADS", "5")
+    threaded = carrier_chain(carr0, f_carr, N, delt)
+    assert np.array_equal(serial, threaded)
