@@ -1056,32 +1056,86 @@ static inline long gs_next(const GlobalScreen& g, long n0, long N) {
 // progression; irregular steps (binade/wrap crossings, ties) go scalar
 // through seq_advance, which also runs the data-bit cascade at code
 // wraps.  false on data-word overflow (invalid plan).
-static bool seq_ff(SeqChan& ch, bool nco, long steps) {
+// Integer-NCO walk: the carrier is exact closed-form, so only the code
+// phase is segment-walked — every fragment ends at its own crossing and
+// a cross-phase cache could never hit; keep the loop minimal.
+static bool seq_ff_nco(SeqChan& ch, long steps) {
   while (steps > 0) {
     int64_t Sc, mc;
     uint64_t cb;
     int ce;
     bool cfix;
-    const long rc = seg_room(ch.cp, ch.dc, kCaLen, &Sc, &mc, &cb, &ce,
-                             &cfix);
-    long rp = kRoomMax;
-    int64_t Sp = 0, mp = 0;
-    uint64_t pb = 0;
-    int pe = 0;
-    bool pfix = true;
-    if (!nco) rp = seg_room(ch.ph, ch.dp, 1.0, &Sp, &mp, &pb, &pe, &pfix);
-    long L = rc < rp ? rc : rp;
+    long L = seg_room(ch.cp, ch.dc, kCaLen, &Sc, &mc, &cb, &ce, &cfix);
     if (L > steps) L = steps;
     if (L <= 0) {
-      if (!seq_advance(ch, nco)) return false;
+      if (!seq_advance(ch, true)) return false;
       --steps;
       continue;
     }
     if (!cfix) ch.cp = mant_to_double(cb, mc + L * Sc);
-    if (!nco && !pfix) ch.ph = mant_to_double(pb, mp + L * Sp);
     steps -= L;
   }
   return true;
+}
+
+// Float-carrier walk with per-phase segment caches: the min-interleave
+// fragments each phase's binade segments on the OTHER phase's
+// boundaries, so recomputing seg_room every fragment does ~2x the
+// necessary work.  A segment interrupted mid-way (by the other phase's
+// crossing, or by a scalar step that stayed in-segment, room >= 1)
+// continues with the same (S, mant) — only an exhausted segment (room
+// 0, or the crossing phase itself) recomputes.  Room bounds double as
+// no-wrap proofs: room >= 1 means the next step stays below the cap and
+// inside the binade, so a scalar step cannot have wrapped that phase.
+static bool seq_ff_float(SeqChan& ch, long steps) {
+  int64_t Sc = 0, mc = 0, Sp = 0, mp = 0;
+  uint64_t cb = 0, pb = 0;
+  int ce = 0, pe = 0;
+  bool cfix = false, pfix = false;
+  long rc = -1, rp = -1;
+  while (steps > 0) {
+    if (rc < 0)
+      rc = seg_room(ch.cp, ch.dc, kCaLen, &Sc, &mc, &cb, &ce, &cfix);
+    if (rp < 0)
+      rp = seg_room(ch.ph, ch.dp, 1.0, &Sp, &mp, &pb, &pe, &pfix);
+    long L = rc < rp ? rc : rp;
+    if (L > steps) L = steps;
+    if (L <= 0) {
+      // One scalar (crossing/irregular) step.  The phase that still had
+      // room advances exactly one progression step — cache kept.
+      if (!seq_advance(ch, false)) return false;
+      --steps;
+      if (rc >= 1) {
+        if (!cfix) mc += Sc;
+        if (--rc == 0) rc = -1;
+      } else {
+        rc = -1;
+      }
+      if (rp >= 1) {
+        if (!pfix) mp += Sp;
+        if (--rp == 0) rp = -1;
+      } else {
+        rp = -1;
+      }
+      continue;
+    }
+    if (!cfix) {
+      mc += L * Sc;
+      ch.cp = mant_to_double(cb, mc);
+    }
+    if (!pfix) {
+      mp += L * Sp;
+      ch.ph = mant_to_double(pb, mp);
+    }
+    steps -= L;
+    if ((rc -= L) == 0) rc = -1;
+    if ((rp -= L) == 0) rp = -1;
+  }
+  return true;
+}
+
+static bool seq_ff(SeqChan& ch, bool nco, long steps) {
+  return nco ? seq_ff_nco(ch, steps) : seq_ff_float(ch, steps);
 }
 
 struct Delta {
@@ -1164,10 +1218,17 @@ long gseq_diff_block(
   }
 
   const bool nco = int_nco != 0;
-  std::vector<Delta> deltas;
-  for (long k = 0; k < A; ++k) {
+  // Per-channel screen walks are independent (disjoint SeqChan state,
+  // disjoint end_carr slots, own delta list): fan them over threads on
+  // multi-core hosts exactly like gseq_carr_chain — this walk is the
+  // strict-parity patch path's whole cost.  GPSSIM_CHAIN_THREADS
+  // overrides (0/1 = serial).
+  std::vector<std::vector<Delta>> dlists(static_cast<size_t>(A));
+  std::vector<int> walk_ok(static_cast<size_t>(A), 1);
+  auto walk_one = [&](long k) {
     SeqChan& ch = chs[k];
     const uint32_t phi0 = phi0s[k];
+    std::vector<Delta>* dl = &dlists[static_cast<size_t>(k)];
     // Candidate samples from the exact closed-form progressions (chip
     // edges; LUT edges unless the integer NCO makes the carrier exact).
     const GlobalScreen gc =
@@ -1180,15 +1241,23 @@ long gseq_diff_block(
     while (true) {
       const long nh = hc < hp ? hc : hp;
       if (nh >= N) break;
-      if (!seq_ff(ch, nco, nh - cur)) return -1;
+      if (!seq_ff(ch, nco, nh - cur)) {
+        walk_ok[static_cast<size_t>(k)] = 0;
+        return;
+      }
       cur = nh;
       if (!eval_candidate(ch, nh, ch.cp, ch.ph, nco, phi0, sin_lut,
-                          cos_lut, &deltas))
-        return -1;
+                          cos_lut, dl)) {
+        walk_ok[static_cast<size_t>(k)] = 0;
+        return;
+      }
       if (hc == nh) hc = gs_next(gc, nh + 1, N);
       if (hp == nh) hp = gs_next(gp, nh + 1, N);
     }
-    if (!seq_ff(ch, nco, N - cur)) return -1;
+    if (!seq_ff(ch, nco, N - cur)) {
+      walk_ok[static_cast<size_t>(k)] = 0;
+      return;
+    }
     end_carr[slot_of[k]] = ch.ph;
     // The integer NCO only advances in int_nco mode (seq_advance); in
     // float mode the reference leaves it untouched — match exactly.
@@ -1196,6 +1265,32 @@ long gseq_diff_block(
         nco ? phi0 + static_cast<uint32_t>(static_cast<uint64_t>(N) *
                                            ch.dphi)
             : phi0;
+  };
+  long nthreads = 1;
+  if (const char* env = std::getenv("GPSSIM_CHAIN_THREADS")) {
+    nthreads = std::atol(env);
+  } else {
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw >= 4 && A >= 2) nthreads = (long)hw < A ? (long)hw : A;
+  }
+  if (nthreads > A) nthreads = A;
+  if (nthreads <= 1) {
+    for (long k = 0; k < A; ++k) walk_one(k);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(static_cast<size_t>(nthreads));
+    for (long t = 0; t < nthreads; ++t) {
+      pool.emplace_back([&, t] {
+        for (long k = t; k < A; k += nthreads) walk_one(k);
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  std::vector<Delta> deltas;
+  for (long k = 0; k < A; ++k) {
+    if (!walk_ok[static_cast<size_t>(k)]) return -1;
+    deltas.insert(deltas.end(), dlists[static_cast<size_t>(k)].begin(),
+                  dlists[static_cast<size_t>(k)].end());
   }
 
   if (deltas.empty()) return 0;

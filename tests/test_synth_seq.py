@@ -395,10 +395,13 @@ def fuzz_plan(rng, N, delt, *, adversarial=None):
     return plan
 
 
-def test_fast_screen_matches_ref_screen_fuzz():
+@pytest.mark.parametrize("threads", ["1", "5"])
+def test_fast_screen_matches_ref_screen_fuzz(threads, monkeypatch):
     """gseq_diff_block (binade-segment fast path) must produce EXACTLY the
     same corrections and end state as gseq_diff_block_ref (sample-major
-    float replay) on random and adversarial plans, both carrier modes."""
+    float replay) on random and adversarial plans, both carrier modes —
+    under the serial AND the channel-threaded walk schedule."""
+    monkeypatch.setenv("GPSSIM_CHAIN_THREADS", threads)
     rng = np.random.default_rng(20260817)
     plans = []
     for delt in (1.0 / 1.023e6, 1.0 / 2.046e6, 1.0 / 2.6e6, 1.0 / 10e6):
