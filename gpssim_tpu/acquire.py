@@ -12,6 +12,7 @@ byte-identical, and handy as a debugging tool:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -48,6 +49,84 @@ def _resampled_codes(sample_rate: float, n: int) -> np.ndarray:
     return chips[:, idx]  # (32, n)
 
 
+def _scan_numpy(seg, code_fft, bins, t, noncoherent_ms, n, n_prns):
+    """Per-bin Doppler wipe + FFT correlation, NumPy. Returns the
+    (ratio, doppler, lag) best row per PRN."""
+    best = np.zeros((n_prns, 3))
+    for fd in bins:
+        wiped = (seg * np.exp(-2j * np.pi * fd * t)).reshape(
+            noncoherent_ms, n
+        )
+        wf = np.fft.fft(wiped, axis=1)  # (ms, n)
+        corr = np.fft.ifft(
+            wf[None, :, :] * code_fft[:, None, :], axis=2
+        )  # (P, ms, n)
+        power = (corr.real**2 + corr.imag**2).sum(axis=1)  # (P, n)
+        lag = np.argmax(power, axis=1)
+        peak = power[np.arange(n_prns), lag]
+        total = power.sum(axis=1)
+        for k in range(n_prns):
+            # Correlation is circular: exclude the peak's ±2 neighbours
+            # with wraparound, or a peak near lag 0 / n-1 leaks its own
+            # energy into the noise estimate.
+            excl = (int(lag[k]) + np.arange(-2, 3)) % n
+            off = total[k] - power[k, excl].sum()
+            ratio = float(peak[k]) / (off / (n - excl.size))
+            if ratio > best[k, 0]:
+                best[k] = (ratio, float(fd), float(lag[k]))
+    return best
+
+
+def _scan_jax(seg, code_fft, bins, t, noncoherent_ms, n, n_prns):
+    """The same search as one batched device program: every (bin, PRN)
+    cell of the grid computed by a single jit — Doppler wipes, the
+    forward/inverse FFTs, the noncoherent sum, and the circular-exclusion
+    SNR all run on the accelerator; only the (P, 3) winners come home.
+    On TPU the whole 41-bin x 32-PRN search is a few fused FFT batches
+    instead of a host loop."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("ms", "n"))
+    def scan(seg_d, cfft_d, bins_d, t_d, *, ms, n):
+        def per_bin(fd):
+            wiped = (seg_d * jnp.exp(-2j * jnp.pi * fd * t_d)).reshape(
+                ms, n
+            )
+            wf = jnp.fft.fft(wiped, axis=1)
+            corr = jnp.fft.ifft(wf[None, :, :] * cfft_d[:, None, :], axis=2)
+            return (corr.real**2 + corr.imag**2).sum(axis=1)  # (P, n)
+
+        power = jax.vmap(per_bin)(bins_d)  # (B, P, n)
+        lag = jnp.argmax(power, axis=2)  # (B, P)
+        peak = jnp.take_along_axis(power, lag[:, :, None], axis=2)[..., 0]
+        total = power.sum(axis=2)
+        excl = (lag[:, :, None] + jnp.arange(-2, 3)[None, None, :]) % n
+        off = total - jnp.take_along_axis(power, excl, axis=2).sum(axis=2)
+        ratio = peak / (off / (n - 5))  # (B, P)
+        b_best = jnp.argmax(ratio, axis=0)  # (P,)
+        ar = jnp.arange(ratio.shape[1])
+        return (
+            ratio[b_best, ar],
+            bins_d[b_best],
+            lag[b_best, ar].astype(jnp.float32),  # lags < n: f32-exact
+        )
+
+    r, fd, lag = scan(
+        jnp.asarray(seg, jnp.complex64),
+        jnp.asarray(code_fft, jnp.complex64),
+        jnp.asarray(bins, jnp.float32),
+        jnp.asarray(t, jnp.float32),
+        ms=noncoherent_ms,
+        n=n,
+    )
+    best = np.zeros((n_prns, 3))
+    best[:, 0] = np.asarray(r, dtype=np.float64)
+    best[:, 1] = np.asarray(fd, dtype=np.float64)
+    best[:, 2] = np.asarray(lag, dtype=np.float64)
+    return best
+
+
 def acquire(
     x: np.ndarray,
     sample_rate: float = 3_000_000.0,
@@ -56,12 +135,17 @@ def acquire(
     noncoherent_ms: int = 5,
     snr_threshold: float = 12.0,
     prns=None,
+    backend: str = "numpy",
 ) -> list[Detection]:
     """Parallel code-phase search (FFT circular correlation).
 
     For each PRN and Doppler bin, correlates ``noncoherent_ms`` successive
     1 ms segments against the local code and sums their power. Returns
-    detections sorted by SNR."""
+    detections sorted by SNR.
+
+    ``backend='jax'`` runs the whole (bin x PRN) search grid as one
+    batched device program (single-precision FFTs; SNR ratios differ
+    from the f64 NumPy path in the 3rd decimal, detections match)."""
     n = int(round(sample_rate * 1e-3))  # samples per code period
     need = n * noncoherent_ms
     if len(x) < need:
@@ -74,30 +158,10 @@ def acquire(
     bins = np.arange(-max_doppler_hz, max_doppler_hz + 1, doppler_step_hz)
     seg = x[:need]
 
-    # The Doppler wipe + forward FFTs depend only on the bin: hoist them
-    # and correlate all PRNs per bin in one vectorized ifft.
-    best = np.zeros((len(prns), 3))  # (ratio, doppler, lag) per PRN
-    for fd in bins:
-        wiped = (seg * np.exp(-2j * np.pi * fd * t)).reshape(
-            noncoherent_ms, n
-        )
-        wf = np.fft.fft(wiped, axis=1)  # (ms, n)
-        corr = np.fft.ifft(
-            wf[None, :, :] * code_fft[:, None, :], axis=2
-        )  # (P, ms, n)
-        power = (corr.real**2 + corr.imag**2).sum(axis=1)  # (P, n)
-        lag = np.argmax(power, axis=1)
-        peak = power[np.arange(len(prns)), lag]
-        total = power.sum(axis=1)
-        for k in range(len(prns)):
-            # Correlation is circular: exclude the peak's ±2 neighbours
-            # with wraparound, or a peak near lag 0 / n-1 leaks its own
-            # energy into the noise estimate.
-            excl = (int(lag[k]) + np.arange(-2, 3)) % n
-            off = total[k] - power[k, excl].sum()
-            ratio = float(peak[k]) / (off / (n - excl.size))
-            if ratio > best[k, 0]:
-                best[k] = (ratio, float(fd), float(lag[k]))
+    if backend not in ("numpy", "jax"):
+        raise ValueError(f"unknown acquisition backend {backend!r}")
+    scan = _scan_jax if backend == "jax" else _scan_numpy
+    best = scan(seg, code_fft, bins, t, noncoherent_ms, n, len(prns))
 
     out = []
     for k, prn in enumerate(prns):
@@ -212,15 +276,21 @@ def decode_tow(bits: np.ndarray) -> list[tuple[int, int]]:
 def main(argv=None) -> int:
     import argparse
 
+    from .config import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("iq_file")
     ap.add_argument("--bits", type=int, default=8, choices=(8, 16))
     ap.add_argument("--rate", type=float, default=3_000_000.0)
     ap.add_argument("--max-doppler", type=float, default=5_000.0)
+    ap.add_argument("--backend", default="numpy", choices=("numpy", "jax"),
+                    help="jax = run the search grid on the accelerator")
     args = ap.parse_args(argv)
 
     x = load_iq(args.iq_file, args.bits)
-    dets = acquire(x, args.rate, max_doppler_hz=args.max_doppler)
+    dets = acquire(x, args.rate, max_doppler_hz=args.max_doppler,
+                   backend=args.backend)
     print(f"{len(dets)} PRNs acquired:")
     for d in dets:
         print(

@@ -9,7 +9,6 @@ backend, sample rate, output path, TUI toggle, checkpointing). Run as
 from __future__ import annotations
 
 import argparse
-import os as _os
 import sys
 import time as _time
 
@@ -248,19 +247,9 @@ def args_to_config(args: argparse.Namespace) -> SimConfig:
 
 
 def main(argv: list[str] | None = None) -> int:
-    # Honor JAX_PLATFORMS even on hosts whose sitecustomize overrides it
-    # via jax.config at interpreter start (e.g. the axon TPU relay):
-    # `JAX_PLATFORMS=cpu python -m gpssim_tpu --backend pallas` must run
-    # on the CPU the user asked for, not silently compile for the TPU.
-    env_platforms = _os.environ.get("JAX_PLATFORMS")
-    if env_platforms:
-        import jax
+    from .config import honor_jax_platforms_env
 
-        try:
-            jax.config.update("jax_platforms", env_platforms)
-        except Exception:
-            pass  # backends already initialized (in-process test harness)
-
+    honor_jax_platforms_env()
     parser = build_parser()
     args = parser.parse_args(argv)
 

@@ -118,3 +118,20 @@ class SimConfig:
         # so fractional durations agree — truncation would drop an epoch
         # for e.g. duration_sec=0.55.
         return int(self.duration_sec * 10.0 + 0.5)
+
+def honor_jax_platforms_env() -> None:
+    """Make JAX honor the JAX_PLATFORMS env var even on hosts whose
+    sitecustomize overrides it via jax.config at interpreter start (e.g.
+    the axon TPU relay): every CLI entry point calls this so
+    ``JAX_PLATFORMS=cpu python -m gpssim_tpu...`` runs on the CPU the
+    user asked for instead of silently targeting the TPU."""
+    import os
+
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass  # backends already initialized (in-process test harness)

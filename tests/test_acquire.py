@@ -216,3 +216,25 @@ def test_no_false_positives_on_noise():
         rng.normal(size=8 * 3000) + 1j * rng.normal(size=8 * 3000)
     ).astype(np.complex64) * 100.0
     assert acquire(noise) == []
+
+
+def test_jax_backend_matches_numpy(generated):
+    """The batched device search (backend='jax', single jit over the
+    whole bin x PRN grid) must find the same detections as the f64 NumPy
+    scan: same PRN set, same Doppler bin and lag per PRN, SNR within
+    single-precision tolerance."""
+    out, _ = generated
+    x = load_iq(out, 8)
+    ref = {d.prn: d for d in acquire(x)}
+    jx = {d.prn: d for d in acquire(x, backend="jax")}
+    assert set(jx) == set(ref)
+    for prn, d in ref.items():
+        j = jx[prn]
+        assert j.doppler_hz == d.doppler_hz, prn
+        assert j.code_phase_chips == d.code_phase_chips, prn
+        assert abs(j.snr - d.snr) / d.snr < 1e-2, (prn, j.snr, d.snr)
+
+
+def test_acquire_backend_validation():
+    with pytest.raises(ValueError, match="unknown acquisition backend"):
+        acquire(np.zeros(40_000, np.complex64), backend="torch")
