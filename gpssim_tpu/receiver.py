@@ -705,8 +705,16 @@ def receiver_fix(
     measure_at: int | None = None,
     min_snr: float = 12.0,
     max_channels: int | None = None,
+    iono: IonoUtc | None = None,
 ) -> tuple[Fix, list[TrackedChannel], EphemerisSet, IonoUtc]:
-    """Full receiver chain on a baseband stream → navigation fix."""
+    """Full receiver chain on a baseband stream → navigation fix.
+
+    ``iono``: externally-provided Klobuchar parameters (e.g. from RINEX,
+    the way a warm-started receiver uses cached iono data). When None,
+    the parameters are decoded over the air from subframe 4 page 18 —
+    which only transmits once per 25-page almanac cycle (~12.5 min), so
+    short captures of an iono-on scenario otherwise solve uncorrected
+    (~5-15 m bias at L1)."""
     dets = acquire(x, sample_rate, snr_threshold=min_snr)
     if not dets:
         raise RuntimeError("no PRNs acquired")
@@ -729,12 +737,13 @@ def receiver_fix(
         )
     eph.finalize()
 
-    iono = IonoUtc()
-    for frames in frames_by_prn.values():
-        got = decode_iono_utc(frames, week_hint=week_hint)
-        if got.vflg:
-            iono = got
-            break
+    if iono is None:
+        iono = IonoUtc()
+        for frames in frames_by_prn.values():
+            got = decode_iono_utc(frames, week_hint=week_hint)
+            if got.vflg:
+                iono = got
+                break
 
     if measure_at is None:
         measure_at = (len(x) // channels[0].seg_len - 1) * channels[0].seg_len
@@ -761,14 +770,27 @@ def main(argv=None) -> int:
         "broadcast 10-bit week's 1024-week rollover (any value within "
         "512 weeks of the truth works; default covers 2019-2038)",
     )
+    ap.add_argument(
+        "--nav-iono",
+        metavar="rinex",
+        help="warm-start Klobuchar parameters from this RINEX nav file "
+        "(a short capture cannot decode page 18 over the air; without "
+        "iono data an iono-on scenario solves with a ~5-15 m bias)",
+    )
     args = ap.parse_args(argv)
 
+    iono = None
+    if args.nav_iono:
+        from .core.ephemeris import read_rinex_nav
+
+        iono = read_rinex_nav(args.nav_iono).ionoutc
     x = load_iq(args.iq_file, args.bits)
     fix, channels, _, iono = receiver_fix(
-        x, args.rate, week_hint=args.week
+        x, args.rate, week_hint=args.week, iono=iono
     )
     print(f"{len(channels)} channels tracked: {fix.prns}")
-    print(f"iono decoded: {iono.vflg}")
+    print(f"iono applied: {iono.vflg}"
+          + (" (warm start)" if args.nav_iono else ""))
     print(
         f"fix: lat {fix.llh[0] * R2D:.6f}  lon {fix.llh[1] * R2D:.6f}  "
         f"h {fix.llh[2]:.1f} m"

@@ -455,3 +455,44 @@ def test_fix_from_live_tcp_stream(fixtures_dir, tmp_path):
     err = np.linalg.norm(fix.xyz - truth)
     assert err < 5.0, f"position error {err:.2f} m over the wire"
     assert fix.nsats >= 5, fix.prns
+
+
+@pytest.mark.slow
+def test_iono_on_fix_with_provided_klobuchar(fixtures_dir, tmp_path):
+    """An iono-ON scenario solves to meter level when the receiver is
+    given Klobuchar parameters (RINEX warm start — page 18 only
+    transmits once per ~12.5 min almanac cycle, so a short capture
+    cannot decode them over the air), and measurably worse without:
+    the PVT's Klobuchar model (gps.c:1893-1964 parity) cancels the
+    simulator's own iono delay."""
+    out = str(tmp_path / "iono_on.bin")
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n",
+        duration_sec=20.0,
+        sample_rate=RATE,
+        almanac_enable=False,
+        ionosphere_enable=True,
+        backend=SynthBackend.NUMPY,
+        sink="iqfile",
+        out_file=out,
+        location=LocationConfig(35.681298, 139.766247, 10.0),
+    )
+    sim = Simulation(cfg)
+    truth = np.array(sim.xyz0)
+    week = sim.g0.week
+    run_simulation(cfg, sim=sim)
+    x = load_iq(out, 8)
+
+    nav = read_rinex_nav(f"{fixtures_dir}/brdc_test.22n")
+    assert nav.ionoutc.vflg
+    fix_cor, _, _, iono_used = receiver_fix(
+        x, RATE, week_hint=week, iono=nav.ionoutc
+    )
+    err_cor = np.linalg.norm(fix_cor.xyz - truth)
+    assert iono_used.vflg and iono_used.enable
+    assert err_cor < 2.5, f"corrected iono-on fix off by {err_cor:.2f} m"
+
+    fix_raw, _, _, iono_raw = receiver_fix(x, RATE, week_hint=week)
+    err_raw = np.linalg.norm(fix_raw.xyz - truth)
+    assert not iono_raw.vflg  # page 18 never arrived in 20 s
+    assert err_raw > err_cor + 3.0, (err_raw, err_cor)
