@@ -75,6 +75,7 @@ def _lib():
                 + [c.c_void_p] * 15  # active..dwrd, sin/cos LUTs
                 + [c.c_long]         # max_out
                 + [c.c_void_p] * 5   # out_idx/i/q, end_carr, end_carr_i
+                + [c.c_int]          # want_end
             )
         lib.gseq_synth_block.restype = c.c_long
         lib.gseq_synth_block.argtypes = (
@@ -122,14 +123,19 @@ def carrier_chain(
 
 def seq_corrections(
     plan: BlockPlan, int_nco: bool = False, max_out: int = 4096,
-    _ref: bool = False
+    _ref: bool = False, want_end: bool = False
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Samples where sequential semantics differ from the closed form.
 
     Returns (idx, i16, q16, end_carr, end_carr_i): at sample ``idx[k]`` the
-    sequential int16 accumulators are ``(i16[k], q16[k])``; ``end_carr`` /
-    ``end_carr_i`` are the sequential block-end carrier phases (inactive
-    slots pass through).  idx is empty for almost every block.
+    sequential int16 accumulators are ``(i16[k], q16[k])``.  idx is empty
+    for almost every block.  With ``want_end`` the last two outputs are
+    the sequential block-end carrier phases (inactive slots pass
+    through); without it (the production default) the walk past the last
+    candidate — the ENTIRE block when there are no candidates — is
+    skipped, because the planner's carrier chain already owns
+    block-boundary state, and end_carr/end_carr_i just pass the inputs
+    through.
 
     ``_ref=True`` runs the sample-major float-replay reference screen
     instead of the binade-segment fast path — a test hook for the
@@ -168,6 +174,7 @@ def seq_corrections(
         out_idx.ctypes.data_as(cv), out_i.ctypes.data_as(cv),
         out_q.ctypes.data_as(cv),
         end_carr.ctypes.data_as(cv), end_carr_i.ctypes.data_as(cv),
+        int(want_end),
     )
     if n == -1:
         raise ValueError(

@@ -351,10 +351,32 @@ constexpr double kCaLen = 1023.0;
 // carrier in [0,1) → ulp ≤ 2^-52), plus the closed form's two roundings:
 //   code:    N*2^-43 ≈ 1.1e-7 chips                      (N = 1e6)
 //   carrier: (N*2^-53 + ulp(N*dp))*512 ≈ 6e-8 index units
-// 1e-4 gives ~1000x margin while flagging only ~2e-4 of samples for the
-// (cheap) full evaluation.
+// The sample-major reference screen keeps a flat 1e-4 (~1000x margin,
+// flags ~2e-4 of samples — evals are cheap relative to its full
+// replay).  The fast screen flags gate the SEGMENT WALK length, so it
+// uses the N-dependent rigorous bound x10 below: candidate counts drop
+// from ~120/block to ~0, and the walk (which only needs to reach the
+// last candidate) mostly vanishes.  Correctness never rests on the
+// flag: every flagged sample is fully evaluated in both semantics, and
+// the fuzz cross-check (tests/test_synth_seq.py) asserts the tight and
+// wide screens produce identical corrections.
 constexpr double kCodeMargin = 1e-4;
 constexpr double kCarrMargin = 1e-4;
+
+// 10x the rigorous worst case: N half-ulp roundings of the running code
+// phase (< 1024 → ulp ≤ 2^-43, half-ulp 2^-44 ≈ 5.684e-14) plus the
+// closed form's fl(n*dc) (≤ ulp(1.2e5)/2 ≈ 7.3e-12) and final-add
+// (≤ 2^-44) roundings.
+static inline double code_margin_fast(long N) {
+  return 10.0 * (static_cast<double>(N) * 5.684e-14 + 1.0e-11);
+}
+
+// LUT-index units: 512 x (N half-ulp roundings of the phase in [0,1) →
+// ulp ≤ 2^-53, half-ulp 2^-54 ≈ 5.552e-17) plus 512 x the closed
+// form's fl(n*dp) / final-add roundings (≤ 1e-10 total for any block).
+static inline double carr_margin_fast(long N) {
+  return 10.0 * (static_cast<double>(N) * 512.0 * 5.552e-17 + 1.0e-10);
+}
 
 struct SeqChan {
   double cp;        // sequential code phase, chips in [0, 1023)
@@ -753,7 +775,8 @@ long gseq_diff_block_ref(
     const int64_t* ibit, const int64_t* icode, const int8_t* ca,
     const uint32_t* dwrd, const double* sin_lut, const double* cos_lut,
     long max_out, int64_t* out_idx, int16_t* out_i, int16_t* out_q,
-    double* end_carr, uint32_t* end_carr_i) {
+    double* end_carr, uint32_t* end_carr_i, int want_end) {
+  (void)want_end;  // the reference replay always materializes end state
   if (C > 16) return -1;
   SeqChan chs[16];
   long A = 0;  // active channel count (dense)
@@ -1185,7 +1208,7 @@ long gseq_diff_block(
     const int64_t* ibit, const int64_t* icode, const int8_t* ca,
     const uint32_t* dwrd, const double* sin_lut, const double* cos_lut,
     long max_out, int64_t* out_idx, int16_t* out_i, int16_t* out_q,
-    double* end_carr, uint32_t* end_carr_i) {
+    double* end_carr, uint32_t* end_carr_i, int want_end) {
   if (C > 16) return -1;
   SeqChan chs[16];
   uint32_t phi0s[16];
@@ -1232,9 +1255,10 @@ long gseq_diff_block(
     // Candidate samples from the exact closed-form progressions (chip
     // edges; LUT edges unless the integer NCO makes the carrier exact).
     const GlobalScreen gc =
-        make_global(ch.cp0, ch.dc, 1.0, kCodeMargin, N);
+        make_global(ch.cp0, ch.dc, 1.0, code_margin_fast(N), N);
     GlobalScreen gp{0, 0, 0};
-    if (!nco) gp = make_global(ch.c0, ch.dp, 512.0, kCarrMargin, N);
+    if (!nco)
+      gp = make_global(ch.c0, ch.dp, 512.0, carr_margin_fast(N), N);
     long cur = 0;
     long hc = gs_next(gc, 0, N);
     long hp = nco ? N : gs_next(gp, 0, N);
@@ -1254,6 +1278,12 @@ long gseq_diff_block(
       if (hc == nh) hc = gs_next(gc, nh + 1, N);
       if (hp == nh) hp = gs_next(gp, nh + 1, N);
     }
+    // The block-end walk exists only to report end_carr: the planner's
+    // carrier chain already owns block-boundary state, so production
+    // callers pass want_end=0 and the walk past the last candidate (the
+    // ENTIRE block when there are no candidates — the common case) is
+    // skipped.  end_carr/end_carr_i then keep their pass-through init.
+    if (!want_end) return;
     if (!seq_ff(ch, nco, N - cur)) {
       walk_ok[static_cast<size_t>(k)] = 0;
       return;

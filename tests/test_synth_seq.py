@@ -176,7 +176,7 @@ def _found():
     if _FOUND is None:
         plan = divergent_plan()
         assert plan is not None, "ulp sweep found no chip-boundary flip"
-        idx, i16, q16, end_carr, _ = seq_corrections(plan)
+        idx, i16, q16, end_carr, _ = seq_corrections(plan, want_end=True)
         _FOUND = (plan, idx, i16, q16, end_carr)
     return _FOUND
 
@@ -222,7 +222,9 @@ def test_int_nco_mode_runs_clean():
     """Int-NCO carrier is exact by construction; only code-phase events can
     fire, and the machinery must accept the mode."""
     plan = make_plan(100_000, 1.0 / 2.6e6, 512.25, 1.023e6 + 1.5)
-    idx, i16, q16, end_carr, end_carr_i = seq_corrections(plan, int_nco=True)
+    idx, i16, q16, end_carr, end_carr_i = seq_corrections(
+        plan, int_nco=True, want_end=True
+    )
     out = synth_block_seq(plan, int_nco=True)
     cf = synth_block_numpy(plan, int_nco=True)
     d = np.flatnonzero(out != cf)
@@ -414,8 +416,11 @@ def test_fast_screen_matches_ref_screen_fuzz(threads, monkeypatch):
     n_corr = 0
     for i, plan in enumerate(plans):
         for int_nco in (False, True):
-            fast = seq_corrections(plan, int_nco=int_nco)
+            fast = seq_corrections(plan, int_nco=int_nco, want_end=True)
             ref = seq_corrections(plan, int_nco=int_nco, _ref=True)
+            lazy = seq_corrections(plan, int_nco=int_nco)  # production mode
+            for a, b in zip(lazy[:3], ref[:3]):
+                assert np.array_equal(a, b), (i, int_nco, "want_end=False")
             for a, b in zip(fast, ref):
                 assert np.array_equal(a, b), (i, int_nco)
             n_corr += len(fast[0])
