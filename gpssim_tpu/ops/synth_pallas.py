@@ -95,6 +95,158 @@ def pack_row_bases(bases: dict, n_rows_pad: int, wide: bool):
     return out
 
 
+# Plane-stack layout for the lane-SIMD stage A2: 12 limb planes P[d][i]
+# (d-major), then HM, CLS, TCU0, BIDX0, BITS, K32, then capA (32) and
+# capB (32) — (82, 128) int32 per block.  Built once per block by
+# pack_planes; consumed row-wise by bases_from_planes (XLA stage A2) or
+# in-kernel by the fused variant.
+N_PLANES = 82
+
+
+def pack_planes(code_l, carr_l, nav, ca_packed, wide=False):
+    """Per-block (82, 128) int32 plane stack for stage A2 (see
+    row_bases_packed for the lane layout semantics)."""
+    C = nav.shape[-1]
+    n_win = 4 if wide else 2
+    n_groups = 4 + n_win
+    if n_groups * C > LANES:
+        raise ValueError(
+            f"{n_groups} base planes x {C} channels exceed the "
+            f"{LANES}-lane packed layout (max {LANES // n_groups} channels)"
+        )
+    pad = LANES - n_groups * C
+    zc = jnp.zeros((C,), jnp.int32)
+    zp = jnp.zeros((pad,), jnp.int32)
+
+    def plane(f_hi, f_lo, c_hi, c_lo, win):
+        return jnp.concatenate(
+            [f_hi, f_lo, c_hi, c_lo] + [win] * n_win + [zp]
+        )[None, :]
+
+    cl = code_l.astype(jnp.int32)
+    rl = carr_l.astype(jnp.int32)
+    P = [
+        plane(cl[d, :, i], cl[d, :, i], rl[d, :, i], rl[d, :, i],
+              cl[d, :, i])
+        for d in range(4) for i in range(3)
+    ]
+    cmask = jnp.full((C,), (1 << (_Q_CARR - 46)) - 1, jnp.int32)
+    HM = plane(zc, zc, cmask, zc, zc)
+    one = jnp.ones((C,), jnp.int32)
+    CLS = jnp.concatenate(
+        [one, zc, one, zc] + [one + 1] * n_win + [zp + 3]
+    )[None, :]
+    navi = nav.astype(jnp.int32)
+    TCU0 = plane(zc, zc, zc, zc, navi[0])
+    BIDX0 = plane(zc, zc, zc, zc, navi[1])
+    BITS = plane(zc, zc, zc, zc, navi[2])
+    K32 = jnp.concatenate(
+        [zc, zc, zc, zc]
+        + [jnp.full((C,), 32 * k, jnp.int32) for k in range(n_win)] + [zp]
+    )[None, :]
+    cap = ca_packed.astype(jnp.int32)
+    z4 = jnp.zeros((32, 4 * C), jnp.int32)
+    zpad = jnp.zeros((32, pad), jnp.int32)
+    capA = jnp.concatenate(
+        [z4] + [cap[:, k:k + 32].T for k in range(n_win)] + [zpad], axis=1
+    )
+    capB = jnp.concatenate(
+        [z4] + [cap[:, k + 1:k + 33].T for k in range(n_win)] + [zpad],
+        axis=1,
+    )
+    return jnp.concatenate(
+        P + [HM, CLS, TCU0, BIDX0, BITS, K32, capA, capB], axis=0
+    )
+
+
+def bases_from_planes(planes, q, n_rows_cap):
+    """The stage-A2 row math on a block's plane stack: row indices ``q``
+    (R, 1) int32 → the lane-packed (R, 128) bases.  Pure jnp — traced
+    identically by XLA (row_bases_packed) and Mosaic (the fused kernel),
+    so the two paths are op-for-op the same program.  ``n_rows_cap`` is
+    the static padded row count (it gates the q1/q2 digit terms)."""
+
+    # 2-D row slices throughout (never a 1-D intermediate): Mosaic wants
+    # (1, 128) strips, and XLA compiles them identically.
+    def row(j):
+        return planes[j:j + 1]
+
+    def P(d, i):
+        return row(d * 3 + i)
+
+    HM = row(12)
+    CLS = row(13)
+    TCU0 = row(14)
+    BIDX0 = row(15)
+    BITS = row(16)
+    K32 = row(17)
+
+    # ---- shared limb polynomial (base 2^23, carries explicit) ----
+    q0, q1, q2 = q & 63, (q >> 6) & 63, q >> 12
+
+    def term(i):
+        t = P(0, i) + q0 * P(1, i)
+        if n_rows_cap > 64:
+            t = t + q1 * P(2, i)
+        if n_rows_cap > 4096:
+            t = t + q2 * P(3, i)
+        return t
+
+    t0 = term(0)
+    p1 = term(1) + (t0 >> 23)
+    p0 = t0 & _M23
+    p2 = term(2) + (p1 >> 23)
+    p1 = p1 & _M23
+    hi = ((p2 & HM) << 23) + p1
+
+    # ---- window lanes: wraps / chip_base (f32 divide trick, see
+    # _row_bases) ----
+    wraps = jnp.floor(
+        (p2.astype(jnp.float32) + 0.5) * np.float32(1.0 / CA_SEQ_LEN)
+    ).astype(jnp.int32)
+    chip_base = p2 - wraps * CA_SEQ_LEN
+    wordpos = chip_base >> 5
+    bitoff = chip_base & 31
+
+    masks = [((wordpos >> b) & 1) != 0 for b in (4, 3, 2, 1, 0)]
+
+    def tree(first_row):
+        cur = [row(first_row + j) for j in range(32)]
+        for m in masks:
+            h = len(cur) // 2
+            cur = [jnp.where(m, cur[i + h], cur[i]) for i in range(h)]
+        return cur[0]
+
+    w1, w2 = tree(18), tree(50)
+
+    def shl_safe(x, k):  # x << k with k >= 32 → 0 (XLA shift-by-32 is UB)
+        return jnp.where(k >= 32, 0, x << jnp.minimum(k, 31))
+
+    win = jax.lax.shift_right_logical(w1, bitoff) | shl_safe(w2, 32 - bitoff)
+
+    # ---- data-bit sign fold (see _row_bases) ----
+    tcu = TCU0 + wraps
+
+    def bit_neg(t):
+        bidx = jnp.floor(
+            (t.astype(jnp.float32) + 0.5) * np.float32(1.0 / 20.0)
+        ).astype(jnp.int32)
+        j = (bidx - BIDX0) & 31  # & 31: garbage lanes must stay defined
+        return (jax.lax.shift_right_logical(BITS, j) & 1) ^ 1
+
+    neg_now = bit_neg(tcu)
+    neg_next = bit_neg(tcu + 1)
+    wo = (CA_SEQ_LEN - chip_base) - K32
+    # wrap_off >= 1 on real lanes, so for k == 0 the wo<=0 arm never
+    # fires — this single form covers _row_bases' k==0 special case.
+    mask = jnp.where(wo <= 0, -1, shl_safe(jnp.int32(-1), wo))
+    sval = win ^ (-neg_now) ^ (mask & -(neg_now ^ neg_next))
+
+    return jnp.where(
+        CLS == 0, p0, jnp.where(CLS == 1, hi, jnp.where(CLS == 2, sval, 0))
+    )
+
+
 def row_bases_packed(code_l, carr_l, nav, lane_steps, ca_packed, n_rows,
                      wide=False):
     """Stage A2: compute the lane-packed (n_rows, 128) stage-A array
@@ -127,137 +279,17 @@ def row_bases_packed(code_l, carr_l, nav, lane_steps, ca_packed, n_rows,
     lanes of the int32 (8, 128) tile — measured at ~60% of device time
     (fusions + pads + concat) in the r2 profile.
     """
-    C = nav.shape[-1]
-    n_win = 4 if wide else 2
-    n_groups = 4 + n_win
-    if n_groups * C > LANES:
-        raise ValueError(
-            f"{n_groups} base planes x {C} channels exceed the "
-            f"{LANES}-lane packed layout (max {LANES // n_groups} channels)"
-        )
-    pad = LANES - n_groups * C
-    zc = jnp.zeros((C,), jnp.int32)
-    zp = jnp.zeros((pad,), jnp.int32)
-
-    def plane(f_hi, f_lo, c_hi, c_lo, win):
-        return jnp.concatenate(
-            [f_hi, f_lo, c_hi, c_lo] + [win] * n_win + [zp]
-        )[None, :]
-
-    # Limb planes: P[d][i] = digit-level d (base, s1, s64, s4096), limb i.
-    cl = code_l.astype(jnp.int32)
-    rl = carr_l.astype(jnp.int32)
-    P = [
-        [plane(cl[d, :, i], cl[d, :, i], rl[d, :, i], rl[d, :, i],
-               cl[d, :, i]) for i in range(3)]
-        for d in range(4)
-    ]
-    cmask = jnp.full((C,), (1 << (_Q_CARR - 46)) - 1, jnp.int32)
-    HM = plane(zc, zc, cmask, zc, zc)
-    # Lane class: 0 = lo limb out, 1 = hi out, 2 = window out, 3 = pad.
-    one = jnp.ones((C,), jnp.int32)
-    CLS = jnp.concatenate(
-        [one, zc, one, zc] + [one + 1] * n_win + [zp + 3]
-    )[None, :]
-    navi = nav.astype(jnp.int32)
-    TCU0 = plane(zc, zc, zc, zc, navi[0])
-    BIDX0 = plane(zc, zc, zc, zc, navi[1])
-    BITS = plane(zc, zc, zc, zc, navi[2])
-    K32 = jnp.concatenate(
-        [zc, zc, zc, zc]
-        + [jnp.full((C,), 32 * k, jnp.int32) for k in range(n_win)] + [zp]
-    )[None, :]
-    # Chip-window word planes: capA[j, lane(k,c)] = cap[c, j+k] and capB
-    # the k+1 neighbour (wins[k] merges words k and k+1 of the 36-word
-    # wrap-extended table).
-    cap = ca_packed.astype(jnp.int32)  # (C, 36) bit-identical reinterpret
-    z4 = jnp.zeros((32, 4 * C), jnp.int32)
-    zpad = jnp.zeros((32, pad), jnp.int32)
-    capA = jnp.concatenate(
-        [z4] + [cap[:, k:k + 32].T for k in range(n_win)] + [zpad], axis=1
-    )
-    capB = jnp.concatenate(
-        [z4] + [cap[:, k + 1:k + 33].T for k in range(n_win)] + [zpad],
-        axis=1,
-    )
-
-    # ---- shared limb polynomial (base 2^23, carries explicit) ----
+    del lane_steps  # layout constant, not needed by the row math
+    planes = pack_planes(code_l, carr_l, nav, ca_packed, wide=wide)
     q = jnp.arange(n_rows, dtype=jnp.int32)[:, None]  # (R, 1)
-    q0, q1, q2 = q & 63, (q >> 6) & 63, q >> 12
-
-    def term(i):
-        t = P[0][i] + q0 * P[1][i]
-        if n_rows > 64:
-            t = t + q1 * P[2][i]
-        if n_rows > 4096:
-            t = t + q2 * P[3][i]
-        return t
-
-    t0 = term(0)
-    p1 = term(1) + (t0 >> 23)
-    p0 = t0 & _M23
-    p2 = term(2) + (p1 >> 23)
-    p1 = p1 & _M23
-    hi = ((p2 & HM) << 23) + p1
-
-    # ---- window lanes: wraps / chip_base (f32 divide trick, see
-    # _row_bases) ----
-    wraps = jnp.floor(
-        (p2.astype(jnp.float32) + 0.5) * np.float32(1.0 / CA_SEQ_LEN)
-    ).astype(jnp.int32)
-    chip_base = p2 - wraps * CA_SEQ_LEN
-    wordpos = chip_base >> 5
-    bitoff = chip_base & 31
-
-    masks = [((wordpos >> b) & 1) != 0 for b in (4, 3, 2, 1, 0)]
-
-    def tree(planes32):
-        cur = [planes32[j][None, :] for j in range(32)]
-        for m in masks:
-            h = len(cur) // 2
-            cur = [jnp.where(m, cur[i + h], cur[i]) for i in range(h)]
-        return cur[0]
-
-    w1, w2 = tree(capA), tree(capB)
-
-    def shl_safe(x, k):  # x << k with k >= 32 → 0 (XLA shift-by-32 is UB)
-        return jnp.where(k >= 32, 0, x << jnp.minimum(k, 31))
-
-    win = jax.lax.shift_right_logical(w1, bitoff) | shl_safe(w2, 32 - bitoff)
-
-    # ---- data-bit sign fold (see _row_bases) ----
-    tcu = TCU0 + wraps
-
-    def bit_neg(t):
-        bidx = jnp.floor(
-            (t.astype(jnp.float32) + 0.5) * np.float32(1.0 / 20.0)
-        ).astype(jnp.int32)
-        j = (bidx - BIDX0) & 31  # & 31: garbage lanes must stay defined
-        return (jax.lax.shift_right_logical(BITS, j) & 1) ^ 1
-
-    neg_now = bit_neg(tcu)
-    neg_next = bit_neg(tcu + 1)
-    wo = (CA_SEQ_LEN - chip_base) - K32
-    # wrap_off >= 1 on real lanes, so for k == 0 the wo<=0 arm never
-    # fires — this single form covers _row_bases' k==0 special case.
-    mask = jnp.where(wo <= 0, -1, shl_safe(jnp.int32(-1), wo))
-    sval = win ^ (-neg_now) ^ (mask & -(neg_now ^ neg_next))
-
-    return jnp.where(
-        CLS == 0, p0, jnp.where(CLS == 1, hi, jnp.where(CLS == 2, sval, 0))
-    )
+    return bases_from_planes(planes, q, n_rows)
 
 
-def _synth_tile_kernel(
-    csplit_ref,  # SMEM int32[4, C]: cA, cB, kA, kB
-    ga_ref,  # SMEM int32[1, C]
-    gb_ref,  # SMEM int32[1, C]
-    packed_ref,  # VMEM int32[TILE_R, 128]: lane-packed bases (pack_row_bases)
-    i_ref,
-    q_ref,
-    *,
-    wide: bool = False,
-):
+def _accumulate_channels(csplit_ref, ga_ref, gb_ref, packed, i_ref, q_ref,
+                         *, wide: bool):
+    """Shared stage-B body: the unrolled channel loop over a lane-packed
+    (TILE_R, 128) bases tile ``packed`` (an array — sliced per column),
+    accumulating into the int16 output refs."""
     names = base_names(wide)
     name_off = {n: i for i, n in enumerate(names)}
 
@@ -277,7 +309,7 @@ def _synth_tile_kernel(
     for c in range(C):
         # (TILE_R, 1) lane slice at the packed column (same lane-broadcast
         # op as slicing a per-name (TILE_R, C) block ever was).
-        col = lambda name: packed_ref[  # noqa: E731
+        col = lambda name: packed[  # noqa: E731
             :, name_off[name] * C + c : name_off[name] * C + c + 1
         ]
 
@@ -321,6 +353,46 @@ def _synth_tile_kernel(
     q_ref[:] = q_acc.astype(jnp.int16)
 
 
+def _synth_tile_kernel(
+    csplit_ref,  # SMEM int32[4, C]: cA, cB, kA, kB
+    ga_ref,  # SMEM int32[1, C]
+    gb_ref,  # SMEM int32[1, C]
+    packed_ref,  # VMEM int32[TILE_R, 128]: lane-packed bases (pack_row_bases)
+    i_ref,
+    q_ref,
+    *,
+    wide: bool = False,
+):
+    _accumulate_channels(
+        csplit_ref, ga_ref, gb_ref, packed_ref[...], i_ref, q_ref, wide=wide
+    )
+
+
+def _synth_tile_fused_kernel(
+    csplit_ref,  # SMEM int32[4, C]
+    ga_ref,  # SMEM int32[1, C]
+    gb_ref,  # SMEM int32[1, C]
+    planes_ref,  # VMEM int32[N_PLANES, 128]: per-block stage-A2 planes
+    i_ref,
+    q_ref,
+    *,
+    wide: bool = False,
+    n_rows_pad: int,
+):
+    """Stage A2 + stage B in ONE kernel: the tile's lane-packed bases are
+    computed in-VMEM from the tiny per-block plane stack (no (R_pad, 128)
+    HBM round trip, no XLA<->Mosaic boundary between the stages).  The
+    row math is the SAME traced bases_from_planes program as the XLA
+    path, so the two variants are bit-identical by construction
+    (asserted by tests/test_synth.py)."""
+    r0 = pl.program_id(0) * TILE_R
+    q = r0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, 1), 0)
+    packed = bases_from_planes(planes_ref[...], q, n_rows_pad)
+    _accumulate_channels(
+        csplit_ref, ga_ref, gb_ref, packed, i_ref, q_ref, wide=wide
+    )
+
+
 def _stage_b_pallas_packed(
     packed, lane_steps, gain_a, gain_b,
     *, num_samples: int, interpret: bool, out_bits: int = 16,
@@ -361,37 +433,97 @@ def _stage_b_pallas_packed(
     )
 
 
+def _stage_b_pallas_fused(
+    planes, lane_steps, gain_a, gain_b,
+    *, n_rows_pad: int, num_samples: int, interpret: bool,
+    out_bits: int = 16, wide: bool = False,
+):
+    """Fully fused stage A2 + B over the per-block (N_PLANES, 128) plane
+    stack — each tile recomputes its own bases in-kernel."""
+    C = gain_a.shape[0]
+    grid = n_rows_pad // TILE_R
+
+    out_spec = pl.BlockSpec(
+        (TILE_R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    i_acc, q_acc = pl.pallas_call(
+        functools.partial(
+            _synth_tile_fused_kernel, wide=wide, n_rows_pad=n_rows_pad
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((4, C), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (N_PLANES, LANES), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows_pad, LANES), jnp.int16),
+            jax.ShapeDtypeStruct((n_rows_pad, LANES), jnp.int16),
+        ],
+        interpret=interpret,
+    )(lane_steps, gain_a[None, :], gain_b[None, :], planes)
+
+    return finalize_iq(
+        i_acc.reshape(-1)[: num_samples], q_acc.reshape(-1)[: num_samples],
+        num_samples, out_bits,
+    )
+
+
+def _fuse_a_default() -> bool:
+    """GPSSIM_FUSE_A=1 selects the fully fused stage A2-in-kernel
+    variant (bit-identical; opt-in until its device win is measured)."""
+    return os.environ.get("GPSSIM_FUSE_A", "0") == "1"
+
+
 def synth_block_pallas(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
     *, n_rows: int, num_samples: int, interpret: bool | None = None,
-    wide: bool = False,
+    wide: bool = False, fuse_a: bool | None = None,
 ):
     """One block via lane-SIMD stage A2 + fused Pallas stage B."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if fuse_a is None:
+        fuse_a = _fuse_a_default()
     return _synth_batch_pallas_jit(
         code_l[None], carr_l[None], nav[None], lane_steps[None],
         ca_packed[None], jnp.asarray(gain_a)[None],
         jnp.asarray(gain_b)[None],
         n_rows=n_rows, num_samples=num_samples, interpret=interpret,
-        out_bits=16, wide=wide,
+        out_bits=16, wide=wide, fuse_a=fuse_a,
     )[0]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "num_samples", "interpret", "out_bits",
-                     "wide"),
+                     "wide", "fuse_a"),
 )
 def _synth_batch_pallas_jit(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
-    *, n_rows, num_samples, interpret, out_bits, wide,
+    *, n_rows, num_samples, interpret, out_bits, wide, fuse_a=False,
 ):
     """Single fused dispatch: lane-SIMD stage A2 + Pallas stage B."""
     # Stage A2 computes the tile-padded rows directly (args_from_arrays'
     # data-bit window guard already covers +32640 padded samples), so no
     # row-pad op ever materializes between stage A and the kernel.
     n_rows_pad = -(-n_rows // TILE_R) * TILE_R
+    if fuse_a:
+        planes = jax.vmap(
+            lambda cl, rl, nv, cp: pack_planes(cl, rl, nv, cp, wide=wide)
+        )(code_l, carr_l, nav, ca_packed)
+        return jax.vmap(
+            lambda pls, ls, ga, gb: _stage_b_pallas_fused(
+                pls, ls, ga, gb, n_rows_pad=n_rows_pad,
+                num_samples=num_samples, interpret=interpret,
+                out_bits=out_bits, wide=wide,
+            )
+        )(planes, lane_steps, gain_a, gain_b)
     packed = jax.vmap(
         lambda *a: row_bases_packed(*a, n_rows_pad, wide=wide)
     )(code_l, carr_l, nav, lane_steps, ca_packed)
@@ -406,14 +538,17 @@ def _synth_batch_pallas_jit(
 def synth_blocks_batch_pallas(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
     *, n_rows: int, num_samples: int, interpret: bool | None = None,
-    out_bits: int = 16, wide: bool = False, **_,
+    out_bits: int = 16, wide: bool = False, fuse_a: bool | None = None,
+    **_,
 ):
     """Batch of B blocks: one fused jit (stage A + Pallas stage B)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if fuse_a is None:
+        fuse_a = _fuse_a_default()
     return _synth_batch_pallas_jit(
         code_l, carr_l, nav, lane_steps, ca_packed,
         jnp.asarray(gain_a), jnp.asarray(gain_b),
         n_rows=n_rows, num_samples=num_samples, interpret=interpret,
-        out_bits=out_bits, wide=wide,
+        out_bits=out_bits, wide=wide, fuse_a=fuse_a,
     )

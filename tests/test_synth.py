@@ -253,3 +253,42 @@ def test_q44_gain_screen_catches_boundary_gain(fixtures_dir):
     bad.gain = g
     with pytest.raises(ValueError, match="Q44"):
         plan_to_args(bad)
+
+
+def test_pallas_fused_stage_a_bit_identical():
+    """The GPSSIM_FUSE_A variant (stage A2 recomputed inside the Pallas
+    kernel from the per-block plane stack) must produce the exact bytes
+    of the two-stage path, narrow and wide window."""
+    import jax
+
+    from gpssim_tpu.ops.synth_jax import args_from_arrays
+    from gpssim_tpu.ops.synth_pallas import synth_blocks_batch_pallas
+
+    rng = np.random.default_rng(23)
+    cases = [
+        (False, 12, 128, 15_000, 1 / 3.0e6),
+        (True, 12, 128, 15_000, 1 / 1.2e6),
+    ]
+    for wide, C, n_rows, nspc, delt in cases:
+        act = np.ones(C, bool)
+        act[-2:] = False
+        f_code = 1.023e6 * (1 + rng.uniform(-3e-6, 3e-6, C))
+        args = args_from_arrays(
+            act, rng.uniform(0, 1023, C), f_code, rng.uniform(0, 1, C),
+            rng.uniform(-5000, 5000, C), np.zeros(C, np.int64),
+            np.zeros(C, np.int64), rng.uniform(50, 300, C),
+            rng.integers(0, 29, C), rng.integers(0, 19, C),
+            rng.integers(0, 19, C), rng.integers(1, 33, C),
+            (rng.integers(0, 1 << 30, (C, 60)).astype(np.uint32) << 2),
+            nspc, delt,
+        )
+        batched = {k: np.asarray(v)[None] for k, v in args.items()}
+        a = np.asarray(jax.device_get(synth_blocks_batch_pallas(
+            **batched, n_rows=n_rows, num_samples=nspc, wide=wide,
+            fuse_a=False,
+        )))
+        b = np.asarray(jax.device_get(synth_blocks_batch_pallas(
+            **batched, n_rows=n_rows, num_samples=nspc, wide=wide,
+            fuse_a=True,
+        )))
+        assert np.array_equal(a, b), (wide, C)
