@@ -98,16 +98,26 @@ def main() -> int:
 
     def run_full():
         return synth_blocks_batch_pallas(
-            **args, n_rows=n_rows, num_samples=num_samples
+            **args, n_rows=n_rows, num_samples=num_samples, fuse_a=False
+        )
+
+    def run_fused():
+        return synth_blocks_batch_pallas(
+            **args, n_rows=n_rows, num_samples=num_samples, fuse_a=True
         )
 
     ta = timeit("A2", run_a2)
     tb = timeit("B", run_b)
     tf = timeit("full", run_full)
+    tz = timeit("fused", run_fused)
+    same = bool(
+        (jnp.asarray(run_full()) == jnp.asarray(run_fused())).all()
+    )
     print(
         f"A2+B = {1e3*(ta+tb):.2f} ms vs full = {1e3*tf:.2f} ms "
         f"(boundary/overlap delta {1e3*(ta+tb-tf):+.2f} ms); "
-        f"A2 share of full: {100*ta/tf:.0f}%"
+        f"A2 share of full: {100*ta/tf:.0f}%; "
+        f"fused vs full: {tf/tz:.3f}x  bit-identical: {same}"
     )
     return 0
 
