@@ -77,13 +77,14 @@ def _scan_numpy(seg, code_fft, bins, t, noncoherent_ms, n, n_prns):
     return best
 
 
-def _scan_jax(seg, code_fft, bins, t, noncoherent_ms, n, n_prns):
-    """The same search as one batched device program: every (bin, PRN)
-    cell of the grid computed by a single jit — Doppler wipes, the
-    forward/inverse FFTs, the noncoherent sum, and the circular-exclusion
-    SNR all run on the accelerator; only the (P, 3) winners come home.
-    On TPU the whole 41-bin x 32-PRN search is a few fused FFT batches
-    instead of a host loop."""
+_JAX_SCAN = None  # jitted once per process — a per-call closure would
+#                   defeat jax's jit cache and recompile every acquire()
+
+
+def _jax_scan_fn():
+    global _JAX_SCAN
+    if _JAX_SCAN is not None:
+        return _JAX_SCAN
     import jax
     import jax.numpy as jnp
 
@@ -112,7 +113,20 @@ def _scan_jax(seg, code_fft, bins, t, noncoherent_ms, n, n_prns):
             lag[b_best, ar].astype(jnp.float32),  # lags < n: f32-exact
         )
 
-    r, fd, lag = scan(
+    _JAX_SCAN = scan
+    return scan
+
+
+def _scan_jax(seg, code_fft, bins, t, noncoherent_ms, n, n_prns):
+    """The same search as one batched device program: every (bin, PRN)
+    cell of the grid computed by a single jit — Doppler wipes, the
+    forward/inverse FFTs, the noncoherent sum, and the circular-exclusion
+    SNR all run on the accelerator; only the (P, 3) winners come home.
+    On TPU the whole 41-bin x 32-PRN search is a few fused FFT batches
+    instead of a host loop."""
+    import jax.numpy as jnp
+
+    r, fd, lag = _jax_scan_fn()(
         jnp.asarray(seg, jnp.complex64),
         jnp.asarray(code_fft, jnp.complex64),
         jnp.asarray(bins, jnp.float32),
@@ -146,6 +160,8 @@ def acquire(
     ``backend='jax'`` runs the whole (bin x PRN) search grid as one
     batched device program (single-precision FFTs; SNR ratios differ
     from the f64 NumPy path in the 3rd decimal, detections match)."""
+    if backend not in ("numpy", "jax"):
+        raise ValueError(f"unknown acquisition backend {backend!r}")
     n = int(round(sample_rate * 1e-3))  # samples per code period
     need = n * noncoherent_ms
     if len(x) < need:
@@ -158,8 +174,6 @@ def acquire(
     bins = np.arange(-max_doppler_hz, max_doppler_hz + 1, doppler_step_hz)
     seg = x[:need]
 
-    if backend not in ("numpy", "jax"):
-        raise ValueError(f"unknown acquisition backend {backend!r}")
     scan = _scan_jax if backend == "jax" else _scan_numpy
     best = scan(seg, code_fft, bins, t, noncoherent_ms, n, len(prns))
 

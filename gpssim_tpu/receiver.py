@@ -710,11 +710,12 @@ def receiver_fix(
     """Full receiver chain on a baseband stream → navigation fix.
 
     ``iono``: externally-provided Klobuchar parameters (e.g. from RINEX,
-    the way a warm-started receiver uses cached iono data). When None,
-    the parameters are decoded over the air from subframe 4 page 18 —
-    which only transmits once per 25-page almanac cycle (~12.5 min), so
-    short captures of an iono-on scenario otherwise solve uncorrected
-    (~5-15 m bias at L1)."""
+    the way a warm-started receiver uses cached iono data). When None —
+    or when the provided set is invalid (``vflg`` false, e.g. a RINEX
+    file without ION ALPHA/BETA headers) — the parameters are decoded
+    over the air from subframe 4 page 18 instead, which only transmits
+    once per 25-page almanac cycle (~12.5 min), so short captures of an
+    iono-on scenario otherwise solve uncorrected (~5-15 m bias at L1)."""
     dets = acquire(x, sample_rate, snr_threshold=min_snr)
     if not dets:
         raise RuntimeError("no PRNs acquired")
@@ -737,7 +738,9 @@ def receiver_fix(
         )
     eph.finalize()
 
-    if iono is None:
+    if iono is None or not iono.vflg:
+        # No (valid) warm-start data: fall back to the over-the-air
+        # page-18 decode rather than silently solving uncorrected.
         iono = IonoUtc()
         for frames in frames_by_prn.values():
             got = decode_iono_utc(frames, week_hint=week_hint)
@@ -781,9 +784,17 @@ def main(argv=None) -> int:
 
     iono = None
     if args.nav_iono:
+        import sys
+
         from .core.ephemeris import read_rinex_nav
 
         iono = read_rinex_nav(args.nav_iono).ionoutc
+        if not iono.vflg:
+            print(
+                f"warning: {args.nav_iono} carries no ION ALPHA/BETA "
+                "headers; falling back to over-the-air page-18 decode",
+                file=sys.stderr,
+            )
     x = load_iq(args.iq_file, args.bits)
     fix, channels, _, iono = receiver_fix(
         x, args.rate, week_hint=args.week, iono=iono

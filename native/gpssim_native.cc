@@ -697,6 +697,47 @@ static double carr_advance_n(double p, double dp, long n) {
 
 // Returns 0 on success, -1 if C exceeds the slot capacity (the caller
 // must not treat the output as populated).
+}  // extern "C" — reopened below; the fan-out helpers need C++ linkage
+
+namespace {
+
+// Shared channel-fan-out policy: GPSSIM_CHAIN_THREADS overrides (0/1 =
+// serial; tests use it to exercise the threaded schedule on single-core
+// hosts), else thread when the host has >= 4 cores and there are at
+// least `min_work` channels worth of real work.  Bit-exactness is
+// schedule-independent in every caller: channels touch disjoint state.
+static long chan_threads(long n_channels, long min_work) {
+  long nthreads = 1;
+  if (const char* env = std::getenv("GPSSIM_CHAIN_THREADS")) {
+    nthreads = std::atol(env);
+  } else {
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw >= 4 && n_channels >= min_work)
+      nthreads = (long)hw < n_channels ? (long)hw : n_channels;
+  }
+  return nthreads > n_channels ? n_channels : nthreads;
+}
+
+template <typename Fn>
+static void fan_channels(long nthreads, long n_channels, Fn fn) {
+  if (nthreads <= 1) {
+    for (long c = 0; c < n_channels; ++c) fn(c);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(static_cast<size_t>(nthreads));
+  for (long t = 0; t < nthreads; ++t) {
+    pool.emplace_back([&, t] {
+      for (long c = t; c < n_channels; c += nthreads) fn(c);
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
 long gseq_carr_chain(long C, long K, long N, double delt,
                      const double* carr0, const double* f_carr,
                      double* starts) {
@@ -704,10 +745,8 @@ long gseq_carr_chain(long C, long K, long N, double delt,
   // Each channel's chain is independent (disjoint reads and strided
   // writes), so channels fan out over threads on multi-core hosts —
   // this chain is the planner's hot path and otherwise serializes the
-  // whole pipeline behind one core.  Bit-exactness is untouched: the
-  // per-channel recurrence is identical in either schedule.
-  // GPSSIM_CHAIN_THREADS overrides (0/1 = serial; tests use it to
-  // exercise the threaded path on single-core hosts).
+  // whole pipeline behind one core.  The spawn cost amortizes over K
+  // blocks of real segment walking.
   auto chain_one = [&](long c) {
     double p = carr0[c];
     for (long j = 0; j < K; ++j) {
@@ -716,26 +755,7 @@ long gseq_carr_chain(long C, long K, long N, double delt,
     }
     starts[K * C + c] = p;
   };
-  long nthreads = 1;
-  if (const char* env = std::getenv("GPSSIM_CHAIN_THREADS")) {
-    nthreads = std::atol(env);
-  } else {
-    unsigned hw = std::thread::hardware_concurrency();
-    if (hw >= 4 && C >= 4) nthreads = (long)hw < C ? (long)hw : C;
-  }
-  if (nthreads > C) nthreads = C;
-  if (nthreads <= 1) {
-    for (long c = 0; c < C; ++c) chain_one(c);
-    return 0;
-  }
-  std::vector<std::thread> pool;
-  pool.reserve(static_cast<size_t>(nthreads));
-  for (long t = 0; t < nthreads; ++t) {
-    pool.emplace_back([&, t] {
-      for (long c = t; c < C; c += nthreads) chain_one(c);
-    });
-  }
-  for (auto& th : pool) th.join();
+  fan_channels(chan_threads(C, 4), C, chain_one);
   return 0;
 }
 
@@ -1283,7 +1303,22 @@ long gseq_diff_block(
     // callers pass want_end=0 and the walk past the last candidate (the
     // ENTIRE block when there are no candidates — the common case) is
     // skipped.  end_carr/end_carr_i then keep their pass-through init.
-    if (!want_end) return;
+    if (!want_end) {
+      // The skipped tail walk used to double as data-word-overflow
+      // validation (seq_advance returns false past word 59).  Validate
+      // via the closed form instead: the sequential wrap count differs
+      // from floor((cp0 + N*dc)/1023) by at most 1, so a CERTAIN
+      // overflow (one-wrap slack) is still rejected; only a plan whose
+      // end sits exactly on the 36000-bitpos boundary can slip the lazy
+      // check (want_end=1 and the _ref screen still catch it exactly).
+      const double raw = ch.cp0 + static_cast<double>(N) * ch.dc;
+      const double wr = std::floor(raw / kCaLen);
+      const double total =
+          static_cast<double>(ch.iword0 * 600 + ch.ibit0 * 20 +
+                              ch.icode0) + wr;
+      if (total - 1.0 >= 36000.0) walk_ok[static_cast<size_t>(k)] = 0;
+      return;
+    }
     if (!seq_ff(ch, nco, N - cur)) {
       walk_ok[static_cast<size_t>(k)] = 0;
       return;
@@ -1296,26 +1331,32 @@ long gseq_diff_block(
                                            ch.dphi)
             : phi0;
   };
-  long nthreads = 1;
-  if (const char* env = std::getenv("GPSSIM_CHAIN_THREADS")) {
-    nthreads = std::atol(env);
-  } else {
-    unsigned hw = std::thread::hardware_concurrency();
-    if (hw >= 4 && A >= 2) nthreads = (long)hw < A ? (long)hw : A;
-  }
-  if (nthreads > A) nthreads = A;
-  if (nthreads <= 1) {
-    for (long k = 0; k < A; ++k) walk_one(k);
-  } else {
-    std::vector<std::thread> pool;
-    pool.reserve(static_cast<size_t>(nthreads));
-    for (long t = 0; t < nthreads; ++t) {
-      pool.emplace_back([&, t] {
-        for (long k = t; k < A; k += nthreads) walk_one(k);
-      });
+  // With the tight screen most blocks have ZERO candidates, and a
+  // candidate-free walk_one is ~free (two first-hit queries, no walk):
+  // per-block thread spawn/join would then cost more than the work.
+  // Pre-count channels with actual candidates (the queries are
+  // microseconds) and fan out only when >= 2 of them have real walks
+  // (or the env override forces a schedule).
+  long n_work = 0;
+  if (!std::getenv("GPSSIM_CHAIN_THREADS")) {
+    for (long k = 0; k < A; ++k) {
+      const SeqChan& ch = chs[k];
+      if (gs_next(make_global(ch.cp0, ch.dc, 1.0, code_margin_fast(N), N),
+                  0, N) < N) {
+        ++n_work;
+        continue;
+      }
+      if (!nco &&
+          gs_next(
+              make_global(ch.c0, ch.dp, 512.0, carr_margin_fast(N), N),
+              0, N) < N)
+        ++n_work;
     }
-    for (auto& th : pool) th.join();
   }
+  const long nthreads =
+      std::getenv("GPSSIM_CHAIN_THREADS") ? chan_threads(A, 2)
+      : (n_work >= 2 ? chan_threads(A, 2) : 1);
+  fan_channels(nthreads, A, walk_one);
   std::vector<Delta> deltas;
   for (long k = 0; k < A; ++k) {
     if (!walk_ok[static_cast<size_t>(k)]) return -1;

@@ -259,6 +259,19 @@ def test_invalid_plan_raises():
         seq_corrections(plan)
 
 
+def test_midblock_word_overflow_rejected_without_end_walk():
+    """A plan whose data-word cascade overflows word 59 mid-block must be
+    rejected in the lazy (want_end=False) production mode too — the
+    closed-form validation replaces the skipped tail walk's check."""
+    # iword/ibit/icode at the very end of the message; several code
+    # wraps inside the block push the cascade past word 59.
+    plan = make_plan(60_000, 1.0 / 2.6e6, 0.0, 1.023e6)
+    plan.iword[0], plan.ibit[0], plan.icode[0] = 59, 29, 19
+    for want_end in (False, True):
+        with pytest.raises(ValueError, match="invalid block plan"):
+            seq_corrections(plan, want_end=want_end)
+
+
 def test_native_full_synth_matches_patched_numpy(fixtures_dir):
     """gseq_synth_block (full native sequential hot loop) must be
     bit-identical to the numpy-closed-form + sparse-patch path on real
