@@ -83,8 +83,20 @@ def main() -> None:
     # batch: block_until_ready through the axon dev relay does not reliably
     # wait, and a full D2H fetch measures the dev tunnel (~40 MB/s), not
     # the chip.
-    use_pallas = os.environ.get("BENCH_KERNEL", "pallas") == "pallas"
-    kernel = synth_blocks_batch_pallas if use_pallas else synth_blocks_batch
+    kernel_name = os.environ.get("BENCH_KERNEL", "pallas")
+    if kernel_name == "fused":  # stage A2 computed inside the Pallas kernel
+        import functools as _ft
+
+        kernel = _ft.partial(synth_blocks_batch_pallas, fuse_a=True)
+    elif kernel_name == "pallas":
+        kernel = synth_blocks_batch_pallas
+    elif kernel_name == "xla":
+        kernel = synth_blocks_batch
+    else:
+        raise SystemExit(
+            f"BENCH_KERNEL={kernel_name!r}: expected pallas, fused, or xla"
+        )
+    use_pallas = kernel_name in ("pallas", "fused")
     # Short scenarios: dispatch what exists (keep device divisibility).
     if batch_blocks > len(plans):
         batch_blocks = len(plans) - len(plans) % n_dev
@@ -175,7 +187,7 @@ def main() -> None:
         # regardless of BENCH_KERNEL.
         "kernel": (
             "sharded-xla" if n_dev > 1
-            else ("pallas" if use_pallas else "xla")
+            else kernel_name
         ),
         "blocks_per_dispatch": batch_blocks,
         "host_plan_blocks_per_s": round(len(plans) / max(plan_time, 1e-9), 1),
