@@ -13,9 +13,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from gpssim_tpu import LocationConfig, SimConfig, SynthBackend, run_simulation
+from gpssim_tpu.config import honor_jax_platforms_env
 
 
 def main() -> None:
+    honor_jax_platforms_env()  # respect JAX_PLATFORMS=cpu for local runs
     nav = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "fixtures", "brdc_test.22n")
     out = sys.argv[2] if len(sys.argv) > 2 else "iqdata.bin"
 

@@ -22,9 +22,11 @@ import argparse
 
 from gpssim_tpu import SimConfig
 from gpssim_tpu.parallel import multihost
+from gpssim_tpu.config import honor_jax_platforms_env
 
 
 def main() -> None:
+    honor_jax_platforms_env()  # respect JAX_PLATFORMS=cpu for local runs
     ap = argparse.ArgumentParser()
     ap.add_argument("--nav-file", default=os.path.join(REPO, "fixtures", "brdc_test.22n"))
     ap.add_argument("--duration", type=float, default=30.0)

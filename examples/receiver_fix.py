@@ -22,9 +22,11 @@ from gpssim_tpu.acquire import load_iq
 from gpssim_tpu.core.constants import R2D
 from gpssim_tpu.receiver import receiver_fix
 from gpssim_tpu.scenario import Simulation
+from gpssim_tpu.config import honor_jax_platforms_env
 
 
 def main() -> None:
+    honor_jax_platforms_env()  # respect JAX_PLATFORMS=cpu for local runs
     nav = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "fixtures", "brdc_test.22n")
     out = os.path.join(tempfile.mkdtemp(prefix="gpssim_rx_"), "iq.bin")
     rate = 2_600_000

@@ -26,9 +26,11 @@ from gpssim_tpu.config import SimConfig, SynthBackend  # noqa: E402
 from gpssim_tpu.io.sinks import TcpSink  # noqa: E402
 from gpssim_tpu.ops.synth_seq import seq_available  # noqa: E402
 from gpssim_tpu.runner import run_simulation  # noqa: E402
+from gpssim_tpu.config import honor_jax_platforms_env
 
 
 def main() -> int:
+    honor_jax_platforms_env()  # respect JAX_PLATFORMS=cpu for local runs
     nav = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(__file__), "..", "fixtures", "brdc_test.22n"
     )

@@ -1,0 +1,181 @@
+"""Fleet mode: many independent scenarios in one batched device dispatch.
+
+A TPU-native capability with no reference counterpart: the reference's
+hot loop is a stateful single-stream walk (one scenario per process,
+gps.c:2767-2836), while here every block is a pure function of its plan —
+so blocks from DIFFERENT scenarios batch exactly like consecutive blocks
+of one scenario. One chip generates N locations'/trajectories' worth of
+signal with the same kernel and the same aggregate sample rate as a
+single scenario, which is useful for receiver-farm testing, coverage
+studies, and multi-target TX rigs. Output is bit-identical to running
+each scenario separately (asserted in tests/test_fleet.py): batching is
+pure stacking on the block axis, and the strict-parity corrections are
+per-plan host-side patches.
+
+Scenarios are interleaved round-robin so every member progresses at the
+same signal-time rate; members may have different durations, locations,
+motion files, and ephemerides, but must share the static kernel facts
+(sample rate, sample format, carrier mode, backend) — those decide the
+compiled shape.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+
+import numpy as np
+
+from .config import CarrierMode, SimConfig, SynthBackend
+from .io.sinks import Sink, make_configured_sink
+from .runner import RunStats, resolve_batch_kernel, strict_parity_enabled
+from .scenario import Simulation
+
+
+def _check_compatible(cfgs: list[SimConfig]) -> None:
+    if not cfgs:
+        raise ValueError("run_fleet needs at least one scenario config")
+    c0 = cfgs[0]
+    if c0.backend not in (SynthBackend.JAX, SynthBackend.PALLAS):
+        raise ValueError(
+            "fleet mode is a batched device feature; backend must be "
+            f"jax or pallas, got {c0.backend.name.lower()}"
+        )
+    for i, c in enumerate(cfgs[1:], 1):
+        for field in ("sample_rate", "sample_format", "carrier_mode",
+                      "backend", "parity_exact"):
+            if getattr(c, field) != getattr(c0, field):
+                raise ValueError(
+                    f"fleet member {i} differs from member 0 in {field}: "
+                    f"{getattr(c, field)} != {getattr(c0, field)}; these "
+                    "facts select the compiled kernel shape and must match "
+                    "across the fleet"
+                )
+
+
+def _interleave_plans(sims: list[Simulation]):
+    """Round-robin (member_index, plan) across live scenario planners."""
+    its = [sim.iter_plans() for sim in sims]
+    live = list(range(len(sims)))
+    while live:
+        nxt = []
+        for i in live:
+            plan = next(its[i], None)
+            if plan is None:
+                continue
+            nxt.append(i)
+            yield i, plan
+        live = nxt
+
+
+def run_fleet(
+    cfgs: list[SimConfig],
+    sinks: list[Sink] | None = None,
+    window: int | None = None,
+    on_batch=None,
+    stop=None,
+) -> list[RunStats]:
+    """Run N scenarios through one shared batched device pipeline.
+
+    Each member writes its quantized stream to its own sink (defaulting to
+    the sink its config names, e.g. per-member --out-file paths). Returns
+    per-member RunStats; the aggregate rate is their sum. on_batch(stats)
+    is called after each drained batch with the per-member stats list;
+    stop() → True aborts cleanly between batches.
+    """
+    import itertools
+
+    import jax
+
+    _check_compatible(cfgs)
+    from .parallel.blocks import collate_plans
+
+    cfg0 = cfgs[0]
+    int_nco = cfg0.carrier_mode is CarrierMode.INT_NCO
+    kernel, wide, n_rows, bits = resolve_batch_kernel(cfg0)
+    strict = strict_parity_enabled(cfg0)
+    if strict:
+        from .ops.synth_seq import apply_corrections, seq_corrections
+
+    sims = [Simulation(c) for c in cfgs]
+    if sinks is None:
+        sinks = [make_configured_sink(c) for c in cfgs]
+    if len(sinks) != len(cfgs):
+        raise ValueError(f"{len(sinks)} sinks for {len(cfgs)} scenarios")
+    for c, s in zip(cfgs, sinks):
+        s.init(c)
+
+    # Batch width: one full round of the fleet per dispatch, or the
+    # configured dispatch window if that is larger — whichever keeps the
+    # device saturated. The compiled shape is fixed after the first full
+    # batch; short tails are padded (and dropped) like the single-scenario
+    # runner, to never recompile mid-run.
+    W = window if window is not None else max(cfg0.dispatch_blocks, len(cfgs))
+
+    stats = [RunStats() for _ in cfgs]
+    t0 = time.perf_counter()
+    it = _interleave_plans(sims)
+    pending: deque = deque()  # (device_out, redispatch, [(member, plan)])
+    any_full = False
+    try:
+        while True:
+            ts = time.perf_counter()
+            tagged = list(itertools.islice(it, W))
+            tp = time.perf_counter()
+            if tagged:
+                # Planning is a shared host pass; book it on member 0 so
+                # sum(st.plan_seconds) stays meaningful.
+                stats[0].plan_seconds += tp - ts
+                plans = [p for _, p in tagged]
+                padded = plans
+                if any_full and len(plans) < W:
+                    padded = plans + [plans[-1]] * (W - len(plans))
+                any_full = any_full or len(padded) == W
+                batch = collate_plans(padded, int_nco=int_nco)
+
+                def dispatch(b=batch):
+                    return kernel(
+                        **b.args, n_rows=n_rows, num_samples=b.num_samples,
+                        out_bits=bits, wide=wide,
+                    )
+
+                out = dispatch()
+                pending.append((out, dispatch, tagged))
+            if (not tagged and pending) or len(pending) >= 2:
+                out, redispatch, done = pending.popleft()
+                try:
+                    host = np.asarray(jax.device_get(out))
+                except jax.errors.JaxRuntimeError as e:
+                    msg = str(e)
+                    if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg:
+                        raise
+                    # Transient device failure: pure-function batch re-runs
+                    # (same policy as runner._run_batched).
+                    host = np.asarray(jax.device_get(redispatch()))
+                    stats[0].retries += 1  # one re-dispatch, booked once
+                for k, (member, plan) in enumerate(done):
+                    blk = host[k]
+                    if strict:
+                        idx, i16, q16, _, _ = seq_corrections(
+                            plan, int_nco=int_nco
+                        )
+                        blk = apply_corrections(blk, bits, idx, i16, q16)
+                    sinks[member].write(blk)
+                    st = stats[member]
+                    st.blocks += 1
+                    st.samples += plan.num_samples
+                    st.wall_seconds = time.perf_counter() - t0
+                if on_batch is not None:
+                    on_batch(stats)
+            if not tagged and not pending:
+                break
+            if stop is not None and stop():
+                break
+    finally:
+        for s in sinks:
+            s.close()
+    wall = time.perf_counter() - t0
+    for st in stats:
+        if st.blocks:
+            st.wall_seconds = wall
+    return stats

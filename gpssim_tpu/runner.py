@@ -164,6 +164,24 @@ def run_simulation(
     return stats
 
 
+def resolve_batch_kernel(cfg: SimConfig):
+    """Batched device kernel + static call facts for a config.
+
+    Returns (kernel, wide, n_rows, bits); shared by the pipelined runner
+    below and the fleet runner (fleet.py)."""
+    from .ops.synth_jax import LANES, needs_wide_window
+
+    if cfg.backend is SynthBackend.PALLAS:
+        from .ops.synth_pallas import synth_blocks_batch_pallas as kernel
+    else:
+        from .ops.synth_jax import synth_blocks_batch as kernel
+
+    wide = needs_wide_window(1.0 / cfg.sample_rate)
+    n_rows = -(-cfg.samples_per_epoch // LANES)
+    bits = cfg.sample_format.value
+    return kernel, wide, n_rows, bits
+
+
 def _run_batched(
     cfg: SimConfig, sink: Sink, sim: Simulation, on_block, stop,
     window: int | None = None,
@@ -180,20 +198,10 @@ def _run_batched(
     import jax
 
     from .config import CarrierMode
-    from .ops.synth_jax import LANES
     from .parallel.blocks import collate_plans
 
     int_nco = cfg.carrier_mode is CarrierMode.INT_NCO
-    if cfg.backend is SynthBackend.PALLAS:
-        from .ops.synth_pallas import synth_blocks_batch_pallas as kernel
-    else:
-        from .ops.synth_jax import synth_blocks_batch as kernel
-
-    from .ops.synth_jax import needs_wide_window
-
-    wide = needs_wide_window(1.0 / cfg.sample_rate)
-    n_rows = -(-cfg.samples_per_epoch // LANES)
-    bits = cfg.sample_format.value
+    kernel, wide, n_rows, bits = resolve_batch_kernel(cfg)
     W = window if window is not None else cfg.dispatch_blocks
     strict = strict_parity_enabled(cfg)
     if strict:

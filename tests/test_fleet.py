@@ -1,0 +1,93 @@
+"""Fleet mode: N scenarios through one batched device pipeline.
+
+Bit-exactness contract: the fleet output for every member equals running
+that member's scenario alone (the batch axis is pure stacking; strict
+parity corrections are per-plan). The reference has no counterpart — its
+hot loop is one stateful stream per process (gps.c:2767-2836)."""
+
+import numpy as np
+import pytest
+
+from gpssim_tpu.config import (
+    LocationConfig, SampleFormat, SimConfig, SynthBackend,
+)
+from gpssim_tpu.fleet import run_fleet
+from gpssim_tpu.io.sinks import NullSink
+from gpssim_tpu.runner import run_simulation
+
+
+class CaptureSink(NullSink):
+    def __init__(self):
+        super().__init__()
+        self.data = []
+
+    def write(self, block):
+        super().write(block)
+        self.data.append(np.array(block))
+
+
+def _cfg(fixtures_dir, **kw):
+    kw.setdefault("backend", SynthBackend.JAX)
+    return SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n",
+        almanac_enable=False,
+        **kw,
+    )
+
+
+def _fleet_cfgs(fixtures_dir):
+    """Three members: two static locations and one dynamic circle, with
+    unequal durations (member 1 ends two rounds early)."""
+    return [
+        _cfg(fixtures_dir, duration_sec=1.2),
+        _cfg(fixtures_dir, duration_sec=0.9,
+             location=LocationConfig(40.7128, -74.0060, 20.0)),
+        _cfg(fixtures_dir, duration_sec=1.2,
+             motion_file=f"{fixtures_dir}/circle_motion.csv"),
+    ]
+
+
+def test_fleet_matches_individual_runs(fixtures_dir):
+    cfgs = _fleet_cfgs(fixtures_dir)
+    fleet_sinks = [CaptureSink() for _ in cfgs]
+    stats = run_fleet(cfgs, sinks=fleet_sinks, window=6)
+
+    for cfg, sink, st in zip(cfgs, fleet_sinks, stats):
+        solo = CaptureSink()
+        run_simulation(cfg, sink=solo)
+        assert st.blocks == solo.blocks == len(sink.data)
+        for got, want in zip(sink.data, solo.data):
+            assert np.array_equal(got, want)
+
+
+def test_fleet_16bit_strict_parity(fixtures_dir):
+    cfgs = [
+        _cfg(fixtures_dir, duration_sec=0.6,
+             sample_format=SampleFormat.SC16),
+        _cfg(fixtures_dir, duration_sec=0.6,
+             sample_format=SampleFormat.SC16,
+             location=LocationConfig(48.8584, 2.2945, 35.0)),
+    ]
+    fleet_sinks = [CaptureSink() for _ in cfgs]
+    run_fleet(cfgs, sinks=fleet_sinks, window=4)
+    for cfg, sink in zip(cfgs, fleet_sinks):
+        solo = CaptureSink()
+        run_simulation(cfg, sink=solo)
+        assert len(sink.data) == solo.blocks
+        for got, want in zip(sink.data, solo.data):
+            assert np.array_equal(got, want)
+
+
+def test_fleet_rejects_mismatched_statics(fixtures_dir):
+    cfgs = [
+        _cfg(fixtures_dir, duration_sec=0.3),
+        _cfg(fixtures_dir, duration_sec=0.3,
+             sample_format=SampleFormat.SC16),
+    ]
+    with pytest.raises(ValueError, match="sample_format"):
+        run_fleet(cfgs)
+
+
+def test_fleet_rejects_host_backend(fixtures_dir):
+    with pytest.raises(ValueError, match="jax or pallas"):
+        run_fleet([_cfg(fixtures_dir, backend=SynthBackend.NUMPY)])
