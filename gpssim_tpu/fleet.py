@@ -74,6 +74,7 @@ def run_fleet(
     window: int | None = None,
     on_batch=None,
     stop=None,
+    mesh=None,
 ) -> list[RunStats]:
     """Run N scenarios through one shared batched device pipeline.
 
@@ -82,6 +83,12 @@ def run_fleet(
     per-member RunStats; the aggregate rate is their sum. on_batch(stats)
     is called after each drained batch with the per-member stats list;
     stop() → True aborts cleanly between batches.
+
+    With ``mesh`` (a (blocks, chan) jax.sharding.Mesh from
+    parallel.shard.make_mesh), each fleet batch shards over the mesh —
+    blocks traffic-free across devices, channels psum'd over ICI — so the
+    fleet scales to a pod slice exactly like a single scenario; sharding
+    is bit-identical by the same integer-sum argument.
     """
     import itertools
 
@@ -93,6 +100,13 @@ def run_fleet(
     cfg0 = cfgs[0]
     int_nco = cfg0.carrier_mode is CarrierMode.INT_NCO
     kernel, wide, n_rows, bits = resolve_batch_kernel(cfg0)
+    if mesh is not None:
+        from .parallel.shard import make_sharded_synth, pad_batch, pad_channels
+
+        nb, nc = mesh.shape["blocks"], mesh.shape["chan"]
+        sharded = make_sharded_synth(
+            mesh, n_rows, cfg0.samples_per_epoch, wide=wide, out_bits=bits
+        )
     strict = strict_parity_enabled(cfg0)
     if strict:
         from .ops.synth_seq import apply_corrections, seq_corrections
@@ -111,6 +125,8 @@ def run_fleet(
     # batch; short tails are padded (and dropped) like the single-scenario
     # runner, to never recompile mid-run.
     W = window if window is not None else max(cfg0.dispatch_blocks, len(cfgs))
+    if mesh is not None:
+        W += (-W) % nb  # full batches divide evenly over the blocks axis
 
     stats = [RunStats() for _ in cfgs]
     t0 = time.perf_counter()
@@ -133,11 +149,21 @@ def run_fleet(
                 any_full = any_full or len(padded) == W
                 batch = collate_plans(padded, int_nco=int_nco)
 
-                def dispatch(b=batch):
-                    return kernel(
-                        **b.args, n_rows=n_rows, num_samples=b.num_samples,
-                        out_bits=bits, wide=wide,
-                    )
+                if mesh is None:
+                    def dispatch(b=batch):
+                        return kernel(
+                            **b.args, n_rows=n_rows,
+                            num_samples=b.num_samples,
+                            out_bits=bits, wide=wide,
+                        )
+                else:
+                    # Short first batch (scenario set smaller than W with
+                    # no later full batch): pad blocks up to the mesh
+                    # multiple; padding rows are dropped at drain.
+                    margs, _ = pad_batch(pad_channels(batch.args, nc), nb)
+
+                    def dispatch(a=margs):
+                        return sharded(a)
 
                 out = dispatch()
                 pending.append((out, dispatch, tagged))

@@ -78,6 +78,29 @@ def test_fleet_16bit_strict_parity(fixtures_dir):
             assert np.array_equal(got, want)
 
 
+def test_fleet_sharded_over_mesh(fixtures_dir):
+    """Fleet batches shard over a (blocks, chan) device mesh: every
+    member's stream stays bit-identical to its solo single-device run
+    (blocks axis traffic-free; chan psum is exact int32 addition)."""
+    import jax
+
+    from gpssim_tpu.parallel.shard import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU topology")
+    mesh = make_mesh(4, 2)
+
+    cfgs = _fleet_cfgs(fixtures_dir)
+    fleet_sinks = [CaptureSink() for _ in cfgs]
+    run_fleet(cfgs, sinks=fleet_sinks, window=6, mesh=mesh)
+    for cfg, sink in zip(cfgs, fleet_sinks):
+        solo = CaptureSink()
+        run_simulation(cfg, sink=solo)
+        assert len(sink.data) == solo.blocks
+        for got, want in zip(sink.data, solo.data):
+            assert np.array_equal(got, want)
+
+
 def test_fleet_rejects_mismatched_statics(fixtures_dir):
     cfgs = [
         _cfg(fixtures_dir, duration_sec=0.3),
