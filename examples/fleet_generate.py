@@ -45,13 +45,15 @@ def main() -> None:
     ]
     stats = run_fleet(cfgs)
     total = sum(st.samples for st in stats)
+    total_blocks = sum(st.blocks for st in stats)
     wall = max(st.wall_seconds for st in stats)
     for i, st in enumerate(stats):
         print(f"member {i}: {st.blocks} blocks → fleet_member{i}.bin")
     print(
         f"fleet aggregate: {total / 1e6:.0f} M samples "
         f"in {wall:.1f} s = {total / wall / 1e6:.1f} Msps "
-        f"({n * 0.1 * stats[0].blocks / wall:.1f}x realtime x {n} members)"
+        f"(aggregate {total_blocks * 0.1 / wall:.1f}x realtime; "
+        f"~{total_blocks * 0.1 / wall / n:.1f}x per member)"
     )
 
 

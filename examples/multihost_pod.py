@@ -21,8 +21,8 @@ sys.path.insert(0, REPO)
 import argparse
 
 from gpssim_tpu import SimConfig
-from gpssim_tpu.parallel import multihost
 from gpssim_tpu.config import honor_jax_platforms_env
+from gpssim_tpu.parallel import multihost
 
 
 def main() -> None:

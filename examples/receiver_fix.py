@@ -19,10 +19,10 @@ sys.path.insert(0, REPO)
 
 from gpssim_tpu import LocationConfig, SimConfig, SynthBackend, run_simulation
 from gpssim_tpu.acquire import load_iq
+from gpssim_tpu.config import honor_jax_platforms_env
 from gpssim_tpu.core.constants import R2D
 from gpssim_tpu.receiver import receiver_fix
 from gpssim_tpu.scenario import Simulation
-from gpssim_tpu.config import honor_jax_platforms_env
 
 
 def main() -> None:

@@ -22,11 +22,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from gpssim_tpu.config import SimConfig, SynthBackend  # noqa: E402
+from gpssim_tpu.config import (  # noqa: E402
+    SimConfig, SynthBackend, honor_jax_platforms_env,
+)
 from gpssim_tpu.io.sinks import TcpSink  # noqa: E402
 from gpssim_tpu.ops.synth_seq import seq_available  # noqa: E402
 from gpssim_tpu.runner import run_simulation  # noqa: E402
-from gpssim_tpu.config import honor_jax_platforms_env
 
 
 def main() -> int:

@@ -28,7 +28,9 @@ import numpy as np
 
 from .config import CarrierMode, SimConfig, SynthBackend
 from .io.sinks import Sink, make_configured_sink
-from .runner import RunStats, resolve_batch_kernel, strict_parity_enabled
+from .runner import (
+    RunStats, fetch_batch, resolve_batch_kernel, strict_parity_enabled,
+)
 from .scenario import Simulation
 
 
@@ -41,9 +43,16 @@ def _check_compatible(cfgs: list[SimConfig]) -> None:
             "fleet mode is a batched device feature; backend must be "
             f"jax or pallas, got {c0.backend.name.lower()}"
         )
+    for i, c in enumerate(cfgs):
+        if c.realtime or c.interactive:
+            raise ValueError(
+                f"fleet member {i} sets realtime/interactive; fleet mode "
+                "is an offline bulk-generation pipeline with no pacing — "
+                "run paced/interactive scenarios through run_simulation"
+            )
     for i, c in enumerate(cfgs[1:], 1):
         for field in ("sample_rate", "sample_format", "carrier_mode",
-                      "backend", "parity_exact"):
+                      "backend", "parity_exact", "num_channels"):
             if getattr(c, field) != getattr(c0, field):
                 raise ValueError(
                     f"fleet member {i} differs from member 0 in {field}: "
@@ -51,6 +60,26 @@ def _check_compatible(cfgs: list[SimConfig]) -> None:
                     "facts select the compiled kernel shape and must match "
                     "across the fleet"
                 )
+
+
+def _check_distinct_targets(cfgs: list[SimConfig]) -> None:
+    """Default sinks must not alias: two members writing the same file (or
+    TCP destination) would truncate and interleave one stream."""
+    seen: dict[tuple, int] = {}
+    for i, c in enumerate(cfgs):
+        if c.sink == "iqfile":
+            key = ("iqfile", c.out_file)
+        elif c.sink == "tcp":
+            key = ("tcp", c.tcp_addr)
+        else:
+            continue  # null/hardware sinks have no per-member target
+        if key in seen:
+            raise ValueError(
+                f"fleet members {seen[key]} and {i} share the same "
+                f"{key[0]} target {key[1]!r}; give each member its own "
+                "out_file/tcp_addr (or pass explicit sinks)"
+            )
+        seen[key] = i
 
 
 def _interleave_plans(sims: list[Simulation]):
@@ -92,8 +121,6 @@ def run_fleet(
     """
     import itertools
 
-    import jax
-
     _check_compatible(cfgs)
     from .parallel.blocks import collate_plans
 
@@ -113,11 +140,10 @@ def run_fleet(
 
     sims = [Simulation(c) for c in cfgs]
     if sinks is None:
+        _check_distinct_targets(cfgs)
         sinks = [make_configured_sink(c) for c in cfgs]
     if len(sinks) != len(cfgs):
         raise ValueError(f"{len(sinks)} sinks for {len(cfgs)} scenarios")
-    for c, s in zip(cfgs, sinks):
-        s.init(c)
 
     # Batch width: one full round of the fleet per dispatch, or the
     # configured dispatch window if that is larger — whichever keeps the
@@ -133,7 +159,11 @@ def run_fleet(
     it = _interleave_plans(sims)
     pending: deque = deque()  # (device_out, redispatch, [(member, plan)])
     any_full = False
+    inited = 0
     try:
+        for c, s in zip(cfgs, sinks):
+            s.init(c)
+            inited += 1
         while True:
             ts = time.perf_counter()
             tagged = list(itertools.islice(it, W))
@@ -166,19 +196,12 @@ def run_fleet(
                         return sharded(a)
 
                 out = dispatch()
+                stats[0].synth_seconds += time.perf_counter() - tp
                 pending.append((out, dispatch, tagged))
             if (not tagged and pending) or len(pending) >= 2:
                 out, redispatch, done = pending.popleft()
-                try:
-                    host = np.asarray(jax.device_get(out))
-                except jax.errors.JaxRuntimeError as e:
-                    msg = str(e)
-                    if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg:
-                        raise
-                    # Transient device failure: pure-function batch re-runs
-                    # (same policy as runner._run_batched).
-                    host = np.asarray(jax.device_get(redispatch()))
-                    stats[0].retries += 1  # one re-dispatch, booked once
+                host, retried = fetch_batch(out, redispatch)
+                stats[0].retries += retried  # one re-dispatch, booked once
                 for k, (member, plan) in enumerate(done):
                     blk = host[k]
                     if strict:
@@ -198,7 +221,7 @@ def run_fleet(
             if stop is not None and stop():
                 break
     finally:
-        for s in sinks:
+        for s in sinks[:inited]:
             s.close()
     wall = time.perf_counter() - t0
     for st in stats:

@@ -182,6 +182,26 @@ def resolve_batch_kernel(cfg: SimConfig):
     return kernel, wide, n_rows, bits
 
 
+def fetch_batch(out, redispatch) -> tuple[np.ndarray, bool]:
+    """device_get with the transient-failure retry policy (SURVEY §5).
+
+    Deterministic failures (OOM / RESOURCE_EXHAUSTED) re-raise immediately
+    — a synchronous re-run would fail identically. Anything else is
+    treated as a transient device error: every block is a pure function of
+    its plan, so the batch simply re-dispatches once. Returns
+    (host_array, retried). Shared by the pipelined runner and fleet.py so
+    the error policy stays single-sourced."""
+    import jax
+
+    try:
+        return np.asarray(jax.device_get(out)), False
+    except jax.errors.JaxRuntimeError as e:
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg:
+            raise
+        return np.asarray(jax.device_get(redispatch())), True
+
+
 def _run_batched(
     cfg: SimConfig, sink: Sink, sim: Simulation, on_block, stop,
     window: int | None = None,
@@ -194,8 +214,6 @@ def _run_batched(
     """
     import itertools
     from collections import deque
-
-    import jax
 
     from .config import CarrierMode
     from .parallel.blocks import collate_plans
@@ -253,19 +271,8 @@ def _run_batched(
                 stats.synth_seconds += time.perf_counter() - tp
             if (not plans and pending) or len(pending) >= 2:
                 out, redispatch, done_plans, snap = pending.popleft()
-                try:
-                    host = np.asarray(jax.device_get(out))  # quantized
-                except jax.errors.JaxRuntimeError as e:
-                    # Deterministic failures re-fail identically; don't
-                    # waste a synchronous re-run on them.
-                    msg = str(e)
-                    if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg:
-                        raise
-                    # Transient device failure: every block is a pure
-                    # function of its plan, so the batch simply re-runs
-                    # (SURVEY §5 — per-block state is recomputable).
-                    stats.retries += 1
-                    host = np.asarray(jax.device_get(redispatch()))
+                host, retried = fetch_batch(out, redispatch)  # quantized
+                stats.retries += retried
                 for i, plan in enumerate(done_plans):
                     blk = host[i]
                     if strict:

@@ -114,3 +114,45 @@ def test_fleet_rejects_mismatched_statics(fixtures_dir):
 def test_fleet_rejects_host_backend(fixtures_dir):
     with pytest.raises(ValueError, match="jax or pallas"):
         run_fleet([_cfg(fixtures_dir, backend=SynthBackend.NUMPY)])
+
+
+def test_fleet_rejects_duplicate_default_targets(fixtures_dir):
+    """Two members defaulting to the same out_file would truncate and
+    interleave one stream — refused before any file is touched."""
+    cfgs = [
+        _cfg(fixtures_dir, duration_sec=0.3),
+        _cfg(fixtures_dir, duration_sec=0.3,
+             location=LocationConfig(1.0, 2.0, 3.0)),
+    ]
+    with pytest.raises(ValueError, match="share the same iqfile target"):
+        run_fleet(cfgs)
+    # Distinct paths (or explicit sinks) are fine — covered by the
+    # bit-exactness tests above.
+
+
+def test_fleet_rejects_realtime_members(fixtures_dir):
+    with pytest.raises(ValueError, match="realtime/interactive"):
+        run_fleet([_cfg(fixtures_dir, duration_sec=0.3, realtime=True)])
+
+
+def test_fleet_sink_init_failure_closes_earlier_sinks(fixtures_dir, tmp_path):
+    """A failing sink init must not leak the sinks initialized before it."""
+    opened = []
+
+    class OkSink(NullSink):
+        def init(self, cfg):
+            super().init(cfg)
+            opened.append(self)
+
+        def close(self):
+            self.closed = True
+            super().close()
+
+    class BadSink(NullSink):
+        def init(self, cfg):
+            raise OSError("unwritable")
+
+    cfgs = [_cfg(fixtures_dir, duration_sec=0.3) for _ in range(2)]
+    with pytest.raises(OSError, match="unwritable"):
+        run_fleet(cfgs, sinks=[OkSink(), BadSink()])
+    assert len(opened) == 1 and getattr(opened[0], "closed", False)
