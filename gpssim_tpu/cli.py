@@ -173,6 +173,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Append a JSONL metrics record (throughput, "
                         "position, channels) at each 30 s-of-signal "
                         "boundary crossing (dispatch-window granularity)")
+    p.add_argument("--fleet", metavar="roster.csv",
+                   help="Run one scenario per roster row "
+                        "(lat,lon,height[,out_file]) through a single "
+                        "batched device pipeline; other flags form the "
+                        "base scenario. iqfile/null sinks only")
     return p
 
 
@@ -308,6 +313,29 @@ def main(argv: list[str] | None = None) -> int:
         if cfg.nav_file is None:
             parser.error("GPS ephemeris file is not specified (-e/--nav-file)")
         sim = None
+
+    if args.fleet:
+        if args.resume or cfg.realtime or cfg.interactive or args.tui:
+            parser.error(
+                "--fleet is an offline bulk pipeline; it cannot combine "
+                "with --resume/--realtime/--interactive/--tui"
+            )
+        from .fleet import member_configs, parse_fleet_file, run_fleet
+
+        try:
+            cfgs = member_configs(cfg, parse_fleet_file(args.fleet))
+            stats = run_fleet(cfgs)
+        except ValueError as e:
+            parser.error(str(e))
+        total_blocks = sum(st.blocks for st in stats)
+        wall = max((st.wall_seconds for st in stats), default=0.0)
+        for i, (c, st) in enumerate(zip(cfgs, stats)):
+            print(f"fleet member {i}: {st.blocks * 0.1:.1f} s of signal "
+                  f"→ {c.out_file if c.sink == 'iqfile' else c.sink}")
+        if wall > 0:
+            print(f"fleet aggregate: {total_blocks * 0.1 / wall:.1f}x "
+                  f"realtime across {len(cfgs)} members")
+        return 0
 
     from .app import run_app
 

@@ -82,6 +82,64 @@ def _check_distinct_targets(cfgs: list[SimConfig]) -> None:
         seen[key] = i
 
 
+def parse_fleet_file(path: str) -> list[tuple]:
+    """Parse a fleet roster CSV: ``lat,lon,height[,out_file]`` per line,
+    ``#`` comments and blank lines ignored. Returns
+    [(LocationConfig, out_file | None), ...]."""
+    from .config import LocationConfig
+
+    rows = []
+    with open(path) as f:
+        for ln, raw in enumerate(f, 1):
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = [p.strip() for p in line.split(",")]
+            if len(parts) not in (3, 4):
+                raise ValueError(
+                    f"{path}:{ln}: expected lat,lon,height[,out_file], "
+                    f"got {raw.strip()!r}"
+                )
+            try:
+                loc = LocationConfig(
+                    float(parts[0]), float(parts[1]), float(parts[2])
+                )
+            except ValueError:
+                raise ValueError(
+                    f"{path}:{ln}: non-numeric lat/lon/height in "
+                    f"{raw.strip()!r}"
+                ) from None
+            rows.append((loc, parts[3] if len(parts) == 4 else None))
+    if not rows:
+        raise ValueError(f"{path}: no fleet members found")
+    return rows
+
+
+def member_configs(base: SimConfig, rows: list[tuple]) -> list[SimConfig]:
+    """Derive one SimConfig per roster row from a base config.
+
+    Members vary in location (and optionally out_file); everything else —
+    ephemeris, duration, rates, backend — comes from the base. Default
+    out_file names insert a member index before the extension so targets
+    never alias."""
+    import dataclasses
+    import os.path
+
+    if base.sink not in ("iqfile", "null"):
+        raise ValueError(
+            f"--fleet supports the iqfile and null sinks, not {base.sink!r}"
+            " (per-member TX hardware/streams need the run_fleet API with"
+            " explicit sinks)"
+        )
+    stem, ext = os.path.splitext(base.out_file)
+    cfgs = []
+    for i, (loc, out) in enumerate(rows):
+        if out is None:
+            out = f"{stem}_m{i}{ext}"
+        cfgs.append(dataclasses.replace(base, location=loc, out_file=out))
+    return cfgs
+
+
 def _interleave_plans(sims: list[Simulation]):
     """Round-robin (member_index, plan) across live scenario planners."""
     its = [sim.iter_plans() for sim in sims]

@@ -208,3 +208,64 @@ def test_cli_native_backend_end_to_end(fixtures_dir, tmp_path):
     a = np.fromfile(out, dtype=np.int8)
     b = np.fromfile(ref, dtype=np.int8)
     assert a.size == 3 * 600_000 and np.array_equal(a, b)
+
+
+def test_cli_fleet(fixtures_dir, tmp_path, monkeypatch, capsys):
+    """--fleet runs one scenario per roster row through the batched
+    pipeline; each member file equals the corresponding solo CLI run."""
+    from gpssim_tpu import cli
+
+    roster = tmp_path / "roster.csv"
+    roster.write_text(
+        "# lat, lon, height[, out_file]\n"
+        "35.681298, 139.766247, 10.0\n"
+        f"40.7128, -74.0060, 20.0, {tmp_path}/ny.bin\n"
+    )
+    monkeypatch.chdir(tmp_path)
+    assert cli.main([
+        "-e", f"{fixtures_dir}/brdc_test.22n", "-d", "0.4",
+        "-r", "iqfile", "--disable-almanac",
+        "--out-file", str(tmp_path / "iq.bin"),
+        "--fleet", str(roster),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "fleet member 1" in out and "aggregate" in out
+
+    for member, (loc, path) in enumerate([
+        ("35.681298,139.766247,10.0", tmp_path / "iq_m0.bin"),
+        ("40.7128,-74.0060,20.0", tmp_path / "ny.bin"),
+    ]):
+        solo = tmp_path / f"solo{member}.bin"
+        assert cli.main([
+            "-e", f"{fixtures_dir}/brdc_test.22n", "-d", "0.4",
+            "-r", "iqfile", "--disable-almanac", "-l", loc,
+            "--out-file", str(solo),
+        ]) == 0
+        a = np.fromfile(path, dtype=np.int8)
+        b = np.fromfile(solo, dtype=np.int8)
+        assert a.size == b.size == 3 * 600_000
+        assert np.array_equal(a, b), f"member {member} differs from solo"
+
+
+def test_cli_fleet_rejects_bad_combos(fixtures_dir, tmp_path):
+    from gpssim_tpu import cli
+
+    roster = tmp_path / "roster.csv"
+    roster.write_text("1,2,3\n")
+    with pytest.raises(SystemExit):
+        cli.main([
+            "-e", f"{fixtures_dir}/brdc_test.22n", "-r", "iqfile",
+            "--fleet", str(roster), "--realtime",
+        ])
+    with pytest.raises(SystemExit):
+        cli.main([
+            "-e", f"{fixtures_dir}/brdc_test.22n", "-r", "tcp",
+            "--fleet", str(roster),
+        ])
+    bad = tmp_path / "bad.csv"
+    bad.write_text("1,2\n")
+    with pytest.raises(SystemExit):
+        cli.main([
+            "-e", f"{fixtures_dir}/brdc_test.22n", "-r", "iqfile",
+            "--fleet", str(bad),
+        ])
