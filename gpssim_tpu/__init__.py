@@ -21,8 +21,8 @@ from .config import (  # noqa: F401
 __all__ = [
     "CarrierMode", "LocationConfig", "SampleFormat", "SimConfig",
     "SynthBackend", "TargetConfig", "Simulation", "run_simulation",
-    "run_app", "save_checkpoint", "load_checkpoint", "acquire",
-    "receiver_fix",
+    "run_app", "run_fleet", "save_checkpoint", "load_checkpoint",
+    "acquire", "receiver_fix",
 ]
 
 
@@ -39,6 +39,10 @@ def __getattr__(name):  # lazy: keep `import gpssim_tpu` light
         from .app import run_app
 
         return run_app
+    if name == "run_fleet":
+        from .fleet import run_fleet
+
+        return run_fleet
     if name in ("save_checkpoint", "load_checkpoint"):
         from . import checkpoint
 
