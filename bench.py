@@ -96,7 +96,6 @@ def main() -> None:
         raise SystemExit(
             f"BENCH_KERNEL={kernel_name!r}: expected pallas, fused, or xla"
         )
-    use_pallas = kernel_name in ("pallas", "fused")
     # Short scenarios: dispatch what exists (keep device divisibility).
     if batch_blocks > len(plans):
         batch_blocks = len(plans) - len(plans) % n_dev

@@ -320,6 +320,15 @@ def main(argv: list[str] | None = None) -> int:
                 "--fleet is an offline bulk pipeline; it cannot combine "
                 "with --resume/--realtime/--interactive/--tui"
             )
+        if args.checkpoint or args.metrics_file or args.profile_dir:
+            # Refuse rather than silently skip: a day-scale fleet run that
+            # the user believes is checkpointed/metered/profiled must not
+            # lose that expectation without notice.
+            parser.error(
+                "--fleet does not support --checkpoint, --metrics-file, or "
+                "--profile-dir; run members through run_simulation for "
+                "checkpointed, metered, or profiled runs"
+            )
         from .fleet import member_configs, parse_fleet_file, run_fleet
 
         try:

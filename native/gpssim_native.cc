@@ -1339,18 +1339,24 @@ long gseq_diff_block(
   // (or the env override forces a schedule).
   long n_work = 0;
   if (!std::getenv("GPSSIM_CHAIN_THREADS")) {
-    for (long k = 0; k < A; ++k) {
-      const SeqChan& ch = chs[k];
-      if (gs_next(make_global(ch.cp0, ch.dc, 1.0, code_margin_fast(N), N),
-                  0, N) < N) {
-        ++n_work;
-        continue;
+    if (want_end) {
+      // Every channel walks the full block tail to materialize end
+      // state — always real work, independent of candidate count.
+      n_work = A;
+    } else {
+      for (long k = 0; k < A; ++k) {
+        const SeqChan& ch = chs[k];
+        if (gs_next(make_global(ch.cp0, ch.dc, 1.0, code_margin_fast(N), N),
+                    0, N) < N) {
+          ++n_work;
+          continue;
+        }
+        if (!nco &&
+            gs_next(
+                make_global(ch.c0, ch.dp, 512.0, carr_margin_fast(N), N),
+                0, N) < N)
+          ++n_work;
       }
-      if (!nco &&
-          gs_next(
-              make_global(ch.c0, ch.dp, 512.0, carr_margin_fast(N), N),
-              0, N) < N)
-        ++n_work;
     }
   }
   const long nthreads =
