@@ -9,6 +9,7 @@
 # bench.py BENCH_KERNEL) and update PERFORMANCE.md with the numbers.
 set -uo pipefail
 cd "$(dirname "$0")/.."
+REPO=$(pwd)
 OUT=${1:-/tmp/tpu_deferred}
 mkdir -p "$OUT"
 
@@ -24,6 +25,10 @@ timeout 3000 python bench.py 2>"$OUT/bench_pallas.err" | tee "$OUT/bench_pallas.
 
 echo "== bench: fused kernel -> $OUT/bench_fused.json"
 BENCH_KERNEL=fused timeout 3000 python bench.py 2>"$OUT/bench_fused.err" | tee "$OUT/bench_fused.json"
+
+echo "== fleet aggregate throughput on the chip -> $OUT/fleet.log"
+(cd "$OUT" && timeout 1800 python "$REPO/examples/fleet_generate.py" \
+    "$REPO/fixtures/brdc_test.22n" 8 2>&1 | tee fleet.log | tail -2)
 
 echo "== realtime loopback contract on the chip"
 GPSSIM_TEST_TPU=1 timeout 1200 python -m pytest tests/test_sinks.py -q \
