@@ -173,6 +173,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Append a JSONL metrics record (throughput, "
                         "position, channels) at each 30 s-of-signal "
                         "boundary crossing (dispatch-window granularity)")
+    p.add_argument("--noise-std", type=float, default=0.0, metavar="lsb",
+                   help="Add deterministic AWGN with this std (output LSB "
+                        "units) to the quantized stream — receiver-QA "
+                        "realism; 0 (default) keeps the reference's "
+                        "bit-exact clean signal")
+    p.add_argument("--noise-seed", type=int, default=0, metavar="n",
+                   help="Seed for --noise-std (same seed+scenario → same "
+                        "noisy bytes, regardless of batching or resume)")
     p.add_argument("--fleet", metavar="roster.csv",
                    help="Run one scenario per roster row "
                         "(lat,lon,height[,out_file]) through a single "
@@ -191,6 +199,10 @@ def args_to_config(args: argparse.Namespace) -> SimConfig:
     cfg.almanac_enable = not args.disable_almanac
     cfg.almanac_file = args.almanac_file
     cfg.ppb = args.ppb
+    if args.noise_std < 0:
+        raise SystemExit("ERROR: --noise-std must be >= 0")
+    cfg.noise_std_lsb = args.noise_std
+    cfg.noise_seed = args.noise_seed
     cfg.interactive = args.interactive
     cfg.backend = SynthBackend(args.backend)
     cfg.carrier_mode = CarrierMode.INT_NCO if args.int_nco else CarrierMode.FLOAT

@@ -73,6 +73,10 @@ class SimConfig:
     almanac_file: str | None = None
     ppb: int = 0  # oscillator error; scales synthesis rate/frequency
     pluto_gain_boost: bool = False  # reference doubles gain for Pluto (gps.c:2759)
+    # Optional receiver-QA AWGN on the quantized output (noise.py);
+    # 0.0 = off = the reference's clean-signal semantics, bit-exact.
+    noise_std_lsb: float = 0.0
+    noise_seed: int = 0
 
     # Data fetch (reference --use-ftp / --station, gps.c:2388-2467)
     use_ftp: bool = False

@@ -136,7 +136,13 @@ def member_configs(base: SimConfig, rows: list[tuple]) -> list[SimConfig]:
     for i, (loc, out) in enumerate(rows):
         if out is None:
             out = f"{stem}_m{i}{ext}"
-        cfgs.append(dataclasses.replace(base, location=loc, out_file=out))
+        cfgs.append(dataclasses.replace(
+            base, location=loc, out_file=out,
+            # Independent noise per member (a farm must not share one
+            # noise realization); each member still equals a solo run
+            # with the same derived seed.
+            noise_seed=base.noise_seed + i,
+        ))
     return cfgs
 
 
@@ -195,8 +201,11 @@ def run_fleet(
     strict = strict_parity_enabled(cfg0)
     if strict:
         from .ops.synth_seq import apply_corrections, seq_corrections
+    if any(c.noise_std_lsb > 0.0 for c in cfgs):
+        from .noise import apply_awgn
 
     sims = [Simulation(c) for c in cfgs]
+    base_index = [s.next_block_index for s in sims]  # noise keying
     if sinks is None:
         _check_distinct_targets(cfgs)
         sinks = [make_configured_sink(c) for c in cfgs]
@@ -267,6 +276,14 @@ def run_fleet(
                             plan, int_nco=int_nco
                         )
                         blk = apply_corrections(blk, bits, idx, i16, q16)
+                    mc = cfgs[member]
+                    if mc.noise_std_lsb > 0.0:
+                        # Keyed per member stream so a fleet member's
+                        # noisy bytes equal its solo run's.
+                        blk = apply_awgn(
+                            blk, bits, mc.noise_std_lsb, mc.noise_seed, 0,
+                            base_index[member] + stats[member].blocks,
+                        )
                     sinks[member].write(blk)
                     st = stats[member]
                     st.blocks += 1

@@ -131,6 +131,7 @@ def run_simulation(
 
     synth_fn = make_synth_fn(cfg)
     bits = cfg.sample_format.value
+    base_index = sim.next_block_index  # noise keying (resume-stable)
 
     stats = RunStats()
     t0 = time.perf_counter()
@@ -143,7 +144,14 @@ def run_simulation(
             iq16 = np.asarray(iq16)
             te = time.perf_counter()
             stats.synth_seconds += te - ts
-            sink.write(quantize_iq(iq16, bits))
+            blk = quantize_iq(iq16, bits)
+            if cfg.noise_std_lsb > 0.0:
+                from .noise import apply_awgn
+
+                blk = apply_awgn(blk, bits, cfg.noise_std_lsb,
+                                 cfg.noise_seed, 0,
+                                 base_index + stats.blocks)
+            sink.write(blk)
             stats.blocks += 1
             stats.samples += plan.num_samples
             stats.wall_seconds = te - t0
@@ -224,6 +232,9 @@ def _run_batched(
     strict = strict_parity_enabled(cfg)
     if strict:
         from .ops.synth_seq import apply_corrections, seq_corrections
+    base_index = sim.next_block_index  # noise keying (resume-stable)
+    if cfg.noise_std_lsb > 0.0:
+        from .noise import apply_awgn
 
     from .checkpoint import capture_state
 
@@ -280,6 +291,10 @@ def _run_batched(
                             plan, int_nco=int_nco
                         )
                         blk = apply_corrections(blk, bits, idx, i16, q16)
+                    if cfg.noise_std_lsb > 0.0:
+                        blk = apply_awgn(blk, bits, cfg.noise_std_lsb,
+                                         cfg.noise_seed, 0,
+                                         base_index + stats.blocks)
                     sink.write(blk)
                     stats.blocks += 1
                     stats.samples += plan.num_samples

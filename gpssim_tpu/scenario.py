@@ -642,5 +642,12 @@ class Simulation:
         while (plan := self.step()) is not None:
             yield plan
 
+    @property
+    def next_block_index(self) -> int:
+        """Absolute epoch index of the next plan ``step`` will produce
+        (iumd cursor; stable across checkpoint/resume — used to key the
+        deterministic noise stage, noise.py)."""
+        return self._iumd
+
     def current_llh(self) -> np.ndarray:
         return xyz2llh(self._xyz_prev)

@@ -1,0 +1,126 @@
+"""Optional AWGN stage (noise.py): determinism, statistics, and the
+off-by-default bit-exact guarantee.
+
+The reference has no noise model (its loop emits pure channel sums,
+gps.c:2767-2836); this stage exists for the receiver-farm QA use cases
+(fleet.py / receiver.py) and must never perturb the parity contract."""
+
+import numpy as np
+import pytest
+
+from gpssim_tpu.config import (
+    LocationConfig, SampleFormat, SimConfig, SynthBackend,
+)
+from gpssim_tpu.noise import apply_awgn
+from gpssim_tpu.runner import run_simulation
+from tests.test_fleet import CaptureSink, _cfg
+
+
+def test_awgn_statistics_and_determinism():
+    blk = np.zeros(600_000, dtype=np.int8)
+    a = apply_awgn(blk, 8, 3.0, seed=7, stream=0, block_index=5)
+    b = apply_awgn(blk, 8, 3.0, seed=7, stream=0, block_index=5)
+    assert np.array_equal(a, b)  # counter-based: same key, same draw
+    assert abs(float(a.mean())) < 0.05
+    assert abs(float(a.std()) - 3.0) < 0.05
+    # Different block index / stream / seed → different realizations.
+    for kw in ({"block_index": 6}, {"stream": 1}, {"seed": 8}):
+        args = {"seed": 7, "stream": 0, "block_index": 5, **kw}
+        c = apply_awgn(blk, 8, 3.0, **args)
+        assert not np.array_equal(a, c)
+
+
+def test_awgn_clips_to_dtype():
+    blk = np.full(10_000, 126, dtype=np.int8)
+    out = apply_awgn(blk, 8, 50.0, seed=1, stream=0, block_index=0)
+    assert out.dtype == np.int8
+    assert out.max() <= 127 and out.min() >= -128
+    blk16 = np.full(10_000, 32700, dtype=np.int16)
+    out16 = apply_awgn(blk16, 16, 500.0, seed=1, stream=0, block_index=0)
+    assert out16.dtype == np.int16 and out16.max() <= 32767
+
+
+def test_noise_stream_batching_invariant(fixtures_dir):
+    """The noisy byte stream is identical whether blocks go through the
+    block-by-block numpy path or the pipelined batched device path."""
+    kw = dict(duration_sec=0.6, noise_std_lsb=2.5, noise_seed=42)
+    a = CaptureSink()
+    run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.NUMPY, **kw), sink=a
+    )
+    b = CaptureSink()
+    run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=3,
+             **kw),
+        sink=b,
+    )
+    assert a.blocks == b.blocks > 0
+    for x, y in zip(a.data, b.data):
+        assert np.array_equal(x, y)
+    # And it actually differs from the clean stream.
+    clean = CaptureSink()
+    run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.NUMPY, duration_sec=0.6),
+        sink=clean,
+    )
+    assert not np.array_equal(a.data[0], clean.data[0])
+
+
+def test_noise_fleet_member_matches_solo(fixtures_dir):
+    from gpssim_tpu.fleet import run_fleet
+
+    cfgs = [
+        _cfg(fixtures_dir, duration_sec=0.5, noise_std_lsb=2.0,
+             noise_seed=11),
+        _cfg(fixtures_dir, duration_sec=0.5, noise_std_lsb=2.0,
+             noise_seed=12, location=LocationConfig(10.0, 20.0, 30.0)),
+    ]
+    sinks = [CaptureSink(), CaptureSink()]
+    run_fleet(cfgs, sinks=sinks, window=4)
+    for cfg, sink in zip(cfgs, sinks):
+        solo = CaptureSink()
+        run_simulation(cfg, sink=solo)
+        assert len(sink.data) == solo.blocks
+        for got, want in zip(sink.data, solo.data):
+            assert np.array_equal(got, want)
+
+
+def test_noise_resume_invariant(fixtures_dir, tmp_path):
+    """A run split by checkpoint/resume produces the same noisy bytes as
+    an unbroken run (block-index keying is resume-stable)."""
+    from gpssim_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from gpssim_tpu.scenario import Simulation
+
+    kw = dict(duration_sec=0.8, noise_std_lsb=2.0, noise_seed=5)
+    whole = CaptureSink()
+    run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.NUMPY, **kw), sink=whole
+    )
+
+    cfg = _cfg(fixtures_dir, backend=SynthBackend.NUMPY, **kw)
+    sim = Simulation(cfg)
+    first = CaptureSink()
+    seen = []
+    ckpt = str(tmp_path / "state.npz")
+    run_simulation(
+        cfg, sink=first, sim=sim,
+        on_block=lambda st, s, p: seen.append(st.blocks),
+        stop=lambda: len(seen) >= 3,
+    )
+    save_checkpoint(ckpt, sim)
+    cfg2, sim2 = load_checkpoint(ckpt)
+    rest = CaptureSink()
+    run_simulation(cfg2, sink=rest, sim=sim2)
+
+    merged = first.data + rest.data
+    assert len(merged) == len(whole.data)
+    for x, y in zip(merged, whole.data):
+        assert np.array_equal(x, y)
+
+
+def test_cli_rejects_negative_noise(fixtures_dir):
+    from gpssim_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["-e", f"{fixtures_dir}/brdc_test.22n", "-r", "null",
+                  "--noise-std", "-1"])
