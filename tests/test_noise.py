@@ -118,6 +118,29 @@ def test_noise_resume_invariant(fixtures_dir, tmp_path):
         assert np.array_equal(x, y)
 
 
+def test_acquisition_survives_noise(fixtures_dir, tmp_path):
+    """The point of the stage: a noisy capture still behaves like a real
+    front-end's — acquisition finds every simulated PRN through AWGN at
+    several LSB of the 8-bit stream."""
+    from gpssim_tpu.acquire import acquire, load_iq
+    from gpssim_tpu.scenario import Simulation
+
+    out = str(tmp_path / "iq.bin")
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=1.0,
+        almanac_enable=False, backend=SynthBackend.NUMPY,
+        sink="iqfile", out_file=out,
+        noise_std_lsb=4.0, noise_seed=3,
+    )
+    plan = Simulation(cfg).step()
+    run_simulation(cfg)
+    dets = acquire(load_iq(out, 8))
+    active = {int(p) for p in plan.prn[plan.active]}
+    assert active <= {d.prn for d in dets}, (
+        "noise drowned a simulated PRN"
+    )
+
+
 def test_cli_rejects_negative_noise(fixtures_dir):
     from gpssim_tpu import cli
 
