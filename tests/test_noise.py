@@ -141,6 +141,34 @@ def test_acquisition_survives_noise(fixtures_dir, tmp_path):
     )
 
 
+def test_receiver_fix_through_noise(fixtures_dir, tmp_path):
+    """Full QA loop under noise: the software receiver still produces a
+    meter-level PVT fix from a capture with 3-LSB AWGN (C/A processing
+    gain makes this easy for a correct receiver — a broken one fails)."""
+    from gpssim_tpu.acquire import load_iq
+    from gpssim_tpu.receiver import receiver_fix
+    from gpssim_tpu.scenario import Simulation
+
+    rate = 2_600_000
+    out = str(tmp_path / "iq.bin")
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=20.0,
+        sample_rate=rate, almanac_enable=False, ionosphere_enable=False,
+        backend=SynthBackend.NUMPY, sink="iqfile", out_file=out,
+        location=LocationConfig(35.681298, 139.766247, 10.0),
+        noise_std_lsb=3.0, noise_seed=9,
+    )
+    sim = Simulation(cfg)
+    truth = np.array(sim.xyz0)
+    week = sim.g0.week
+    run_simulation(cfg, sim=sim)
+
+    fix, channels, _, _ = receiver_fix(load_iq(out, 8), rate,
+                                       week_hint=week)
+    err = np.linalg.norm(fix.xyz - truth)
+    assert err < 8.0, f"position error {err:.2f} m under noise"
+
+
 def test_cli_rejects_negative_noise(fixtures_dir):
     from gpssim_tpu import cli
 
