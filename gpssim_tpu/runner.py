@@ -235,6 +235,13 @@ def _run_batched(
     base_index = sim.next_block_index  # noise keying (resume-stable)
     if cfg.noise_std_lsb > 0.0:
         from .noise import apply_awgn
+    # Channel compaction trims the channel axis to the batch's max ACTIVE
+    # count — a win offline, but the active count changes at 30 s
+    # reallocations, and a new channel-axis extent means a new compiled
+    # shape. A mid-run recompile (minutes through a remote compile
+    # service) is fatal for a paced TX, so realtime/interactive runs keep
+    # the full fixed channel axis: one shape for the whole run.
+    compact = not (cfg.realtime or cfg.interactive)
 
     from .checkpoint import capture_state
 
@@ -261,7 +268,8 @@ def _run_batched(
                 if any_full and len(plans) < W:
                     padded = plans + [plans[-1]] * (W - len(plans))
                 any_full = any_full or len(padded) == W
-                batch = collate_plans(padded, int_nco=int_nco)
+                batch = collate_plans(padded, int_nco=int_nco,
+                                      compact=compact)
 
                 def dispatch(b=batch):
                     return kernel(

@@ -65,6 +65,49 @@ def test_batched_pipeline_low_rate_wide_window(fixtures_dir):
         assert np.array_equal(x, y)
 
 
+def test_realtime_batches_keep_one_kernel_shape(fixtures_dir):
+    """Realtime/interactive runs must never change the compiled shape
+    mid-run: channel compaction is disabled there (the active-satellite
+    count changes at 30 s reallocations; a recompile stalls a paced TX).
+    Output stays bit-identical — zero-gain slots contribute exactly 0."""
+    import numpy as np
+
+    from gpssim_tpu.parallel.blocks import collate_plans
+    from gpssim_tpu.scenario import Simulation
+
+    cfg = _cfg(fixtures_dir, duration_sec=0.5)
+    plans = list(Simulation(cfg).iter_plans())
+    # Force differing active counts across two batches.
+    import copy
+
+    p2 = [copy.deepcopy(p) for p in plans]
+    for p in p2:
+        on = np.flatnonzero(p.active)
+        p.active[on[-1]] = False
+        p.gain[on[-1]] = 0.0
+    a = collate_plans(plans, compact=False)
+    b = collate_plans(p2, compact=False)
+    for k in a.args:
+        assert a.args[k].shape == b.args[k].shape, k
+
+    # Integration: realtime batched run == offline batched run, bit-exact.
+    rt = CaptureSink()
+    run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=8,
+             duration_sec=0.5, realtime=True, fifo_depth=8),
+        sink=rt,
+    )
+    off = CaptureSink()
+    run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=8,
+             duration_sec=0.5),
+        sink=off,
+    )
+    assert rt.blocks == off.blocks > 0
+    for x, y in zip(rt.data, off.data):
+        assert np.array_equal(x, y)
+
+
 def test_batched_on_block_and_stop(fixtures_dir):
     seen = []
     sink = CaptureSink()
