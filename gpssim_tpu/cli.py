@@ -199,8 +199,10 @@ def args_to_config(args: argparse.Namespace) -> SimConfig:
     cfg.almanac_enable = not args.disable_almanac
     cfg.almanac_file = args.almanac_file
     cfg.ppb = args.ppb
-    if args.noise_std < 0:
-        raise SystemExit("ERROR: --noise-std must be >= 0")
+    import math
+
+    if not math.isfinite(args.noise_std) or args.noise_std < 0:
+        raise SystemExit("ERROR: --noise-std must be a finite value >= 0")
     cfg.noise_std_lsb = args.noise_std
     cfg.noise_seed = args.noise_seed
     cfg.interactive = args.interactive

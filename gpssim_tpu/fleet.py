@@ -50,6 +50,18 @@ def _check_compatible(cfgs: list[SimConfig]) -> None:
                 "is an offline bulk-generation pipeline with no pacing — "
                 "run paced/interactive scenarios through run_simulation"
             )
+    noisy_seeds: dict[int, int] = {}
+    for i, c in enumerate(cfgs):
+        if c.noise_std_lsb > 0.0:
+            if c.noise_seed in noisy_seeds:
+                raise ValueError(
+                    f"fleet members {noisy_seeds[c.noise_seed]} and {i} "
+                    f"share noise_seed={c.noise_seed}: a farm must not "
+                    "share one noise realization — give each noisy "
+                    "member its own seed (member_configs derives "
+                    "base.noise_seed + i automatically)"
+                )
+            noisy_seeds[c.noise_seed] = i
     for i, c in enumerate(cfgs[1:], 1):
         for field in ("sample_rate", "sample_format", "carrier_mode",
                       "backend", "parity_exact", "num_channels"):

@@ -196,6 +196,8 @@ def run_scenario_multihost(
         )
     if strict:
         from ..ops.synth_seq import apply_corrections, seq_corrections
+    if cfg.noise_std_lsb > 0.0:
+        from ..noise import apply_awgn
     wide = needs_wide_window(1.0 / cfg.sample_rate)
     # One compiled synthesizer for the whole run (all windows share the
     # same shapes; rebuilding it per window would recompile every time).
@@ -208,6 +210,9 @@ def run_scenario_multihost(
     ranges = []
     it = sim.iter_plans()
     base = 0
+    # Noise keying must match the single-host runner byte-for-byte:
+    # absolute epoch index = planner cursor at entry + global position.
+    index0 = sim.next_block_index
     with open(part, "wb") as fp:
         while True:
             plans = list(itertools.islice(it, window_blocks))
@@ -237,6 +242,13 @@ def run_scenario_multihost(
                             plan, int_nco=int_nco
                         )
                         apply_corrections(out[k], bits, idx_c, i16, q16)
+                if cfg.noise_std_lsb > 0.0:
+                    out = np.ascontiguousarray(out)
+                    for k in range(hi - lo):
+                        out[k] = apply_awgn(
+                            out[k], bits, cfg.noise_std_lsb,
+                            cfg.noise_seed, 0, index0 + lo + k,
+                        )
                 out.tofile(fp)
                 ranges.append([lo, hi])
             base += len(plans)

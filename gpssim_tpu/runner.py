@@ -132,6 +132,8 @@ def run_simulation(
     synth_fn = make_synth_fn(cfg)
     bits = cfg.sample_format.value
     base_index = sim.next_block_index  # noise keying (resume-stable)
+    if cfg.noise_std_lsb > 0.0:
+        from .noise import apply_awgn
 
     stats = RunStats()
     t0 = time.perf_counter()
@@ -146,8 +148,6 @@ def run_simulation(
             stats.synth_seconds += te - ts
             blk = quantize_iq(iq16, bits)
             if cfg.noise_std_lsb > 0.0:
-                from .noise import apply_awgn
-
                 blk = apply_awgn(blk, bits, cfg.noise_std_lsb,
                                  cfg.noise_seed, 0,
                                  base_index + stats.blocks)

@@ -31,6 +31,7 @@ cfg = SimConfig(
     nav_file=os.path.join({repo!r}, "fixtures", "brdc_test.22n"),
     duration_sec=0.5, almanac_enable=False, out_file={out!r},
     sample_rate={rate}, carrier_mode=CarrierMode.{carrier},
+    noise_std_lsb={noise}, noise_seed=5,
 )
 part = multihost.run_scenario_multihost(cfg, chan_shards=2, window_blocks=4)
 print("wrote", part)
@@ -42,16 +43,19 @@ print("wrote", part)
     reason="CPU multiprocess test",
 )
 @pytest.mark.parametrize(
-    "rate,carrier",
+    "rate,carrier,noise",
     [
-        (3_000_000, "FLOAT"),
+        (3_000_000, "FLOAT", 0.0),
         # gps-sdr-sim-family rate (wide-window kernel) + integer NCO:
         # both flags must thread through the multihost path.
-        (2_046_000, "INT_NCO"),
+        (2_046_000, "INT_NCO", 0.0),
+        # AWGN keying must match the single-host runner byte-for-byte
+        # across the process split (noise.py counter scheme).
+        (3_000_000, "FLOAT", 2.0),
     ],
 )
 def test_run_scenario_multihost_matches_single_process(
-    fixtures_dir, tmp_path, rate, carrier
+    fixtures_dir, tmp_path, rate, carrier, noise
 ):
     out = str(tmp_path / "mh.bin")
     with socket.socket() as s:
@@ -59,7 +63,7 @@ def test_run_scenario_multihost_matches_single_process(
         port = s.getsockname()[1]
     script = _CHILD.format(
         repo=REPO, coord=f"127.0.0.1:{port}", out=out, rate=rate,
-        carrier=carrier,
+        carrier=carrier, noise=noise,
     )
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
@@ -87,6 +91,7 @@ def test_run_scenario_multihost_matches_single_process(
         almanac_enable=False, backend=SynthBackend.NUMPY,
         sink="iqfile", out_file=ref, sample_rate=rate,
         carrier_mode=CarrierMode[carrier],
+        noise_std_lsb=noise, noise_seed=5,
     )
     run_simulation(cfg)
     a = np.fromfile(out, dtype=np.int8)

@@ -8,9 +8,7 @@ gps.c:2767-2836); this stage exists for the receiver-farm QA use cases
 import numpy as np
 import pytest
 
-from gpssim_tpu.config import (
-    LocationConfig, SampleFormat, SimConfig, SynthBackend,
-)
+from gpssim_tpu.config import LocationConfig, SimConfig, SynthBackend
 from gpssim_tpu.noise import apply_awgn
 from gpssim_tpu.runner import run_simulation
 from tests.test_fleet import CaptureSink, _cfg
@@ -141,6 +139,7 @@ def test_acquisition_survives_noise(fixtures_dir, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_receiver_fix_through_noise(fixtures_dir, tmp_path):
     """Full QA loop under noise: the software receiver still produces a
     meter-level PVT fix from a capture with 3-LSB AWGN (C/A processing
@@ -169,9 +168,25 @@ def test_receiver_fix_through_noise(fixtures_dir, tmp_path):
     assert err < 8.0, f"position error {err:.2f} m under noise"
 
 
-def test_cli_rejects_negative_noise(fixtures_dir):
+def test_cli_rejects_bad_noise_std(fixtures_dir):
     from gpssim_tpu import cli
 
-    with pytest.raises(SystemExit):
-        cli.main(["-e", f"{fixtures_dir}/brdc_test.22n", "-r", "null",
-                  "--noise-std", "-1"])
+    for bad in ("-1", "nan", "inf"):
+        with pytest.raises(SystemExit):
+            cli.main(["-e", f"{fixtures_dir}/brdc_test.22n", "-r", "null",
+                      "--noise-std", bad])
+
+
+def test_fleet_rejects_shared_noise_seed(fixtures_dir):
+    """Direct API callers must not silently run a farm on one noise
+    realization (correlated noise biases farm statistics)."""
+    from gpssim_tpu.fleet import run_fleet
+
+    cfgs = [
+        _cfg(fixtures_dir, duration_sec=0.3, noise_std_lsb=2.0,
+             noise_seed=7),
+        _cfg(fixtures_dir, duration_sec=0.3, noise_std_lsb=2.0,
+             noise_seed=7, location=LocationConfig(1.0, 2.0, 3.0)),
+    ]
+    with pytest.raises(ValueError, match="share noise_seed"):
+        run_fleet(cfgs, sinks=[CaptureSink(), CaptureSink()])

@@ -90,19 +90,41 @@ def test_realtime_batches_keep_one_kernel_shape(fixtures_dir):
     for k in a.args:
         assert a.args[k].shape == b.args[k].shape, k
 
-    # Integration: realtime batched run == offline batched run, bit-exact.
-    rt = CaptureSink()
-    run_simulation(
-        _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=8,
-             duration_sec=0.5, realtime=True, fifo_depth=8),
-        sink=rt,
-    )
-    off = CaptureSink()
-    run_simulation(
-        _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=8,
-             duration_sec=0.5),
-        sink=off,
-    )
+    # Integration: realtime batched run == offline batched run, bit-exact,
+    # AND the runner actually collates uncompacted in realtime mode (spy
+    # on the compact kwarg — reverting the decision must fail here).
+    from gpssim_tpu.parallel import blocks as blocks_mod
+
+    compact_seen = []
+    real_collate = blocks_mod.collate_plans
+
+    def spy(plans, int_nco=False, compact=True):
+        compact_seen.append(compact)
+        return real_collate(plans, int_nco=int_nco, compact=compact)
+
+    blocks_mod.collate_plans = spy
+    try:
+        rt = CaptureSink()
+        run_simulation(
+            _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=8,
+                 duration_sec=0.5, realtime=True, fifo_depth=8),
+            sink=rt,
+        )
+        assert compact_seen and not any(compact_seen), (
+            "realtime batches must collate uncompacted (fixed shape)"
+        )
+        compact_seen.clear()
+        off = CaptureSink()
+        run_simulation(
+            _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=8,
+                 duration_sec=0.5),
+            sink=off,
+        )
+        assert compact_seen and all(compact_seen), (
+            "offline batches keep compaction"
+        )
+    finally:
+        blocks_mod.collate_plans = real_collate
     assert rt.blocks == off.blocks > 0
     for x, y in zip(rt.data, off.data):
         assert np.array_equal(x, y)
