@@ -50,6 +50,13 @@ def _check_compatible(cfgs: list[SimConfig]) -> None:
                 "is an offline bulk-generation pipeline with no pacing — "
                 "run paced/interactive scenarios through run_simulation"
             )
+        for opt in ("checkpoint_file", "profile_dir", "metrics_file"):
+            if getattr(c, opt):
+                raise ValueError(
+                    f"fleet member {i} sets {opt}, which only the "
+                    "single-scenario runner honors (run_app) — it would "
+                    "be silently ignored here"
+                )
     noisy_seeds: dict[int, int] = {}
     for i, c in enumerate(cfgs):
         if c.noise_std_lsb > 0.0:

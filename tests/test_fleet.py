@@ -133,6 +133,9 @@ def test_fleet_rejects_duplicate_default_targets(fixtures_dir):
 def test_fleet_rejects_realtime_members(fixtures_dir):
     with pytest.raises(ValueError, match="realtime/interactive"):
         run_fleet([_cfg(fixtures_dir, duration_sec=0.3, realtime=True)])
+    with pytest.raises(ValueError, match="checkpoint_file"):
+        run_fleet([_cfg(fixtures_dir, duration_sec=0.3,
+                        checkpoint_file="x.npz")])
 
 
 def test_fleet_sink_init_failure_closes_earlier_sinks(fixtures_dir, tmp_path):
