@@ -1456,29 +1456,88 @@ long gseq_synth_block(
     ++A;
   }
 
+  // Gain-folded integer LUTs: the mixing sign s = dataBit*codeCA is ±1,
+  // and IEEE multiplication / truncation are sign-symmetric, so
+  // trunc(s*lut*gain) == s*trunc(lut*gain) EXACTLY (gps.c:2781-2782
+  // operation order preserved bit-for-bit). Folding gain into 512-entry
+  // per-channel integer tables (once per block, amortized over N
+  // samples) removes every f64 multiply and f64->int conversion from
+  // the per-sample mix.
+  int32_t igc[16][512], igs[16][512];
+  for (long k = 0; k < A; ++k) {
+    const double g = chs[k].gain;
+    for (long t = 0; t < 512; ++t) {
+      igc[k][t] = static_cast<int32_t>(cos_lut[t] * g);
+      igs[k][t] = static_cast<int32_t>(sin_lut[t] * g);
+    }
+  }
+
+  // Channel-outer accumulation into modular uint16 lanes: addition mod
+  // 2^16 commutes with the final (short) cast the reference performs
+  // (gps.c:2841-2845), so per-channel uint16 wraparound sums are
+  // bit-identical to the wide int accumulation — for ANY contribution
+  // magnitudes. Channel-outer keeps each channel's phase state, chip
+  // table, and gain-folded LUTs in registers/L1, and the per-sample
+  // cost collapses to the f64 add-chain latency.
+  // Channel-outer accumulation into modular uint16 lanes: addition mod
+  // 2^16 commutes with the final (short) cast the reference performs
+  // (gps.c:2841-2845), so per-channel uint16 wraparound sums are
+  // bit-identical to the wide int accumulation — for ANY contribution
+  // magnitudes. Channel-outer keeps each channel's phase state, chip
+  // table, and gain-folded LUTs in registers/L1, and the per-sample
+  // cost approaches the f64 phase add-chain latency. (Measured against
+  // the alternatives on this class of core: SWAR-packed single-lane
+  // accumulators and two-channel interleaving both run SLOWER — wider
+  // tables and register pressure cost more than the saved RMWs.)
+  static thread_local std::vector<uint16_t> acc_i, acc_q;
+  if (static_cast<long>(acc_i.size()) < N) {
+    acc_i.resize(N);
+    acc_q.resize(N);
+  }
+  std::fill(acc_i.begin(), acc_i.begin() + N, 0);
+  std::fill(acc_q.begin(), acc_q.begin() + N, 0);
+
+  for (long k = 0; k < A; ++k) {
+    SeqChan& ch = chs[k];
+    const int32_t* gc = igc[k];
+    const int32_t* gs = igs[k];
+    uint16_t* ai = acc_i.data();
+    uint16_t* aq = acc_q.data();
+    if (int_nco) {
+      for (long n = 0; n < N; ++n) {
+        long chip = static_cast<long>(ch.cp);
+        long it = static_cast<long>((ch.phi >> 16) & 511u);
+        int neg = -(ch.data_bit != (ch.ca[chip] * 2 - 1));
+        ai[n] += static_cast<uint16_t>((gc[it] ^ neg) - neg);
+        aq[n] += static_cast<uint16_t>((gs[it] ^ neg) - neg);
+        if (!seq_advance(ch, true)) return -1;
+      }
+    } else {
+      for (long n = 0; n < N; ++n) {
+        long chip = static_cast<long>(ch.cp);
+        // ph is wrapped to [0,1) by seq_advance, so truncation == floor.
+        long it = static_cast<long>(ch.ph * 512.0);
+        int neg = -(ch.data_bit != (ch.ca[chip] * 2 - 1));
+        ai[n] += static_cast<uint16_t>((gc[it] ^ neg) - neg);
+        aq[n] += static_cast<uint16_t>((gs[it] ^ neg) - neg);
+        if (!seq_advance(ch, false)) return -1;
+      }
+    }
+  }
+
   int16_t* o16 = static_cast<int16_t*>(out);
   int8_t* o8 = static_cast<int8_t*>(out);
-  for (long n = 0; n < N; ++n) {
-    int ia = 0, qa = 0;
-    for (long k = 0; k < A; ++k) {
-      const SeqChan& ch = chs[k];
-      long chip = static_cast<long>(ch.cp);
-      long it = int_nco ? static_cast<long>((ch.phi >> 16) & 511u)
-                        : static_cast<long>(std::floor(ch.ph * 512.0));
-      int ip, qp;
-      mix_contrib(ch, chip, it, ch.data_bit, sin_lut, cos_lut, &ip, &qp);
-      ia += ip;
-      qa += qp;
+  if (bits == 16) {
+    for (long n = 0; n < N; ++n) {
+      o16[2 * n] = static_cast<int16_t>(acc_i[n]);
+      o16[2 * n + 1] = static_cast<int16_t>(acc_q[n]);
     }
-    if (bits == 16) {
-      o16[2 * n] = static_cast<int16_t>(ia);
-      o16[2 * n + 1] = static_cast<int16_t>(qa);
-    } else {
-      o8[2 * n] = static_cast<int8_t>(static_cast<int16_t>(ia) >> 4);
-      o8[2 * n + 1] = static_cast<int8_t>(static_cast<int16_t>(qa) >> 4);
-    }
-    for (long k = 0; k < A; ++k) {
-      if (!seq_advance(chs[k], int_nco != 0)) return -1;
+  } else {
+    for (long n = 0; n < N; ++n) {
+      o8[2 * n] =
+          static_cast<int8_t>(static_cast<int16_t>(acc_i[n]) >> 4);
+      o8[2 * n + 1] =
+          static_cast<int8_t>(static_cast<int16_t>(acc_q[n]) >> 4);
     }
   }
 
