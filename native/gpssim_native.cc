@@ -797,7 +797,7 @@ long gseq_diff_block_ref(
     long max_out, int64_t* out_idx, int16_t* out_i, int16_t* out_q,
     double* end_carr, uint32_t* end_carr_i, int want_end) {
   (void)want_end;  // the reference replay always materializes end state
-  if (C > 16) return -1;
+  if (C > 16 || N < 0) return -1;
   SeqChan chs[16];
   long A = 0;  // active channel count (dense)
   long slot_of[16];
@@ -850,6 +850,7 @@ long gseq_diff_block_ref(
         long it_s = int_nco
                         ? static_cast<long>((ch.phi >> 16) & 511u)
                         : static_cast<long>(std::floor(ch.ph * 512.0));
+        if (it_s > 511) it_s = 511;  // ph*512 == 512.0 edge (see synth)
         int ip, qp;
         mix_contrib(ch, chip_s, it_s, ch.data_bit, sin_lut, cos_lut, &ip,
                     &qp);
@@ -1195,9 +1196,10 @@ static bool eval_candidate(const SeqChan& ch, long n, double cp_n,
   const uint32_t phi_n =
       phi0 + static_cast<uint32_t>(static_cast<uint64_t>(n) * ch.dphi);
   const long chip_s = static_cast<long>(cp_n);
-  const long it_s = int_nco
-                        ? static_cast<long>((phi_n >> 16) & 511u)
-                        : static_cast<long>(std::floor(ph_n * 512.0));
+  long it_s = int_nco
+                  ? static_cast<long>((phi_n >> 16) & 511u)
+                  : static_cast<long>(std::floor(ph_n * 512.0));
+  if (it_s > 511) it_s = 511;  // ph*512 == 512.0 edge (see synth loop)
   int ip_s, qp_s, ip_c, qp_c;
   mix_contrib(ch, chip_s, it_s, ch.data_bit, sin_lut, cos_lut, &ip_s, &qp_s);
   long chip_c, it_c;
@@ -1229,7 +1231,7 @@ long gseq_diff_block(
     const uint32_t* dwrd, const double* sin_lut, const double* cos_lut,
     long max_out, int64_t* out_idx, int16_t* out_i, int16_t* out_q,
     double* end_carr, uint32_t* end_carr_i, int want_end) {
-  if (C > 16) return -1;
+  if (C > 16 || N < 0) return -1;
   SeqChan chs[16];
   uint32_t phi0s[16];
   long A = 0;
@@ -1427,7 +1429,7 @@ long gseq_synth_block(
     const int64_t* icode, const int8_t* ca, const uint32_t* dwrd,
     const double* sin_lut, const double* cos_lut, void* out,
     double* end_carr, uint32_t* end_carr_i) {
-  if (C > 16) return -1;
+  if (C > 16 || N < 0) return -1;
   SeqChan chs[16];
   long A = 0;
   long slot_of[16];
@@ -1463,22 +1465,23 @@ long gseq_synth_block(
   // per-channel integer tables (once per block, amortized over N
   // samples) removes every f64 multiply and f64->int conversion from
   // the per-sample mix.
-  int32_t igc[16][512], igs[16][512];
+  // 513 entries: ph*512 can round UP to exactly 512.0 for ph within a
+  // few ulps of 1 (the reference reads cosTable512[512] — rodata
+  // garbage, its own UB, gps.c:2775); entry [512] duplicates [511] so
+  // that astronomically rare index clamps with ZERO per-sample cost
+  // (an explicit per-sample clamp measured ~20% slower). The screen
+  // paths clamp explicitly — they must match this table's semantics.
+  alignas(64) int32_t igc[16][528], igs[16][528];
   for (long k = 0; k < A; ++k) {
     const double g = chs[k].gain;
     for (long t = 0; t < 512; ++t) {
       igc[k][t] = static_cast<int32_t>(cos_lut[t] * g);
       igs[k][t] = static_cast<int32_t>(sin_lut[t] * g);
     }
+    igc[k][512] = igc[k][511];
+    igs[k][512] = igs[k][511];
   }
 
-  // Channel-outer accumulation into modular uint16 lanes: addition mod
-  // 2^16 commutes with the final (short) cast the reference performs
-  // (gps.c:2841-2845), so per-channel uint16 wraparound sums are
-  // bit-identical to the wide int accumulation — for ANY contribution
-  // magnitudes. Channel-outer keeps each channel's phase state, chip
-  // table, and gain-folded LUTs in registers/L1, and the per-sample
-  // cost collapses to the f64 add-chain latency.
   // Channel-outer accumulation into modular uint16 lanes: addition mod
   // 2^16 commutes with the final (short) cast the reference performs
   // (gps.c:2841-2845), so per-channel uint16 wraparound sums are
@@ -1516,6 +1519,9 @@ long gseq_synth_block(
       for (long n = 0; n < N; ++n) {
         long chip = static_cast<long>(ch.cp);
         // ph is wrapped to [0,1) by seq_advance, so truncation == floor.
+        // ph*512 can round UP to exactly 512.0 for ph within 2^-53 of 1
+        // (the reference reads cosTable512[512] — rodata garbage, its
+        // own UB, gps.c:2775); clamp like every closed-form path here.
         long it = static_cast<long>(ch.ph * 512.0);
         int neg = -(ch.data_bit != (ch.ca[chip] * 2 - 1));
         ai[n] += static_cast<uint16_t>((gc[it] ^ neg) - neg);
