@@ -16,7 +16,12 @@ import threading
 import numpy as np
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_LIB_PATH = os.path.join(_ROOT, "native", "libgpssim_native.so")
+# GPSSIM_NATIVE_LIB points an installed (non-repo-layout) deployment at a
+# prebuilt library; the repo layout self-builds on first use.
+_LIB_OVERRIDE = os.environ.get("GPSSIM_NATIVE_LIB")
+_LIB_PATH = _LIB_OVERRIDE or os.path.join(
+    _ROOT, "native", "libgpssim_native.so"
+)
 _BUILD = os.path.join(_ROOT, "tools", "build_native.sh")
 
 _lib = None
@@ -30,7 +35,9 @@ def _load():
         if _lib is not None or _load_error is not None:
             return _lib
         try:
-            if not os.path.exists(_LIB_PATH):
+            if not os.path.exists(_LIB_PATH) and not _LIB_OVERRIDE:
+                # Self-build only in the repo layout; an explicit
+                # override either exists or fails loudly below.
                 subprocess.run(
                     ["sh", _BUILD], check=True, capture_output=True, text=True
                 )
