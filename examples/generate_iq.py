@@ -27,9 +27,10 @@ def main() -> None:
         duration_sec=30.0,
         out_file=out,
         sink="iqfile",
-        backend=SynthBackend.PALLAS,  # fused TPU kernel (falls back to
-        # interpret mode on CPU); SynthBackend.NUMPY is the bit-exact
-        # float64 reference path
+        backend=SynthBackend.JAX,  # XLA kernel: fast on TPU, usable on CPU.
+        # On a TPU host prefer SynthBackend.PALLAS (fused kernel; on CPU
+        # it falls into interpret mode — minutes per second of signal);
+        # SynthBackend.NUMPY is the bit-exact float64 reference path.
     )
     stats = run_simulation(cfg)
     print(
