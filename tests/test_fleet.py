@@ -101,6 +101,41 @@ def test_fleet_sharded_over_mesh(fixtures_dir):
             assert np.array_equal(got, want)
 
 
+def test_member_configs_derivation(fixtures_dir, tmp_path):
+    """Roster rows derive per-member out_file names and noise seeds from
+    the base config; explicit out_file columns pass through."""
+    from gpssim_tpu.config import LocationConfig
+    from gpssim_tpu.fleet import member_configs, parse_fleet_file
+
+    roster = tmp_path / "r.csv"
+    roster.write_text(
+        "# comment\n"
+        "1.0, 2.0, 3.0\n"
+        "4.0, 5.0, 6.0, custom.bin\n"
+    )
+    rows = parse_fleet_file(str(roster))
+    base = _cfg(fixtures_dir, out_file="fleet.bin", noise_std_lsb=2.0,
+                noise_seed=40)
+    cfgs = member_configs(base, rows)
+    assert [c.out_file for c in cfgs] == ["fleet_m0.bin", "custom.bin"]
+    assert [c.noise_seed for c in cfgs] == [40, 41]
+    assert cfgs[0].location == LocationConfig(1.0, 2.0, 3.0)
+    assert cfgs[1].location == LocationConfig(4.0, 5.0, 6.0)
+    # base fields carry through untouched
+    assert all(c.noise_std_lsb == 2.0 for c in cfgs)
+
+    with pytest.raises(ValueError, match="iqfile and null"):
+        member_configs(_cfg(fixtures_dir, sink="tcp"), rows)
+    bad = tmp_path / "bad.csv"
+    bad.write_text("1.0, x, 3.0\n")
+    with pytest.raises(ValueError, match="non-numeric"):
+        parse_fleet_file(str(bad))
+    empty = tmp_path / "empty.csv"
+    empty.write_text("# nothing\n")
+    with pytest.raises(ValueError, match="no fleet members"):
+        parse_fleet_file(str(empty))
+
+
 def test_fleet_rejects_mismatched_statics(fixtures_dir):
     cfgs = [
         _cfg(fixtures_dir, duration_sec=0.3),
