@@ -64,6 +64,38 @@ def test_noise_stream_batching_invariant(fixtures_dir):
     assert not np.array_equal(a.data[0], clean.data[0])
 
 
+def test_noise_stream_16bit(fixtures_dir):
+    """16-bit end-to-end: the noisy SC16 stream is batching-invariant and
+    differs from the clean stream."""
+    from gpssim_tpu.config import SampleFormat
+
+    kw = dict(duration_sec=0.4, sample_format=SampleFormat.SC16,
+              noise_std_lsb=40.0, noise_seed=21)
+    a = CaptureSink()
+    run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.NUMPY, **kw), sink=a
+    )
+    b = CaptureSink()
+    run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.JAX, dispatch_blocks=2,
+             **kw),
+        sink=b,
+    )
+    assert a.blocks == b.blocks > 0
+    for x, y in zip(a.data, b.data):
+        assert x.dtype == np.int16 and np.array_equal(x, y)
+    clean = CaptureSink()
+    run_simulation(
+        _cfg(fixtures_dir, backend=SynthBackend.NUMPY, duration_sec=0.4,
+             sample_format=SampleFormat.SC16),
+        sink=clean,
+    )
+    assert not np.array_equal(a.data[0], clean.data[0])
+    # noise std in 16-bit LSB units survives the pipeline
+    d = a.data[0].astype(np.int32) - clean.data[0].astype(np.int32)
+    assert abs(float(np.std(d)) - 40.0) < 1.0
+
+
 def test_noise_fleet_member_matches_solo(fixtures_dir):
     from gpssim_tpu.fleet import run_fleet
 
