@@ -98,3 +98,63 @@ def test_sem_truncated_keeps_partial(tmp_path, fixtures_dir):
     trunc.write_text("\n".join(lines[:2 + 10]))  # header + first record + part
     alm = read_sem_almanac(str(trunc))
     assert alm.sv[0].valid == 1
+
+
+class TestParserRobustness:
+    """Malformed inputs must raise clean Python exceptions — never hang,
+    never crash the process (the reference has no such guarantee; fuzzed
+    here with seeded truncations/flips/shuffles/garbage)."""
+
+    def _mangle(self, rng, base, mode):
+        data = bytearray(base)
+        if mode == "truncate":
+            return bytes(data[: rng.randrange(len(data))])
+        if mode == "flip":
+            for _ in range(rng.randrange(1, 50)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+            return bytes(data)
+        if mode == "shuffle":
+            lines = bytes(data).split(b"\n")
+            rng.shuffle(lines)
+            return b"\n".join(lines)
+        if mode == "blank":
+            return b"\n" * rng.randrange(100)
+        return bytes(rng.randrange(256) for _ in range(rng.randrange(2000)))
+
+    def test_rinex_fuzz_no_crash(self, fixtures_dir, tmp_path):
+        import random
+
+        from gpssim_tpu.core.ephemeris import read_rinex_nav
+
+        rng = random.Random(11)
+        base = open(f"{fixtures_dir}/brdc_test.22n", "rb").read()
+        path = str(tmp_path / "f.22n")
+        for mode in ("truncate", "flip", "shuffle", "blank", "garbage"):
+            for _ in range(6):
+                open(path, "wb").write(self._mangle(rng, base, mode))
+                try:
+                    read_rinex_nav(path, version=2)
+                except Exception:
+                    pass  # clean exception is acceptable; hang/crash is not
+
+    def test_sem_and_motion_fuzz_no_crash(self, fixtures_dir, tmp_path):
+        import random
+
+        from gpssim_tpu.core.almanac import read_sem_almanac
+        from gpssim_tpu.core.motion import read_user_motion
+
+        rng = random.Random(12)
+        sem = open(f"{fixtures_dir}/almanac_test.sem", "rb").read()
+        mo = open(f"{fixtures_dir}/circle_motion.csv", "rb").read()
+        p1, p2 = str(tmp_path / "f.sem"), str(tmp_path / "f.csv")
+        for _ in range(15):
+            open(p1, "wb").write(self._mangle(rng, sem, "flip"))
+            open(p2, "wb").write(
+                self._mangle(rng, mo,
+                             "truncate" if rng.random() < 0.5 else "flip")
+            )
+            for fn, p in ((read_sem_almanac, p1), (read_user_motion, p2)):
+                try:
+                    fn(p)
+                except Exception:
+                    pass
