@@ -128,7 +128,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "USB context first, then pluto.local — "
                         "sdr_pluto.c:140-156)")
     p.add_argument("-m", "--motion", metavar="filename",
-                   help="User motion file (dynamic mode; 10 Hz t,x,y,z ECEF)")
+                   help="User motion file (dynamic mode): 10 Hz t,x,y,z ECEF CSV, or an NMEA $--GGA log (auto-detected, interpolated to 10 Hz)")
     p.add_argument("--disable-almanac", action="store_true",
                    help="Disable transmission of almanac information")
     p.add_argument("--station", metavar="id",

@@ -15,7 +15,25 @@ from .frames import llh2xyz, ltcmat
 
 
 def read_user_motion(filename: str, max_rows: int = USER_MOTION_SIZE) -> np.ndarray:
-    """Read a CSV motion file of ``t,x,y,z`` rows → float64[N, 3] ECEF."""
+    """Read a motion file → float64[N, 3] ECEF at 10 Hz.
+
+    Two formats, auto-detected by content:
+    - the reference's CSV of ``t,x,y,z`` ECEF rows at 10 Hz
+      (readUserMotion, gps.c:2253-2277);
+    - NMEA ``$--GGA`` logs (a gps-sdr-sim-family convenience the
+      reference dropped): fixes are checksum-validated, converted
+      llh→ECEF, and linearly interpolated onto the 10 Hz epoch grid
+      using the GGA timestamps — so a real 1 Hz receiver log replays
+      directly.
+    """
+    with open(filename, "rt", errors="replace") as fp:
+        for line in fp:
+            s = line.strip()
+            if not s:
+                continue
+            if s.startswith("$"):
+                return _read_nmea_gga(filename, max_rows)
+            break
     rows = []
     with open(filename, "rt") as fp:
         for line in fp:
@@ -32,6 +50,82 @@ def read_user_motion(filename: str, max_rows: int = USER_MOTION_SIZE) -> np.ndar
     if not rows:
         raise ValueError(f"no motion records in {filename}")
     return np.array(rows, dtype=np.float64)
+
+
+def _nmea_checksum_ok(s: str) -> bool:
+    """Validate ``$...*HH``; sentences without a checksum are accepted."""
+    if "*" not in s:
+        return True
+    body, _, tail = s[1:].partition("*")
+    if len(tail) < 2:
+        return False
+    want = 0
+    for c in body:
+        want ^= ord(c)
+    try:
+        return want == int(tail[:2], 16)
+    except ValueError:
+        return False
+
+
+def _parse_gga(parts: list[str]) -> tuple[float, np.ndarray] | None:
+    """One GGA sentence → (seconds-of-day, llh[rad,rad,m]) or None."""
+    # $--GGA,hhmmss.ss,ddmm.mmm,N,dddmm.mmm,E,fix,nsat,hdop,alt,M,geoid,M,...
+    if len(parts) < 11 or not parts[1] or not parts[2] or not parts[4]:
+        return None
+    try:
+        if parts[6] and int(parts[6]) == 0:
+            return None  # no fix
+        t = parts[1]
+        sec = int(t[0:2]) * 3600 + int(t[2:4]) * 60 + float(t[4:])
+        lat = float(parts[2][:2]) + float(parts[2][2:]) / 60.0
+        if parts[3] == "S":
+            lat = -lat
+        lon = float(parts[4][:3]) + float(parts[4][3:]) / 60.0
+        if parts[5] == "W":
+            lon = -lon
+        alt = float(parts[9]) if parts[9] else 0.0
+        geoid = float(parts[11]) if len(parts) > 11 and parts[11] else 0.0
+        # GGA altitude is MSL; ellipsoidal height = MSL + geoid separation.
+        return sec, np.array([lat / R2D, lon / R2D, alt + geoid])
+    except (ValueError, IndexError):
+        return None
+
+
+def _read_nmea_gga(filename: str, max_rows: int) -> np.ndarray:
+    fixes: list[tuple[float, np.ndarray]] = []
+    with open(filename, "rt", errors="replace") as fp:
+        for line in fp:
+            s = line.strip()
+            if len(s) < 10 or not s.startswith("$") or s[3:6] != "GGA":
+                continue
+            if not _nmea_checksum_ok(s):
+                continue
+            got = _parse_gga(s.split("*", 1)[0].split(","))
+            if got is None:
+                continue
+            sec, llh = got
+            if fixes and sec <= fixes[-1][0]:
+                if sec + 43200 < fixes[-1][0]:
+                    sec += 86400.0  # midnight rollover
+                else:
+                    continue  # duplicate / out-of-order fix
+            fixes.append((sec, llh))
+    if not fixes:
+        raise ValueError(f"no valid GGA fixes in {filename}")
+    xyz = np.array([llh2xyz(llh) for _, llh in fixes])
+    if len(fixes) == 1:
+        return xyz[:1]
+    t = np.array([sec for sec, _ in fixes])
+    t = t - t[0]
+    # Interpolate ECEF onto the 10 Hz epoch grid spanning the log.
+    grid = np.arange(0.0, t[-1] + 1e-9, 0.1)
+    if len(grid) > max_rows:
+        grid = grid[:max_rows]
+    out = np.empty((len(grid), 3))
+    for k in range(3):
+        out[:, k] = np.interp(grid, t, xyz[:, k])
+    return out
 
 
 def static_xyz(lat_deg: float, lon_deg: float, height_m: float) -> np.ndarray:
