@@ -88,3 +88,21 @@ def test_qa_cli(fixtures_dir, tmp_path, capsys):
         "-l", "0,0,0", "-d", "0.5", "--disable-almanac",
     ])
     assert rc == 1
+
+
+def test_fleet_outputs_verify(fixtures_dir, tmp_path):
+    """The farm QA loop: every fleet member's file verifies against its
+    own scenario at device rate — and against a sibling's scenario it
+    fails (streams are member-specific)."""
+    from gpssim_tpu.fleet import run_fleet
+
+    cfgs = [
+        _cfg(fixtures_dir, str(tmp_path / f"m{i}.bin"), duration_sec=0.5,
+             backend=SynthBackend.JAX,
+             location=LocationConfig(35.0 + i, 139.0 - i, 10.0))
+        for i in range(2)
+    ]
+    run_fleet(cfgs, window=4)
+    for cfg in cfgs:
+        assert verify_stream(cfg.out_file, cfg).ok
+    assert not verify_stream(cfgs[0].out_file, cfgs[1]).ok
