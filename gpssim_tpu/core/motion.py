@@ -105,10 +105,14 @@ def _read_nmea_gga(filename: str, max_rows: int) -> np.ndarray:
             if got is None:
                 continue
             sec, llh = got
-            if fixes and sec <= fixes[-1][0]:
-                if sec + 43200 < fixes[-1][0]:
-                    sec += 86400.0  # midnight rollover
-                else:
+            if fixes:
+                # Timestamps are seconds-of-day; accumulate a running day
+                # offset so multi-midnight logs stay monotonic.
+                prev = fixes[-1][0]
+                sec += 86400.0 * np.floor(prev / 86400.0)
+                if sec + 43200.0 < prev:
+                    sec += 86400.0  # crossed midnight since the last fix
+                if sec <= prev:
                     continue  # duplicate / out-of-order fix
             fixes.append((sec, llh))
     if not fixes:

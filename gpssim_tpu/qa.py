@@ -20,11 +20,15 @@ device; the bit-exact contracts live in ops/ and tests/test_golden.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
+
+import os
 
 import numpy as np
 
 from .config import SimConfig
 from .core.constants import COS_TABLE_512, SIN_TABLE_512
+from .ops.synth_numpy import carrier_fraction, chips_and_bits
 from .scenario import Simulation
 
 MS_PER_BLOCK = 100  # 0.1 s block = 100 coherent 1 ms windows
@@ -55,81 +59,68 @@ class StreamReport:
     ok: bool
 
 
-def _block_correlations(plans, iq, num_samples, delt, int_nco=False):
+def _correlate_jit():
+    """Module-level jit cache: one compile per (B, C, N, ms) shape across
+    every verify_stream call (fleet members reuse it)."""
+    global _CORRELATE
+    if _CORRELATE is None:
+        import jax
+        import jax.numpy as jnp
+
+        @partial(jax.jit, static_argnames=("ms_per_block",))
+        def correlate(iq_c, chips_d, frac_d, ms_per_block):
+            # wipe carrier and code: iq · ca·db · e^{-j2πφ}
+            rep = chips_d.astype(jnp.float32) * jnp.exp(
+                -2j * jnp.pi * frac_d
+            ).astype(jnp.complex64)
+            prod = iq_c[:, None, :] * rep  # (B, C, N)
+            ms_len = prod.shape[-1] // ms_per_block
+            used = ms_len * ms_per_block
+            per_ms = prod[..., :used].reshape(
+                prod.shape[0], prod.shape[1], ms_per_block, ms_len
+            ).sum(axis=-1)
+            return jnp.abs(per_ms) / ms_len  # mean magnitude per ms
+
+        _CORRELATE = correlate
+    return _CORRELATE
+
+
+_CORRELATE = None
+
+
+def _block_correlations(plans, iq, num_samples, int_nco=False):
     """|per-ms coherent correlation| for every (block, channel, ms).
 
-    iq: float32[B, N] complex as (B, N) complex64. Returns
-    (mags f32[B, C, MS], gains f64[B, C], active bool[B, C], prn i64[B, C]).
+    iq: complex64[B, N]. Returns (mags f32[B, C, MS], gains f64[B, C],
+    active bool[B, C], prn i64[B, C]). Replica trajectories come from the
+    SAME closed-form helpers the synthesizer uses
+    (ops/synth_numpy.chips_and_bits / carrier_fraction), so the verifier
+    cannot drift from the thing it verifies.
     """
-    import jax
-    import jax.numpy as jnp
-
     B = len(plans)
     C = plans[0].num_channels
-    n = np.arange(num_samples, dtype=np.float64)
 
-    # Replica phase/code trajectories from the plans (host f64 → device
-    # f32 after the 2π reduction, which keeps fractional-cycle accuracy).
-    chips = np.empty((B, C, num_samples), dtype=np.int16)
-    carr_frac = np.empty((B, C, num_samples), dtype=np.float32)
+    chips = np.zeros((B, C, num_samples), dtype=np.int16)
+    carr_frac = np.zeros((B, C, num_samples), dtype=np.float32)
     gains = np.zeros((B, C))
     active = np.zeros((B, C), dtype=bool)
     prn = np.zeros((B, C), dtype=np.int64)
     for b, plan in enumerate(plans):
         for c in range(C):
             if not plan.active[c]:
-                chips[b, c] = 0
-                carr_frac[b, c] = 0.0
                 continue
-            raw = plan.code_phase[c] + n * (plan.f_code[c] * plan.delt)
-            wraps = np.floor(raw / 1023.0)
-            chip = np.clip((raw - wraps * 1023.0).astype(np.int64), 0, 1022)
-            # Data bits belong in the replica: flips land at code wraps,
-            # which are NOT aligned to the 1 ms windows.
-            total = (plan.iword[c] * 600 + plan.ibit[c] * 20
-                     + plan.icode[c] + wraps.astype(np.int64))
-            bitpos = total // 20
-            iw = np.clip(bitpos // 30, 0, 59)
-            ib = bitpos - (bitpos // 30) * 30
-            words = plan.dwrd[c].astype(np.int64)
-            db = ((words[iw] >> (29 - ib)) & 0x1) * 2 - 1
-            chips[b, c] = (
-                (plan.ca[c, chip].astype(np.int16) * 2 - 1) * db
-            )
-            if int_nco:
-                # 9.16 NCO: one cycle = 2^25 counts, running mod 2^32.
-                ph = (
-                    np.uint64(plan.carr_phase_i[c])
-                    + np.arange(num_samples, dtype=np.uint64)
-                    * np.uint64(np.int64(plan.carr_step_i[c])
-                                & np.int64(0xFFFFFFFF))
-                ) & np.uint64(0xFFFFFFFF)
-                carr_frac[b, c] = (
-                    (ph & np.uint64(0x1FFFFFF)).astype(np.float64) / 2**25
-                ).astype(np.float32)
-            else:
-                carr = plan.carr_phase[c] + n * (plan.f_carr[c] * plan.delt)
-                carr_frac[b, c] = (carr - np.floor(carr)).astype(np.float32)
+            code_ca, data_bit = chips_and_bits(plan, c)
+            chips[b, c] = (code_ca * data_bit).astype(np.int16)
+            carr_frac[b, c] = carrier_fraction(
+                plan, c, int_nco
+            ).astype(np.float32)
             gains[b, c] = plan.gain[c]
             active[b, c] = True
             prn[b, c] = plan.prn[c]
 
-    ms_len = num_samples // MS_PER_BLOCK
-
-    @jax.jit
-    def correlate(iq_c, chips_d, frac_d):
-        # wipe carrier and code: iq · ca · e^{-j2πφ}
-        rep = chips_d.astype(jnp.float32) * jnp.exp(
-            -2j * jnp.pi * frac_d
-        ).astype(jnp.complex64)
-        prod = iq_c[:, None, :] * rep  # (B, C, N)
-        used = ms_len * MS_PER_BLOCK
-        per_ms = prod[..., :used].reshape(
-            prod.shape[0], prod.shape[1], MS_PER_BLOCK, ms_len
-        ).sum(axis=-1)
-        return jnp.abs(per_ms) / ms_len  # mean magnitude per ms
-
-    mags = np.asarray(correlate(iq, chips, carr_frac))
+    mags = np.asarray(
+        _correlate_jit()(iq, chips, carr_frac, MS_PER_BLOCK)
+    )
     return mags, gains, active, prn
 
 
@@ -138,58 +129,83 @@ def verify_stream(
     cfg: SimConfig,
     max_blocks: int | None = None,
     tolerance: float = 0.25,
+    chunk_blocks: int = 10,
 ) -> StreamReport:
     """Verify an IQ capture against the scenario that should have produced
     it. ``cfg`` is the scenario config (the file's bits/rate come from
     it); per-channel coherent power must be within ``tolerance`` of the
-    plan-predicted gain·A in EVERY millisecond."""
+    plan-predicted gain·A in EVERY millisecond. The capture is processed
+    in ``chunk_blocks`` batches, so memory stays bounded for hour-scale
+    files. Raises if the scenario cannot cover the whole capture (use
+    ``max_blocks`` to verify a prefix deliberately) or if no channel was
+    ever active — a verifier must never pass vacuously."""
+    from .config import CarrierMode
+
     bits = cfg.sample_format.value
     dtype = np.int8 if bits == 8 else np.int16
-    raw = np.fromfile(path, dtype=dtype)
     num_samples = cfg.samples_per_epoch
-    n_blocks = len(raw) // (2 * num_samples)
-    if n_blocks == 0:
+    block_items = 2 * num_samples
+    total_blocks = os.path.getsize(path) // (block_items * dtype().nbytes)
+    if total_blocks == 0:
         raise ValueError(f"{path}: no complete blocks")
+    n_blocks = total_blocks
     if max_blocks is not None:
         n_blocks = min(n_blocks, max_blocks)
 
     sim = Simulation(cfg)
-    plans = []
-    for _ in range(n_blocks):
-        plan = sim.step()
-        if plan is None:
-            break
-        plans.append(plan)
-    if not plans:
-        raise ValueError("scenario produced no plans")
-    n_blocks = len(plans)
-
+    int_nco = cfg.carrier_mode is CarrierMode.INT_NCO
     scale = 16.0 if bits == 8 else 1.0  # 8-bit output is accumulator >> 4
-    iq = raw[: n_blocks * 2 * num_samples].astype(np.float32) * scale
-    iq = (iq[0::2] + 1j * iq[1::2]).astype(np.complex64)
-    iq = iq.reshape(n_blocks, num_samples)
 
-    from .config import CarrierMode
-
-    mags, gains, active, prn = _block_correlations(
-        plans, iq, num_samples, plans[0].delt,
-        int_nco=cfg.carrier_mode is CarrierMode.INT_NCO,
-    )
-
-    # Collate per-PRN across blocks (channel slots are stable per PRN
-    # within a short window; report per slot-PRN pair).
     reports: dict[int, list[tuple[float, float]]] = {}
-    for b in range(n_blocks):
-        for c in range(mags.shape[1]):
-            if not active[b, c]:
-                continue
-            # The stream is complex (I + jQ = gain·A·cis θ), so the
-            # conjugate-replica correlation measures the FULL amplitude.
-            pred = gains[b, c] * _TABLE_AMP
-            r = mags[b, c] / pred
-            reports.setdefault(int(prn[b, c]), []).append(
-                (float(np.mean(r)), float(np.min(r)))
+    verified = 0
+    with open(path, "rb") as fp:
+        while verified < n_blocks:
+            want = min(chunk_blocks, n_blocks - verified)
+            plans = []
+            for _ in range(want):
+                plan = sim.step()
+                if plan is None:
+                    break
+                plans.append(plan)
+            if len(plans) < want and verified + len(plans) < n_blocks:
+                raise ValueError(
+                    f"{path} has {n_blocks} blocks but the scenario only "
+                    f"produces {verified + len(plans)} — a verifier must "
+                    "not pass unchecked data; set the scenario duration "
+                    "to cover the capture (or pass max_blocks to verify "
+                    "a prefix deliberately)"
+                )
+            if not plans:
+                break
+            raw = np.frombuffer(
+                fp.read(len(plans) * block_items * dtype().nbytes),
+                dtype=dtype,
+            ).astype(np.float32) * scale
+            iq = (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+            iq = iq.reshape(len(plans), num_samples)
+
+            mags, gains, active, prn = _block_correlations(
+                plans, iq, num_samples, int_nco=int_nco
             )
+            for b in range(len(plans)):
+                for c in range(mags.shape[1]):
+                    if not active[b, c]:
+                        continue
+                    # The stream is complex (I + jQ = gain·A·cis θ), so
+                    # the conjugate-replica correlation measures the FULL
+                    # amplitude.
+                    pred = gains[b, c] * _TABLE_AMP
+                    r = mags[b, c] / pred
+                    reports.setdefault(int(prn[b, c]), []).append(
+                        (float(np.mean(r)), float(np.min(r)))
+                    )
+            verified += len(plans)
+
+    if not reports:
+        raise ValueError(
+            "no active channels in the verified span — nothing was "
+            "actually checked (wrong nav file / start time?)"
+        )
 
     channels = []
     all_ok = True
@@ -199,7 +215,7 @@ def verify_stream(
         ok = abs(mean_r - 1.0) < tolerance and min_r > 1.0 - 2 * tolerance
         all_ok = all_ok and ok
         channels.append(ChannelReport(p, mean_r, min_r, ok))
-    return StreamReport(blocks=n_blocks, channels=channels, ok=all_ok)
+    return StreamReport(blocks=verified, channels=channels, ok=all_ok)
 
 
 def main(argv=None) -> int:
@@ -223,6 +239,12 @@ def main(argv=None) -> int:
     p.add_argument("--qa-max-blocks", type=int, default=None, metavar="n",
                    help="Verify only the first n blocks")
     args = p.parse_args(argv)
+    for flag in ("use_ftp", "resume", "fleet", "tui", "interactive",
+                 "realtime"):
+        if getattr(args, flag, None):
+            p.error(f"--{flag.replace('_', '-')} is a simulator option; "
+                    "the verifier replays the scenario from the flags "
+                    "and needs an explicit -e/--nav-file")
     cfg = args_to_config(args)
     if cfg.nav_file is None:
         p.error("GPS ephemeris file is not specified (-e/--nav-file)")

@@ -222,6 +222,27 @@ class TestNmeaMotion:
         xyz = read_user_motion(str(path))
         assert xyz.shape == (1, 3)  # only the valid fix survives
 
+    def test_gga_multi_midnight_rollover(self, tmp_path):
+        """Seconds-of-day timestamps across SEVERAL midnights must stay
+        monotonic (a running day offset, not a single +86400)."""
+        from gpssim_tpu.core.motion import read_user_motion
+
+        times = [(23, 59, 58.0), (23, 59, 59.0), (0, 0, 0.0), (0, 0, 1.0),
+                 (12, 0, 0.0), (23, 59, 59.0), (0, 0, 0.0), (0, 0, 1.0)]
+        path = tmp_path / "log.nmea"
+        path.write_text("\n".join(
+            self._gga(h, m, s, 10.0 + 1e-5 * i, 20.0, 0.0)
+            for i, (h, m, s) in enumerate(times)
+        ) + "\n")
+        xyz = read_user_motion(str(path))
+        # Total span: 2 days + 3 s - 86398 s = 86405 s -> capped rows.
+        assert len(xyz) > 10
+        # Monotonic trajectory: latitude increases with each fix, so the
+        # interpolated x must be strictly ordered segments (no garbage
+        # from unsorted interp inputs).
+        d = np.diff(xyz[:, 2])  # z grows with latitude
+        assert np.all(d >= -1e-9)
+
     def test_gga_end_to_end_scenario(self, fixtures_dir, tmp_path):
         """An NMEA log drives a scenario exactly like a CSV trajectory."""
         import numpy as np
