@@ -395,10 +395,14 @@ def _synth_tile_fused_kernel(
 
 def _stage_b_pallas_packed(
     packed, lane_steps, gain_a, gain_b,
-    *, num_samples: int, interpret: bool, out_bits: int = 16,
-    wide: bool = False,
+    *, interpret: bool, wide: bool = False,
 ):
-    """Fused Pallas stage B over the lane-packed (R_pad, 128) bases."""
+    """Fused Pallas stage B over the lane-packed (R_pad, 128) bases.
+
+    Returns the raw int16 (R_pad, LANES) i/q row accumulators — callers
+    finalize (interleave + quantize), so a channel-sharded mesh can psum
+    the partials first (int16 truncation is a ring homomorphism: the psum
+    of per-shard casts equals the cast of the full int32 sum)."""
     C = gain_a.shape[0]
     n_rows_pad = packed.shape[-2]
     grid = n_rows_pad // TILE_R
@@ -410,7 +414,7 @@ def _stage_b_pallas_packed(
         (TILE_R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
 
-    i_acc, q_acc = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_synth_tile_kernel, wide=wide),
         grid=(grid,),
         in_specs=[
@@ -427,26 +431,21 @@ def _stage_b_pallas_packed(
         interpret=interpret,
     )(lane_steps, gain_a[None, :], gain_b[None, :], packed)
 
-    return finalize_iq(
-        i_acc.reshape(-1)[: num_samples], q_acc.reshape(-1)[: num_samples],
-        num_samples, out_bits,
-    )
-
 
 def _stage_b_pallas_fused(
     planes, lane_steps, gain_a, gain_b,
-    *, n_rows_pad: int, num_samples: int, interpret: bool,
-    out_bits: int = 16, wide: bool = False,
+    *, n_rows_pad: int, interpret: bool, wide: bool = False,
 ):
     """Fully fused stage A2 + B over the per-block (N_PLANES, 128) plane
-    stack — each tile recomputes its own bases in-kernel."""
+    stack — each tile recomputes its own bases in-kernel.  Returns raw
+    int16 (R_pad, LANES) i/q rows (see _stage_b_pallas_packed)."""
     C = gain_a.shape[0]
     grid = n_rows_pad // TILE_R
 
     out_spec = pl.BlockSpec(
         (TILE_R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    i_acc, q_acc = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
             _synth_tile_fused_kernel, wide=wide, n_rows_pad=n_rows_pad
         ),
@@ -467,11 +466,6 @@ def _stage_b_pallas_fused(
         ],
         interpret=interpret,
     )(lane_steps, gain_a[None, :], gain_b[None, :], planes)
-
-    return finalize_iq(
-        i_acc.reshape(-1)[: num_samples], q_acc.reshape(-1)[: num_samples],
-        num_samples, out_bits,
-    )
 
 
 def _fuse_a_default() -> bool:
@@ -499,16 +493,15 @@ def synth_block_pallas(
     )[0]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_rows", "num_samples", "interpret", "out_bits",
-                     "wide", "fuse_a"),
-)
-def _synth_batch_pallas_jit(
+def synth_batch_pallas_raw(
     code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
-    *, n_rows, num_samples, interpret, out_bits, wide, fuse_a=False,
+    *, n_rows, interpret, wide, fuse_a=False,
 ):
-    """Single fused dispatch: lane-SIMD stage A2 + Pallas stage B."""
+    """Batched raw Pallas synthesis: (B, R_pad, LANES) int16 i/q rows,
+    pre-finalize.  This is the shard_map per-device body for the
+    production mesh path (parallel/shard.py): a channel-sharded mesh
+    psums these partial rows (exact — int16 truncation commutes with
+    modular addition) before interleave/quantize."""
     # Stage A2 computes the tile-padded rows directly (args_from_arrays'
     # data-bit window guard already covers +32640 padded samples), so no
     # row-pad op ever materializes between stage A and the kernel.
@@ -520,8 +513,7 @@ def _synth_batch_pallas_jit(
         return jax.vmap(
             lambda pls, ls, ga, gb: _stage_b_pallas_fused(
                 pls, ls, ga, gb, n_rows_pad=n_rows_pad,
-                num_samples=num_samples, interpret=interpret,
-                out_bits=out_bits, wide=wide,
+                interpret=interpret, wide=wide,
             )
         )(planes, lane_steps, gain_a, gain_b)
     packed = jax.vmap(
@@ -529,10 +521,31 @@ def _synth_batch_pallas_jit(
     )(code_l, carr_l, nav, lane_steps, ca_packed)
     return jax.vmap(
         lambda pk, ls, ga, gb: _stage_b_pallas_packed(
-            pk, ls, ga, gb, num_samples=num_samples,
-            interpret=interpret, out_bits=out_bits, wide=wide,
+            pk, ls, ga, gb, interpret=interpret, wide=wide,
         )
     )(packed, lane_steps, gain_a, gain_b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "num_samples", "interpret", "out_bits",
+                     "wide", "fuse_a"),
+)
+def _synth_batch_pallas_jit(
+    code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
+    *, n_rows, num_samples, interpret, out_bits, wide, fuse_a=False,
+):
+    """Single fused dispatch: lane-SIMD stage A2 + Pallas stage B."""
+    i_rows, q_rows = synth_batch_pallas_raw(
+        code_l, carr_l, nav, lane_steps, ca_packed, gain_a, gain_b,
+        n_rows=n_rows, interpret=interpret, wide=wide, fuse_a=fuse_a,
+    )
+    B = i_rows.shape[0]
+    return finalize_iq(
+        i_rows.reshape(B, -1)[:, :num_samples],
+        q_rows.reshape(B, -1)[:, :num_samples],
+        num_samples, out_bits,
+    )
 
 
 def synth_blocks_batch_pallas(

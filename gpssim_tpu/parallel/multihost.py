@@ -124,6 +124,7 @@ def scatter_batch(batch: dict, mesh: Mesh) -> dict:
 def synthesize_multihost(
     batch: dict, mesh: Mesh, n_rows: int, num_samples: int,
     wide: bool = False, out_bits: int = 16, fn=None,
+    kernel: str | None = None,
 ) -> tuple[np.ndarray, slice]:
     """Run the sharded synthesizer across the global mesh.
 
@@ -131,10 +132,13 @@ def synthesize_multihost(
     (int16, or device-quantized int8 with out_bits=8) and where they sit
     in the global batch. Pass a prebuilt ``fn`` from make_sharded_synth
     when calling in a loop — building it per call discards the jit cache
-    and recompiles every window."""
+    and recompiles every window. ``kernel`` selects the per-device
+    compute (shard.make_sharded_synth; default = production Pallas on
+    TPU, XLA elsewhere)."""
     if fn is None:
         fn = make_sharded_synth(
-            mesh, n_rows, num_samples, wide=wide, out_bits=out_bits
+            mesh, n_rows, num_samples, wide=wide, out_bits=out_bits,
+            kernel=kernel,
         )
     global_out = fn(scatter_batch(batch, mesh))
 
@@ -156,7 +160,8 @@ def synthesize_multihost(
 
 
 def run_scenario_multihost(
-    cfg, chan_shards: int = 1, window_blocks: int = 64
+    cfg, chan_shards: int = 1, window_blocks: int = 64,
+    kernel: str | None = None,
 ) -> str:
     """Full scenario across all processes → per-process part file + index.
 
@@ -201,8 +206,18 @@ def run_scenario_multihost(
     wide = needs_wide_window(1.0 / cfg.sample_rate)
     # One compiled synthesizer for the whole run (all windows share the
     # same shapes; rebuilding it per window would recompile every time).
+    # The SimConfig backend picks the mesh kernel unless overridden: the
+    # PALLAS backend rides the mesh at the production-kernel rate.
+    if kernel is None:
+        from ..config import SynthBackend
+
+        if cfg.backend is SynthBackend.PALLAS and (
+            jax.default_backend() == "tpu"
+        ):
+            kernel = "pallas"
     fn = make_sharded_synth(
-        mesh, n_rows, cfg.samples_per_epoch, wide=wide, out_bits=bits
+        mesh, n_rows, cfg.samples_per_epoch, wide=wide, out_bits=bits,
+        kernel=kernel,
     )
 
     pid = jax.process_index()

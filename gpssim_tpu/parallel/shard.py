@@ -45,35 +45,100 @@ def make_mesh(
 
 
 def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int,
-                       wide: bool = False, out_bits: int = 16):
+                       wide: bool = False, out_bits: int = 16,
+                       kernel: str | None = None,
+                       interpret: bool | None = None):
     """jit-compiled (batched-args) → int16[B, 2*num_samples] over the mesh.
 
     Per-block args are sharded (blocks, chan) on their (B, C, ...) axes;
-    each device accumulates its channel subset of its block subset, then the
-    int32 accumulators are psum'd over 'chan' — bit-identical to the
+    each device accumulates its channel subset of its block subset, then
+    the partial accumulators are psum'd over 'chan' — bit-identical to the
     unsharded sum — and quantized. All args are int32/uint32 (synth_jax
     limb encoding), so no x64 handling anywhere.
-    """
 
-    def per_device(*args):
-        i_acc, q_acc = jax.vmap(
-            lambda *a: accumulate_block(*a, n_rows, wide)
-        )(*args)
-        i_acc = jax.lax.psum(i_acc, "chan")
-        q_acc = jax.lax.psum(q_acc, "chan")
-        return finalize_iq(i_acc, q_acc, num_samples, out_bits)
+    ``kernel`` selects the per-device compute (default: ``"pallas"`` on
+    TPU — the mesh path carries the production kernel — and ``"xla"`` on
+    CPU/GPU backends, where Mosaic would fall back to slow interpret
+    mode):
+      * ``"pallas"`` — the production fused Pallas kernel
+        (ops/synth_pallas.py), so the mesh path runs at the single-chip
+        headline rate.  Its per-shard int16 row partials psum exactly:
+        int16 truncation is a ring homomorphism Z/2^32 → Z/2^16, so the
+        modular sum of per-shard casts equals the cast of the full int32
+        sum (and the 8-bit ``>>4`` applies after the sum, matching
+        gps.c:2841-2845's short-then-shift order).
+      * ``"pallas-fused"`` — the stage-A2-in-kernel Pallas variant.
+      * ``"xla"`` — the pure-XLA stage graph (no Mosaic dependency; the
+        CPU-mesh scaling harness uses it compiled rather than Pallas
+        interpret mode).
+    ``interpret`` forces Pallas interpret mode (defaults to True on the
+    CPU backend so virtual-mesh seam tests run the same code path).
+
+    When the mesh has no channel sharding (chan == 1) no collective is
+    emitted at all — asserted by tests/test_sharding.py's HLO audit.
+    """
+    if kernel is None:
+        kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if kernel not in ("pallas", "pallas-fused", "xla"):
+        raise ValueError(f"kernel={kernel!r}: expected pallas, pallas-fused,"
+                         " or xla")
+    chan_sharded = mesh.shape["chan"] > 1
+
+    if kernel == "xla":
+        def per_device(*args):
+            i_acc, q_acc = jax.vmap(
+                lambda *a: accumulate_block(*a, n_rows, wide)
+            )(*args)
+            if chan_sharded:
+                i_acc = jax.lax.psum(i_acc, "chan")
+                q_acc = jax.lax.psum(q_acc, "chan")
+            return finalize_iq(i_acc, q_acc, num_samples, out_bits)
+    else:
+        from ..ops.synth_pallas import synth_batch_pallas_raw
+
+        fuse_a = kernel == "pallas-fused"
+        interp = (
+            interpret if interpret is not None
+            else jax.default_backend() == "cpu"
+        )
+
+        def per_device(*args):
+            i_rows, q_rows = synth_batch_pallas_raw(
+                *args, n_rows=n_rows, interpret=interp, wide=wide,
+                fuse_a=fuse_a,
+            )
+            if chan_sharded:
+                i_rows = jax.lax.psum(i_rows, "chan")
+                q_rows = jax.lax.psum(q_rows, "chan")
+            B = i_rows.shape[0]
+            return finalize_iq(
+                i_rows.reshape(B, -1)[:, :num_samples],
+                q_rows.reshape(B, -1)[:, :num_samples],
+                num_samples, out_bits,
+            )
 
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=tuple(ARG_SPECS[k] for k in ARG_ORDER),
         out_specs=P("blocks", None),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        # and the chan-size-1 meshes skip the psum entirely, so the static
+        # VMA checker can't infer the replication this out_spec declares;
+        # replication correctness is covered by the bit-exact seam tests
+        # and the compiled-HLO collective audit (tests/test_sharding.py).
+        check_vma=False,
     )
     jitted = jax.jit(lambda *a: fn(*a))
 
     def call(batch: dict):
         return jitted(*(batch[k] for k in ARG_ORDER))
 
+    # Exposed for the collective-audit test (tests/test_sharding.py): the
+    # only cross-device collective the mesh path may emit is the chan-axis
+    # psum (none at all when chan == 1).
+    call.jitted = jitted
+    call.kernel = kernel
     return call
 
 

@@ -84,7 +84,7 @@ def main() -> int:
     stage_b = jax.jit(
         lambda pk, ls, ga, gb: jax.vmap(
             lambda p, l, a, b: _stage_b_pallas_packed(
-                p, l, a, b, num_samples=num_samples, interpret=interp,
+                p, l, a, b, interpret=interp,
             )
         )(pk, ls, ga, gb)
     )
