@@ -1,4 +1,4 @@
-"""Benchmark: IQ samples/s/chip on the reference scenario, plus parity RMS.
+"""Benchmark: end-to-end and kernel IQ throughput on the reference scenario.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -6,6 +6,22 @@ Prints exactly one JSON line:
 vs_baseline is the real-time factor at the reference's hard-wired 3.0 Msps
 (the reference is a single-core real-time generator: 1.0 = its sustained
 throughput requirement). All diagnostics go to stderr.
+
+Measured sections (all fields land in the JSON line):
+  * kernel         — device synthesis rate, the headline (samples/s/chip);
+  * mesh           — the SAME kernel through shard_map over a mesh: at
+    n_dev=1 this certifies the mesh path carries the production kernel at
+    the direct rate (mesh_1dev_msps); at n_dev>1 it is the scaling path;
+  * e2e            — sustained plan→collate→dispatch→corrections pipeline
+    rate with device compute overlapped (no bulk D2H), in the strict
+    float-parity default and the --int-nco mode;
+  * e2e sink       — bytes-at-sink rate through the real runner incl. the
+    D2H fetch (on this rig that transport is a ~40 MB/s dev tunnel — see
+    PERFORMANCE.md "End-to-end" for the decomposition).
+
+Env knobs: BENCH_DURATION_SEC, BENCH_BATCH_BLOCKS, BENCH_KERNEL
+(pallas|fused|xla), BENCH_E2E_SEC, BENCH_SINK_SEC, BENCH_PLATFORM,
+BENCH_CPU_DEVICES, BENCH_SKIP_E2E=1.
 """
 
 from __future__ import annotations
@@ -24,6 +40,69 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _measure_e2e(cfg, kernel, n_rows, duration_label):
+    """Sustained host-pipeline rate: plan -> collate -> dispatch ->
+    sequential-parity corrections, device compute overlapped (2-deep
+    in-flight window, completion forced by a scalar reduction fetch —
+    bulk D2H is measured separately as the sink rate).
+
+    This is the rate quantized bytes become AVAILABLE at when the
+    transport is not the bottleneck; with the strict default it includes
+    every host stage of the production runner except the sink write.
+    """
+    import itertools
+    from collections import deque
+
+    import jax
+
+    from gpssim_tpu.config import CarrierMode
+    from gpssim_tpu.ops.synth_seq import seq_available, seq_corrections
+    from gpssim_tpu.parallel.blocks import collate_plans
+    from gpssim_tpu.runner import strict_parity_enabled
+    from gpssim_tpu.scenario import Simulation
+
+    int_nco = cfg.carrier_mode is CarrierMode.INT_NCO
+    strict = strict_parity_enabled(cfg)
+    sim = Simulation(cfg)
+    W = int(os.environ.get("BENCH_E2E_WINDOW", "100"))
+    it = sim.iter_plans()
+
+    # Warm the compile cache with one full-shape window (not timed).
+    warm = list(itertools.islice(it, W))
+    if len(warm) < W:
+        raise SystemExit("BENCH_E2E_SEC too short for the e2e window")
+    batch = collate_plans(warm, int_nco=int_nco)
+    out = kernel(**batch.args, n_rows=n_rows,
+                 num_samples=batch.num_samples, out_bits=8)
+    _ = jax.device_get(out.sum())
+
+    t0 = time.perf_counter()
+    blocks = 0
+    pending: deque = deque()
+    while True:
+        plans = list(itertools.islice(it, W))
+        if plans:
+            if len(plans) < W:
+                plans += [plans[-1]] * (W - len(plans))
+            batch = collate_plans(plans, int_nco=int_nco)
+            out = kernel(**batch.args, n_rows=n_rows,
+                         num_samples=batch.num_samples, out_bits=8)
+            pending.append(out.sum())  # async scalar reduction
+            if strict and seq_available():
+                for p in plans:
+                    seq_corrections(p, int_nco=int_nco)
+            blocks += len(plans)
+        if (not plans and pending) or len(pending) >= 2:
+            _ = jax.device_get(pending.popleft())
+        if not plans and not pending:
+            break
+    dt = time.perf_counter() - t0
+    sps = blocks * cfg.samples_per_epoch / dt
+    log(f"e2e[{duration_label}]: {blocks} blocks in {dt:.2f}s = "
+        f"{sps/1e6:.0f} Msps (strict={strict})")
+    return sps
+
+
 def main() -> None:
     import jax
 
@@ -38,7 +117,7 @@ def main() -> None:
             "jax_num_cpu_devices", int(os.environ["BENCH_CPU_DEVICES"])
         )
 
-    from gpssim_tpu.config import SimConfig
+    from gpssim_tpu.config import CarrierMode, SimConfig
     from gpssim_tpu.ops.synth_jax import LANES, synth_blocks_batch
     from gpssim_tpu.ops.synth_numpy import synth_block_numpy
     from gpssim_tpu.ops.synth_pallas import synth_blocks_batch_pallas
@@ -57,6 +136,7 @@ def main() -> None:
     devices = jax.devices()
     n_dev = len(devices)
     dev = devices[0]
+    on_tpu = dev.platform == "tpu"
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}"
         + (f" x{n_dev}" if n_dev > 1 else ""))
 
@@ -83,7 +163,9 @@ def main() -> None:
     # batch: block_until_ready through the axon dev relay does not reliably
     # wait, and a full D2H fetch measures the dev tunnel (~40 MB/s), not
     # the chip.
-    kernel_name = os.environ.get("BENCH_KERNEL", "pallas")
+    kernel_name = os.environ.get(
+        "BENCH_KERNEL", "pallas" if on_tpu else "xla"
+    )
     if kernel_name == "fused":  # stage A2 computed inside the Pallas kernel
         import functools as _ft
 
@@ -96,6 +178,9 @@ def main() -> None:
         raise SystemExit(
             f"BENCH_KERNEL={kernel_name!r}: expected pallas, fused, or xla"
         )
+    shard_kernel = {
+        "pallas": "pallas", "fused": "pallas-fused", "xla": "xla",
+    }[kernel_name]
     # Short scenarios: dispatch what exists (keep device divisibility).
     if batch_blocks > len(plans):
         batch_blocks = len(plans) - len(plans) % n_dev
@@ -109,10 +194,10 @@ def main() -> None:
         for i in range(0, len(plans) - len(plans) % batch_blocks, batch_blocks)
     ]
     if n_dev > 1:
-        # Multi-chip: blocks sharded over all devices via shard_map; the
-        # XLA kernel runs per shard (the sharded path shares its stage
-        # A/B graph). Inputs are pre-placed with the mesh sharding so the
-        # timed loop measures compute, not H2D.
+        # Multi-chip: blocks sharded over all devices via shard_map,
+        # carrying the SELECTED kernel (the production Pallas kernel on
+        # TPU). Inputs are pre-placed with the mesh sharding so the timed
+        # loop measures compute, not H2D.
         from jax.sharding import NamedSharding
 
         from gpssim_tpu.parallel.shard import (
@@ -121,7 +206,8 @@ def main() -> None:
 
         mesh = make_mesh(n_blocks_shards=n_dev, n_chan_shards=1,
                          devices=devices)
-        sharded = make_sharded_synth(mesh, n_rows, cfg.samples_per_epoch)
+        sharded = make_sharded_synth(mesh, n_rows, cfg.samples_per_epoch,
+                                     kernel=shard_kernel)
         dev_batches = [
             {
                 k: jax.device_put(v, NamedSharding(mesh, ARG_SPECS[k]))
@@ -174,6 +260,61 @@ def main() -> None:
 
     log(f"with D2H fetch over dev tunnel: {d2h_sps/1e6:.1f} Msps")
 
+    # ---- mesh path at n_dev=1: certify the sharded path carries the
+    # production kernel at the direct rate (VERDICT r2 item 1) ----
+    mesh_sps = None
+    if n_dev == 1 and on_tpu:
+        from gpssim_tpu.parallel.shard import make_mesh, make_sharded_synth
+
+        mesh1 = make_mesh(1, 1, devices=devices)
+        sharded1 = make_sharded_synth(
+            mesh1, n_rows, cfg.samples_per_epoch, kernel=shard_kernel
+        )
+        out_m = sharded1(dev_batches[0])
+        _ = jax.device_get(out_m.sum())  # compile + run
+        assert np.array_equal(
+            np.asarray(jax.device_get(out_m))[:3], host0[:3]
+        ), "mesh path output != direct kernel output"
+        t0 = time.perf_counter()
+        msums = [sharded1(b).sum() for b in dev_batches]
+        _ = [int(jax.device_get(s)) for s in msums]
+        mdt = time.perf_counter() - t0
+        mesh_sps = samples / mdt
+        log(f"mesh path (1-device, kernel={shard_kernel}): "
+            f"{mesh_sps/1e6:.0f} Msps = {100*mesh_sps/sps:.0f}% of direct")
+
+    # ---- end-to-end host pipeline (plan -> dispatch -> corrections) ----
+    e2e_sps = e2e_nco_sps = sink_sps = None
+    if os.environ.get("BENCH_SKIP_E2E", "0") != "1":
+        e2e_sec = float(os.environ.get("BENCH_E2E_SEC", "120"))
+        cfg_e2e = SimConfig(nav_file=nav, duration_sec=e2e_sec,
+                            almanac_enable=False)
+        e2e_sps = _measure_e2e(cfg_e2e, kernel, n_rows, "strict-float")
+        cfg_nco = SimConfig(nav_file=nav, duration_sec=e2e_sec,
+                            almanac_enable=False,
+                            carrier_mode=CarrierMode.INT_NCO)
+        e2e_nco_sps = _measure_e2e(cfg_nco, kernel, n_rows, "int-nco")
+
+        # Bytes-at-sink through the real runner (includes the D2H fetch;
+        # on this rig that is the ~40 MB/s axon dev tunnel, so this number
+        # measures the transport, not the framework — recorded for
+        # honesty, decomposed in PERFORMANCE.md).
+        from gpssim_tpu.config import SynthBackend
+        from gpssim_tpu.io.sinks import NullSink
+        from gpssim_tpu.runner import run_simulation
+
+        sink_sec = float(os.environ.get("BENCH_SINK_SEC", "20"))
+        cfg_sink = SimConfig(
+            nav_file=nav, duration_sec=sink_sec, almanac_enable=False,
+            backend=(SynthBackend.PALLAS if on_tpu else SynthBackend.JAX),
+            dispatch_blocks=50,
+        )
+        sink = NullSink()
+        st = run_simulation(cfg_sink, sink=sink)
+        sink_sps = st.samples_per_second
+        log(f"e2e bytes-at-sink (incl. D2H transport): "
+            f"{sink_sps/1e6:.1f} Msps over {st.blocks} blocks")
+
     result = {
         "metric": "IQ samples/s/chip (3.0 Msps L1 scenario, 12 channels)",
         "value": round(sps / n_dev, 1),
@@ -182,16 +323,18 @@ def main() -> None:
         "vs_baseline": round(sps / n_dev / 3.0e6, 2),
         "rms_error_vs_reference_lsb16": rms,
         "bit_exact_sample_check": exact,
-        # Multi-device runs go through the shard_map'd XLA path
-        # regardless of BENCH_KERNEL.
-        "kernel": (
-            "sharded-xla" if n_dev > 1
-            else kernel_name
-        ),
+        "kernel": kernel_name if n_dev == 1 else f"sharded-{shard_kernel}",
         "blocks_per_dispatch": batch_blocks,
         "host_plan_blocks_per_s": round(len(plans) / max(plan_time, 1e-9), 1),
         "d2h_tunnel_msps": round(d2h_sps / 1e6, 1),
     }
+    if mesh_sps is not None:
+        result["mesh_1dev_msps"] = round(mesh_sps / 1e6, 1)
+        result["mesh_vs_direct"] = round(mesh_sps / sps, 3)
+    if e2e_sps is not None:
+        result["e2e_strict_msps"] = round(e2e_sps / 1e6, 1)
+        result["e2e_int_nco_msps"] = round(e2e_nco_sps / 1e6, 1)
+        result["e2e_sink_msps"] = round(sink_sps / 1e6, 1)
     if n_dev > 1:
         result["n_devices"] = n_dev
         result["aggregate_samples_per_s"] = round(sps, 1)

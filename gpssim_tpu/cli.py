@@ -154,6 +154,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reallocation at the initial position)")
     p.add_argument("--realtime", action="store_true",
                    help="Pace generation at wall-clock rate (TX use case)")
+    p.add_argument("--realtime-policy", default="failover",
+                   choices=["failover", "fail", "warn"],
+                   help="Response to a sustained sub-1x realtime deficit: "
+                        "fail over to the native sequential engine "
+                        "(default), raise an attributed error, or log and "
+                        "keep counting")
     p.add_argument("--tui", action="store_true",
                    help="Curses dashboard (auto-enabled with --interactive "
                         "on a TTY)")
@@ -210,6 +216,7 @@ def args_to_config(args: argparse.Namespace) -> SimConfig:
     cfg.carrier_mode = CarrierMode.INT_NCO if args.int_nco else CarrierMode.FLOAT
     cfg.parity_exact = not args.no_parity_exact
     cfg.realtime = args.realtime
+    cfg.realtime_policy = args.realtime_policy
     cfg.out_file = args.out_file
     cfg.tcp_addr = args.tcp_addr
     cfg.tx_gain = args.gain

@@ -110,6 +110,12 @@ class SimConfig:
     fifo_depth: int = 8
     tcp_addr: str = "127.0.0.1:4729"  # --radio tcp destination
     realtime: bool = False  # pace output at wall-clock rate (TX use case)
+    # Sustained sub-1x realtime deficit response (runner.RealtimeSupervisor):
+    # "failover" switches synthesis to the native sequential engine with a
+    # logged event; "fail" raises an attributed error; "warn" logs and
+    # keeps counting (the reference's behavior, fifo.c:97-148, plus
+    # attribution).
+    realtime_policy: str = "failover"
 
     @property
     def samples_per_epoch(self) -> int:

@@ -269,6 +269,16 @@ class TcpSink(Sink):
         return self._py_underruns
 
     @property
+    def backlogged(self) -> bool:
+        """True when the sink FIFO is full — the producer is blocked on
+        the TRANSPORT (consumer below the DAC rate), not on synthesis.
+        The realtime supervisor uses this to attribute a deficit: a
+        synthesis failover cannot help a slow transport."""
+        if self._native is not None:
+            return self._native.depth_used >= self.fifo_depth
+        return self.fifo.depth_used >= self.fifo.depth
+
+    @property
     def started(self) -> bool:
         if self._native is not None:
             return self._native.started

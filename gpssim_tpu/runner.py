@@ -2,8 +2,9 @@
 
 from __future__ import annotations
 
+import logging
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -11,6 +12,8 @@ from .config import CarrierMode, SimConfig, SynthBackend
 from .io.sinks import Sink, make_configured_sink
 from .ops.synth_numpy import quantize_iq, synth_block_numpy
 from .scenario import Simulation
+
+logger = logging.getLogger("gpssim_tpu.runner")
 
 
 @dataclass
@@ -21,6 +24,8 @@ class RunStats:
     synth_seconds: float = 0.0
     plan_seconds: float = 0.0
     retries: int = 0  # batches re-dispatched after a device error
+    failovers: int = 0  # realtime backend failovers (RealtimeSupervisor)
+    events: list = field(default_factory=list)  # attributed runtime events
 
     @property
     def samples_per_second(self) -> float:
@@ -30,6 +35,104 @@ class RunStats:
     def realtime_factor(self) -> float:
         # One block = 0.1 s of signal.
         return (self.blocks * 0.1) / self.wall_seconds if self.wall_seconds else 0.0
+
+
+class RealtimeDeficitError(RuntimeError):
+    """A paced realtime run fell durably below 1x and the policy is
+    'fail' (or failover was impossible)."""
+
+
+class RealtimeSupervisor:
+    """Realtime degradation watchdog (SURVEY §5 failure detection).
+
+    The reference's only pacing mechanism is the blocking FIFO
+    (fifo.c:97-148): when the producer cannot sustain 1x the radio
+    silently starves — nothing detects or reports it. Here every paced
+    run is watched for a sustained production deficit (wall clock ahead
+    of written signal by more than the FIFO's pre-render budget) and
+    responds per ``cfg.realtime_policy``:
+
+      * ``failover`` (default) — switch synthesis to the native
+        sequential C++ engine (sequential-exact, so a strict-parity
+        stream continues byte-identically) with a logged, attributed
+        event; if that engine is unavailable, escalate to ``fail``.
+      * ``fail`` — raise RealtimeDeficitError with the attribution.
+      * ``warn`` — log and keep counting (reference behavior, plus
+        attribution).
+
+    Deficits caused by the TRANSPORT (sink FIFO full — the consumer is
+    below the DAC rate) are attributed separately and never trigger a
+    synthesis failover, which could not help.
+    """
+
+    #: consecutive over-budget checks before acting (one transient
+    #: scheduling hiccup must not abandon the device path)
+    GRACE_CHECKS = 2
+
+    def __init__(self, cfg: SimConfig, sink: Sink, stats: RunStats):
+        self.cfg = cfg
+        self.sink = sink
+        self.stats = stats
+        self.policy = cfg.realtime_policy
+        if self.policy not in ("failover", "fail", "warn"):
+            raise ValueError(
+                f"realtime_policy={self.policy!r}: expected failover, "
+                "fail, or warn"
+            )
+        self.failed_over = False
+        self._strikes = 0
+
+    def _event(self, msg: str) -> None:
+        logger.warning("realtime: %s", msg)
+        self.stats.events.append(msg)
+
+    def check(self, t0: float) -> str | None:
+        """Call after each written block/batch; returns 'failover' when
+        the caller must switch synthesis to the native engine."""
+        lag = (time.perf_counter() - t0) - self.stats.blocks * 0.1
+        budget = 0.1 * self.cfg.fifo_depth
+        if lag <= budget:
+            self._strikes = 0
+            return None
+        self._strikes += 1
+        if self._strikes < self.GRACE_CHECKS:
+            return None
+        self._strikes = 0
+        underruns = getattr(self.sink, "underruns", 0)
+        if getattr(self.sink, "backlogged", False):
+            msg = (
+                f"sink transport below 1x realtime: production is "
+                f"{lag:.2f}s behind wall clock with the sink FIFO full "
+                f"(transport cannot sustain the DAC byte rate)"
+            )
+            self._event(msg)
+            if self.policy == "fail":
+                raise RealtimeDeficitError(msg)
+            return None  # a synthesis failover cannot help a slow sink
+        msg = (
+            f"synthesis below 1x realtime: {lag:.2f}s behind wall clock"
+            + (f", {underruns} sink underruns" if underruns else "")
+        )
+        if self.policy == "fail":
+            self._event(msg)
+            raise RealtimeDeficitError(msg)
+        if self.policy == "warn" or self.failed_over:
+            self._event(msg)
+            return None
+        # failover
+        from .ops.synth_seq import seq_available
+
+        if not seq_available():
+            raise RealtimeDeficitError(
+                msg + "; native sequential engine unavailable, cannot "
+                "fail over (tools/build_native.sh)"
+            )
+        self.failed_over = True
+        self.stats.failovers += 1
+        self._event(
+            msg + " -> failing over to the native sequential backend"
+        )
+        return "failover"
 
 
 def strict_parity_enabled(cfg: SimConfig) -> bool:
@@ -136,6 +239,7 @@ def run_simulation(
         from .noise import apply_awgn
 
     stats = RunStats()
+    supervisor = RealtimeSupervisor(cfg, sink, stats) if cfg.realtime else None
     t0 = time.perf_counter()
     try:
         tp = time.perf_counter()
@@ -165,11 +269,23 @@ def run_simulation(
                 ahead = stats.blocks * 0.1 - (time.perf_counter() - t0)
                 if ahead > 0.1 * cfg.fifo_depth:
                     time.sleep(ahead - 0.1 * cfg.fifo_depth)
+                if supervisor.check(t0) == "failover":
+                    synth_fn = _native_synth_fn(cfg)
             tp = time.perf_counter()
     finally:
         sink.close()
     stats.wall_seconds = time.perf_counter() - t0
     return stats
+
+
+def _native_synth_fn(cfg: SimConfig):
+    """Per-block native sequential synthesizer (the failover target —
+    sequential-exact, so a strict-parity stream continues byte-
+    identically)."""
+    from .ops.synth_seq import synth_block_seq_native
+
+    int_nco = cfg.carrier_mode is CarrierMode.INT_NCO
+    return lambda plan: synth_block_seq_native(plan, int_nco=int_nco)
 
 
 def resolve_batch_kernel(cfg: SimConfig):
@@ -246,6 +362,7 @@ def _run_batched(
     from .checkpoint import capture_state
 
     stats = RunStats()
+    supervisor = RealtimeSupervisor(cfg, sink, stats) if cfg.realtime else None
     t0 = time.perf_counter()
     it = sim.iter_plans()
     pending: deque = deque()  # (device_out, redispatch_fn, plans, snapshot)
@@ -253,6 +370,30 @@ def _run_batched(
     # drains must capture the pre-run state, not planner-ahead state.
     sim.consistent_snapshot = capture_state(sim)
     any_full = False  # a W-sized kernel shape has been compiled
+
+    def drain_one() -> None:
+        out, redispatch, done_plans, snap = pending.popleft()
+        host, retried = fetch_batch(out, redispatch)  # quantized
+        stats.retries += retried
+        for i, plan in enumerate(done_plans):
+            blk = host[i]
+            if strict:
+                idx, i16, q16, _, _ = seq_corrections(
+                    plan, int_nco=int_nco
+                )
+                blk = apply_corrections(blk, bits, idx, i16, q16)
+            if cfg.noise_std_lsb > 0.0:
+                blk = apply_awgn(blk, bits, cfg.noise_std_lsb,
+                                 cfg.noise_seed, 0,
+                                 base_index + stats.blocks)
+            sink.write(blk)
+            stats.blocks += 1
+            stats.samples += plan.num_samples
+        stats.wall_seconds = time.perf_counter() - t0
+        sim.consistent_snapshot = snap
+        if on_block is not None:
+            on_block(stats, sim, done_plans[-1])
+
     try:
         while True:
             ts = time.perf_counter()
@@ -289,27 +430,7 @@ def _run_batched(
                 pending.append((out, dispatch, plans, capture_state(sim)))
                 stats.synth_seconds += time.perf_counter() - tp
             if (not plans and pending) or len(pending) >= 2:
-                out, redispatch, done_plans, snap = pending.popleft()
-                host, retried = fetch_batch(out, redispatch)  # quantized
-                stats.retries += retried
-                for i, plan in enumerate(done_plans):
-                    blk = host[i]
-                    if strict:
-                        idx, i16, q16, _, _ = seq_corrections(
-                            plan, int_nco=int_nco
-                        )
-                        blk = apply_corrections(blk, bits, idx, i16, q16)
-                    if cfg.noise_std_lsb > 0.0:
-                        blk = apply_awgn(blk, bits, cfg.noise_std_lsb,
-                                         cfg.noise_seed, 0,
-                                         base_index + stats.blocks)
-                    sink.write(blk)
-                    stats.blocks += 1
-                    stats.samples += plan.num_samples
-                stats.wall_seconds = time.perf_counter() - t0
-                sim.consistent_snapshot = snap
-                if on_block is not None:
-                    on_block(stats, sim, done_plans[-1])
+                drain_one()
                 if cfg.realtime:
                     # Pace to wall clock with the FIFO-depth lead allowance
                     # (reference fifo backpressure, sdr.h:24).
@@ -318,6 +439,18 @@ def _run_batched(
                     )
                     if ahead > 0.1 * cfg.fifo_depth:
                         time.sleep(ahead - 0.1 * cfg.fifo_depth)
+                    if supervisor.check(t0) == "failover":
+                        # Device path can't hold 1x: drain what's in
+                        # flight, then continue block-by-block on the
+                        # native sequential engine.
+                        while pending:
+                            drain_one()
+                        sim.consistent_snapshot = None
+                        _continue_native(
+                            cfg, sink, sim, it, stats, t0, on_block,
+                            stop, base_index,
+                        )
+                        return stats
             if not plans and not pending:
                 # Normal completion: live state matches the written blocks
                 # again, so later checkpoints can use it directly.
@@ -332,3 +465,35 @@ def _run_batched(
         sink.close()
     stats.wall_seconds = time.perf_counter() - t0
     return stats
+
+
+def _continue_native(
+    cfg: SimConfig, sink: Sink, sim: Simulation, it, stats: RunStats,
+    t0: float, on_block, stop, base_index: int,
+) -> None:
+    """Finish a realtime run block-by-block on the native engine after a
+    RealtimeSupervisor failover. Stats/noise keying/pacing continue
+    seamlessly; the caller's finally-clause closes the sink."""
+    synth_fn = _native_synth_fn(cfg)
+    bits = cfg.sample_format.value
+    if cfg.noise_std_lsb > 0.0:
+        from .noise import apply_awgn
+    for plan in it:
+        ts = time.perf_counter()
+        iq16 = np.asarray(synth_fn(plan))
+        stats.synth_seconds += time.perf_counter() - ts
+        blk = quantize_iq(iq16, bits)
+        if cfg.noise_std_lsb > 0.0:
+            blk = apply_awgn(blk, bits, cfg.noise_std_lsb,
+                             cfg.noise_seed, 0, base_index + stats.blocks)
+        sink.write(blk)
+        stats.blocks += 1
+        stats.samples += plan.num_samples
+        stats.wall_seconds = time.perf_counter() - t0
+        if on_block is not None:
+            on_block(stats, sim, plan)
+        if stop is not None and stop():
+            return
+        ahead = stats.blocks * 0.1 - (time.perf_counter() - t0)
+        if ahead > 0.1 * cfg.fifo_depth:
+            time.sleep(ahead - 0.1 * cfg.fifo_depth)
