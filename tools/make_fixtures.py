@@ -238,6 +238,14 @@ def main() -> None:
         os.path.join(BASE, "brdc_endurance.22n"), nsets=4, spacing_s=3700.0,
         propagate=True,
     )
+    # Daily-envelope fixture: 13 ephemeris sets 2 h apart — the layout of
+    # a real daily brdc file (EPHEM_ARRAY_SIZE=13, gps.h:108). A 24 h
+    # scenario starting at toc0 crosses all 13 sets (advance fires when
+    # the next toc comes within 1 h, gps.c:2878-2906).
+    write_rinex2(
+        os.path.join(BASE, "brdc_daily.22n"), nsets=13, spacing_s=7200.0,
+        propagate=True,
+    )
     print("fixtures written to", os.path.abspath(BASE))
 
 
