@@ -598,8 +598,13 @@ def test_cold_start_fix_decodes_iono_page18_over_the_air(
     alpha_lsb = (2.0**-30, 2.0**-27, 2.0**-24, 2.0**-24)
     beta_lsb = (2.0**11, 2.0**14, 2.0**16, 2.0**16)
     for i in range(4):
-        assert abs(iono_ota.alpha[i] - nav.ionoutc.alpha[i]) <= alpha_lsb[i]
-        assert abs(iono_ota.beta[i] - nav.ionoutc.beta[i]) <= beta_lsb[i]
+        a, b = f"alpha{i}", f"beta{i}"
+        assert abs(
+            getattr(iono_ota, a) - getattr(nav.ionoutc, a)
+        ) <= alpha_lsb[i], a
+        assert abs(
+            getattr(iono_ota, b) - getattr(nav.ionoutc, b)
+        ) <= beta_lsb[i], b
     err = np.linalg.norm(fix.xyz - truth)
     assert err < 3.0, f"cold-start iono-corrected fix off by {err:.2f} m"
     assert fix.nsats >= 4, fix.prns
