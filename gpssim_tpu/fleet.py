@@ -263,7 +263,14 @@ def run_fleet(
                 if any_full and len(plans) < W:
                     padded = plans + [plans[-1]] * (W - len(plans))
                 any_full = any_full or len(padded) == W
-                batch = collate_plans(padded, int_nco=int_nco)
+                # Bucketed compaction: a fleet mixes scenarios, so the
+                # batch's max-active count varies batch to batch — every
+                # distinct extent is a fresh kernel compile (minutes
+                # through a remote compile service; measured dominating a
+                # 50-member run). Multiple-of-4 extents bound it to ≤3
+                # shapes while keeping most of the density win.
+                batch = collate_plans(padded, int_nco=int_nco,
+                                      compact_multiple=4)
 
                 if mesh is None:
                     def dispatch(b=batch):

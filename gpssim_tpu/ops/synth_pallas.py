@@ -469,9 +469,12 @@ def _stage_b_pallas_fused(
 
 
 def _fuse_a_default() -> bool:
-    """GPSSIM_FUSE_A=1 selects the fully fused stage A2-in-kernel
-    variant (bit-identical; opt-in until its device win is measured)."""
-    return os.environ.get("GPSSIM_FUSE_A", "0") == "1"
+    """The fully fused stage A2-in-kernel variant is the DEFAULT: the r3
+    on-chip A/B measured it at 3.02 GSps vs 2.80 for the packed two-stage
+    path (+7%, bit-identical — tests/test_synth.py asserts equality), and
+    it carries the mesh path at 96% of the direct rate (BENCH_r03).
+    GPSSIM_FUSE_A=0 opts back into the two-stage variant."""
+    return os.environ.get("GPSSIM_FUSE_A", "1") == "1"
 
 
 def synth_block_pallas(

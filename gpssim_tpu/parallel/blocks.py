@@ -45,7 +45,8 @@ class PlanBatch:
 
 
 def collate_plans(
-    plans: list[BlockPlan], int_nco: bool = False, compact: bool = True
+    plans: list[BlockPlan], int_nco: bool = False, compact: bool = True,
+    compact_multiple: int = 1,
 ) -> PlanBatch:
     """Stack plans and convert to kernel args in one vectorized pass.
 
@@ -55,6 +56,13 @@ def collate_plans(
     computing zero-gain slots (typically 9-11 of 12 are active). The
     cross-channel sum is exact int32 addition — commutative and
     associative — so reordering/trimming is bit-identical.
+
+    ``compact_multiple`` rounds the trimmed extent UP to a multiple
+    (capped at the full channel count): every distinct extent is a new
+    compiled kernel shape, so long-running pipelines whose active count
+    drifts across 30 s reallocations — and fleets mixing scenarios —
+    pass 4 to bound recompiles to at most C/4 shapes while keeping most
+    of the density win.
     """
 
     def f(name):
@@ -70,6 +78,9 @@ def collate_plans(
     if compact:
         act = fields["active"]
         k = max(1, int(act.sum(axis=1).max()))
+        if compact_multiple > 1:
+            k = min(-(-k // compact_multiple) * compact_multiple,
+                    act.shape[1])
         # Stable order with active slots first, per block.
         order = np.argsort(~act, axis=1, kind="stable")[:, :k]
         for name, v in fields.items():

@@ -214,7 +214,7 @@ def run_scenario_multihost(
         if cfg.backend is SynthBackend.PALLAS and (
             jax.default_backend() == "tpu"
         ):
-            kernel = "pallas"
+            kernel = "pallas-fused"
     fn = make_sharded_synth(
         mesh, n_rows, cfg.samples_per_epoch, wide=wide, out_bits=bits,
         kernel=kernel,

@@ -56,11 +56,11 @@ def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int,
     unsharded sum — and quantized. All args are int32/uint32 (synth_jax
     limb encoding), so no x64 handling anywhere.
 
-    ``kernel`` selects the per-device compute (default: ``"pallas"`` on
-    TPU — the mesh path carries the production kernel — and ``"xla"`` on
-    CPU/GPU backends, where Mosaic would fall back to slow interpret
-    mode):
-      * ``"pallas"`` — the production fused Pallas kernel
+    ``kernel`` selects the per-device compute (default: ``"pallas-fused"``
+    on TPU — the mesh path carries the production kernel at 96% of the
+    direct rate, BENCH_r03 — and ``"xla"`` on CPU/GPU backends, where
+    Mosaic would fall back to slow interpret mode):
+      * ``"pallas"`` — the two-stage Pallas kernel
         (ops/synth_pallas.py), so the mesh path runs at the single-chip
         headline rate.  Its per-shard int16 row partials psum exactly:
         int16 truncation is a ring homomorphism Z/2^32 → Z/2^16, so the
@@ -78,7 +78,7 @@ def make_sharded_synth(mesh: Mesh, n_rows: int, num_samples: int,
     emitted at all — asserted by tests/test_sharding.py's HLO audit.
     """
     if kernel is None:
-        kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+        kernel = "pallas-fused" if jax.default_backend() == "tpu" else "xla"
     if kernel not in ("pallas", "pallas-fused", "xla"):
         raise ValueError(f"kernel={kernel!r}: expected pallas, pallas-fused,"
                          " or xla")

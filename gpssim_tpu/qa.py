@@ -61,25 +61,35 @@ class StreamReport:
 
 def _correlate_jit():
     """Module-level jit cache: one compile per (B, C, N, ms) shape across
-    every verify_stream call (fleet members reuse it)."""
+    every verify_stream call (fleet members reuse it).
+
+    Real arithmetic throughout — complex64 elementwise math is
+    unimplemented on some TPU runtimes (measured: UNIMPLEMENTED on the
+    axon v5e backend), and splitting I/Q costs nothing on the VPU."""
     global _CORRELATE
     if _CORRELATE is None:
         import jax
         import jax.numpy as jnp
 
         @partial(jax.jit, static_argnames=("ms_per_block",))
-        def correlate(iq_c, chips_d, frac_d, ms_per_block):
+        def correlate(iq_re, iq_im, chips_d, frac_d, ms_per_block):
             # wipe carrier and code: iq · ca·db · e^{-j2πφ}
-            rep = chips_d.astype(jnp.float32) * jnp.exp(
-                -2j * jnp.pi * frac_d
-            ).astype(jnp.complex64)
-            prod = iq_c[:, None, :] * rep  # (B, C, N)
-            ms_len = prod.shape[-1] // ms_per_block
-            used = ms_len * ms_per_block
-            per_ms = prod[..., :used].reshape(
-                prod.shape[0], prod.shape[1], ms_per_block, ms_len
-            ).sum(axis=-1)
-            return jnp.abs(per_ms) / ms_len  # mean magnitude per ms
+            ang = (-2.0 * np.pi) * frac_d
+            ch = chips_d.astype(jnp.float32)
+            rep_re = ch * jnp.cos(ang)
+            rep_im = ch * jnp.sin(ang)
+            pr = iq_re[:, None, :] * rep_re - iq_im[:, None, :] * rep_im
+            pi = iq_re[:, None, :] * rep_im + iq_im[:, None, :] * rep_re
+            ms_len = pr.shape[-1] // ms_per_block
+
+            def fold(x):  # (B, C, N) → per-ms coherent sums (B, C, MS)
+                used = ms_len * ms_per_block
+                return x[..., :used].reshape(
+                    x.shape[0], x.shape[1], ms_per_block, ms_len
+                ).sum(axis=-1)
+
+            re, im = fold(pr), fold(pi)
+            return jnp.sqrt(re * re + im * im) / ms_len
 
         _CORRELATE = correlate
     return _CORRELATE
@@ -119,7 +129,10 @@ def _block_correlations(plans, iq, num_samples, int_nco=False):
             prn[b, c] = plan.prn[c]
 
     mags = np.asarray(
-        _correlate_jit()(iq, chips, carr_frac, MS_PER_BLOCK)
+        _correlate_jit()(
+            np.ascontiguousarray(iq.real), np.ascontiguousarray(iq.imag),
+            chips, carr_frac, MS_PER_BLOCK,
+        )
     )
     return mags, gains, active, prn
 

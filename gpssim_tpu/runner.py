@@ -409,8 +409,12 @@ def _run_batched(
                 if any_full and len(plans) < W:
                     padded = plans + [plans[-1]] * (W - len(plans))
                 any_full = any_full or len(padded) == W
+                # compact_multiple=4: 30 s reallocations drift the
+                # max-active count; bucketed extents bound mid-run
+                # recompiles (each minutes through a remote compile
+                # service) to at most C/4 shapes.
                 batch = collate_plans(padded, int_nco=int_nco,
-                                      compact=compact)
+                                      compact=compact, compact_multiple=4)
 
                 def dispatch(b=batch):
                     return kernel(

@@ -98,9 +98,10 @@ def test_realtime_batches_keep_one_kernel_shape(fixtures_dir):
     compact_seen = []
     real_collate = blocks_mod.collate_plans
 
-    def spy(plans, int_nco=False, compact=True):
+    def spy(plans, int_nco=False, compact=True, compact_multiple=1):
         compact_seen.append(compact)
-        return real_collate(plans, int_nco=int_nco, compact=compact)
+        return real_collate(plans, int_nco=int_nco, compact=compact,
+                            compact_multiple=compact_multiple)
 
     blocks_mod.collate_plans = spy
     try:

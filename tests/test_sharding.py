@@ -26,6 +26,32 @@ def _reference(plans):
     return np.stack([synth_block_numpy(p) for p in plans])
 
 
+def test_collate_compact_multiple_buckets_and_is_bit_exact(plans):
+    """Bucketed compaction: extents round up to the multiple (bounding
+    distinct compiled shapes), and the synthesized output stays
+    bit-identical — padded slots carry gain 0 and contribute exact +0."""
+    import jax
+    from gpssim_tpu.ops.synth_jax import LANES, synth_blocks_batch
+    from gpssim_tpu.parallel.blocks import collate_plans
+
+    tight = collate_plans(plans)
+    C_full = plans[0].gain.shape[0]
+    for m in (4, 8):
+        b = collate_plans(plans, compact_multiple=m)
+        k = b.args["gain_a"].shape[1]
+        assert k % m == 0 or k == C_full
+        assert k >= tight.args["gain_a"].shape[1]
+        n_rows = -(-b.num_samples // LANES)
+        dev_args = {key: jax.device_put(v) for key, v in b.args.items()}
+        out = synth_blocks_batch(
+            **dev_args, n_rows=n_rows, num_samples=b.num_samples,
+        )
+        assert np.array_equal(np.asarray(out), _reference(plans))
+    # A multiple larger than the channel count caps at the full axis.
+    b = collate_plans(plans, compact_multiple=64)
+    assert b.args["gain_a"].shape[1] == C_full
+
+
 def test_batched_vmap_matches(plans):
     import jax
     from gpssim_tpu.ops.synth_jax import LANES, synth_blocks_batch
