@@ -182,6 +182,32 @@ def test_target_offset(oracle_bin, fixtures_dir, tmp_path):
 
 
 @pytest.mark.golden
+def test_interactive_motion(oracle_bin, fixtures_dir, tmp_path):
+    """Interactive velocity integration (gps.c:2714-2729): constant
+    bearing/speed/vertical-speed kinematics held for a run that crosses
+    the 30 s nav-regen + channel realloc (which uses xyz[0], gps.c:2909,
+    while the live position has drifted ~150 m away). Exercises the
+    NEU-transpose quirk and the per-epoch xyz[i-1]+v*0.1 accumulation
+    against the unmodified reference engine."""
+    nav = f"{fixtures_dir}/brdc_test.22n"
+    ref = run_oracle(
+        oracle_bin, nav, "ref.bin", str(tmp_path), fixtures_dir,
+        duration=31, bits=8, iono=1, almanac=0,
+        interactive=1, speed=5.0, tbear=47.0, vspeed=0.5, **TOKYO,
+    )
+    cfg = SimConfig(
+        nav_file=nav, duration_sec=31.0, almanac_enable=False,
+        interactive=True,
+    )
+    sim = Simulation(cfg)
+    sim.set_motion(bearing_deg=47.0, velocity=5.0, vertical_speed=0.5)
+    mine = np.concatenate(
+        [quantize_iq(synth_block_seq(p), 8) for p in sim.iter_plans()]
+    )
+    assert_parity(mine, ref, np.int8)
+
+
+@pytest.mark.golden
 def test_start_time_and_overwrite(oracle_bin, fixtures_dir, tmp_path):
     """Scenario start within the ephemeris span, and the '--start now'
     time-overwrite relocation (gps.c:2507-2608)."""

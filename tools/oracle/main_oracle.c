@@ -10,6 +10,7 @@
  *     lat= lon= height= duration= bits=8|16 iono=0|1 rinex3=0|1
  *     motion= almanac=0|1 start=YYYY/MM/DD,hh:mm:ss overwrite=0|1
  *     tdist= tbear= theight=   (target offset)
+ *     interactive=0|1 speed= vspeed=   (constant interactive kinematics)
  */
 #include <pthread.h>
 #include <stdio.h>
@@ -90,6 +91,12 @@ int main(int argc, char **argv) {
         else if (!strcmp(k, "tdist")) { simulator.target.distance = atof(v); simulator.target.valid = true; }
         else if (!strcmp(k, "tbear")) simulator.target.bearing = atof(v) * 1000.0;
         else if (!strcmp(k, "theight")) simulator.target.height = atof(v);
+        /* Interactive-mode kinematics (gps.c:2714-2729): constant
+         * bearing (tbear=) / ground speed / vertical speed held for the
+         * whole run — the integration path the TUI keys normally drive. */
+        else if (!strcmp(k, "interactive")) simulator.interactive_mode = atoi(v);
+        else if (!strcmp(k, "speed")) simulator.target.velocity = atof(v);
+        else if (!strcmp(k, "vspeed")) simulator.target.vertical_speed = atof(v);
         else if (!strcmp(k, "start")) {
             sscanf(v, "%d/%d/%d,%d:%d:%lf", &simulator.start.y,
                    &simulator.start.m, &simulator.start.d, &simulator.start.hh,
