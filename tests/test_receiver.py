@@ -346,6 +346,75 @@ def test_moving_receiver_pvt(fixtures_dir, tmp_path):
     assert abs(fix.t_rx - (g0_sec + s_m / RATE)) < 200e-9
 
 
+@pytest.mark.slow
+def test_interactive_command_moves_receiver_fix(fixtures_dir, tmp_path):
+    """Close the CONTROL loop end to end: a mid-run interactive motion
+    command (the path the TUI 'w/a/d' keys drive, gps.c:2714-2729 /
+    gps-sim.c:363-393) must move the position an independent receiver
+    observes. The commands land between blocks via on_block — the same
+    0.1 s control cadence as the reference's key loop — ramping a held
+    'speed' key at 1.5 m/s² (a velocity STEP breaks PLL lock and garbles
+    a subframe; a ramp is what held keys produce and matches the circle
+    fixture's proven dynamics). The fix at the end of the capture must
+    match the integrated trajectory, ~150 m from the start point."""
+    from gpssim_tpu.core.motion import InteractiveState
+
+    out = str(tmp_path / "iq.bin")
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n",
+        duration_sec=20.0,
+        sample_rate=RATE,
+        almanac_enable=False,
+        ionosphere_enable=False,
+        backend=SynthBackend.NUMPY,
+        sink="iqfile",
+        out_file=out,
+        interactive=True,
+    )
+    sim = Simulation(cfg)
+    week = sim.g0.week
+    xyz0 = np.array(sim.xyz0)
+
+    # Key schedule: from block 50 (t=5 s) ramp 0.15 m/s per 0.1 s block
+    # up to 15 m/s at block 150, then hold.
+    def vel_after_block(b: int) -> float:
+        return 0.15 * min(max(b - 49, 0), 100)
+
+    def on_block(stats, s, plan):
+        v = vel_after_block(stats.blocks)
+        if v > 0.0:
+            s.set_motion(bearing_deg=60.0, velocity=v, vertical_speed=0.0)
+
+    run_simulation(cfg, sim=sim, on_block=on_block)
+
+    x = load_iq(out, 8)
+    fix, channels, _, _ = receiver_fix(x, RATE, week_hint=week)
+    s_m = (len(x) // channels[0].seg_len - 1) * channels[0].seg_len
+    ep = int(round(s_m / RATE * 10.0))
+
+    # Truth: replay the integration the engine performs — epoch e is
+    # planned after on_block(blocks=e-1), so it moves at vel_after_block(e-1).
+    st = InteractiveState(bearing_millideg=60000.0)
+    pos = xyz0.copy()
+    track_pts = [pos]
+    for e in range(1, ep + 2):
+        st.velocity = vel_after_block(e - 1)
+        pos = st.step(pos, sim.tmat, 0.1)
+        track_pts.append(pos)
+    truth = track_pts[ep]
+    v_truth = (track_pts[ep + 1] - track_pts[ep - 1]) * 5.0
+
+    moved = np.linalg.norm(truth - xyz0)
+    assert moved > 100.0, moved  # the commands produced real displacement
+    err = np.linalg.norm(fix.xyz - truth)
+    assert err < 10.0, f"fix missed the commanded trajectory by {err:.1f} m"
+    # And the fix is nowhere near the start point — the commands took hold.
+    assert np.linalg.norm(fix.xyz - xyz0) > moved - 10.0
+    # The solved velocity matches the commanded kinematics.
+    assert fix.vel is not None
+    assert np.linalg.norm(fix.vel - v_truth) < 0.5, (fix.vel, v_truth)
+
+
 def test_fix_on_reference_oracle_output(oracle_bin, fixtures_dir, tmp_path):
     """The software receiver must fix on the *reference C simulator's* own
     IQ bytes — closing the loop against the reference itself, independent
