@@ -65,9 +65,23 @@ class RealtimeSupervisor:
     synthesis failover, which could not help.
     """
 
-    #: consecutive over-budget checks before acting (one transient
-    #: scheduling hiccup must not abandon the device path)
+    #: consecutive over-threshold checks before acting when starvation is
+    #: NOT imminent (one transient scheduling hiccup inside the lead band
+    #: must not abandon the device path)
     GRACE_CHECKS = 2
+
+    #: act when lag exceeds this FRACTION of the FIFO pre-render budget.
+    #: The sink's pacer starves (underruns) when the lag reaches the FULL
+    #: budget, so the response must land while lead remains — firing at
+    #: exhaustion would mean the stream already has gaps by the time the
+    #: native engine takes over (fifo.c:97-148 starves silently at the
+    #: same point; the whole purpose of this watchdog is to act sooner).
+    #: Grace applies only inside the (ACT_FRACTION*budget, budget) band:
+    #: when the lag has already reached the budget, or its per-check
+    #: growth says it will before the next check (checks are spaced by
+    #: batch drains, which on a degraded path are exactly what is slow),
+    #: the supervisor acts immediately.
+    ACT_FRACTION = 0.5
 
     def __init__(self, cfg: SimConfig, sink: Sink, stats: RunStats):
         self.cfg = cfg
@@ -81,6 +95,7 @@ class RealtimeSupervisor:
             )
         self.failed_over = False
         self._strikes = 0
+        self._prev_lag: float | None = None
 
     def _event(self, msg: str) -> None:
         logger.warning("realtime: %s", msg)
@@ -91,11 +106,19 @@ class RealtimeSupervisor:
         the caller must switch synthesis to the native engine."""
         lag = (time.perf_counter() - t0) - self.stats.blocks * 0.1
         budget = 0.1 * self.cfg.fifo_depth
-        if lag <= budget:
+        if lag <= budget * self.ACT_FRACTION:
             self._strikes = 0
+            self._prev_lag = lag
             return None
+        growth = 0.0 if self._prev_lag is None else max(
+            0.0, lag - self._prev_lag
+        )
+        self._prev_lag = lag
         self._strikes += 1
-        if self._strikes < self.GRACE_CHECKS:
+        # Starving now (lag >= budget) or before the next check at the
+        # observed deficit rate: grace would only add stream gaps.
+        imminent = lag + growth >= budget
+        if self._strikes < self.GRACE_CHECKS and not imminent:
             return None
         self._strikes = 0
         underruns = getattr(self.sink, "underruns", 0)
@@ -444,11 +467,18 @@ def _run_batched(
                     if ahead > 0.1 * cfg.fifo_depth:
                         time.sleep(ahead - 0.1 * cfg.fifo_depth)
                     if supervisor.check(t0) == "failover":
-                        # Device path can't hold 1x: drain what's in
-                        # flight, then continue block-by-block on the
-                        # native sequential engine.
-                        while pending:
-                            drain_one()
+                        # Device path can't hold 1x. The in-flight
+                        # batches' PLANS are in hand and the native
+                        # engine is sequential-exact, so re-synthesize
+                        # them at native speed instead of fetching the
+                        # device buffers back through the very transport
+                        # that just proved too slow — that fetch could
+                        # itself exhaust the remaining FIFO lead. Then
+                        # continue block-by-block natively.
+                        _drain_pending_native(
+                            cfg, sink, sim, pending, stats, t0,
+                            on_block, base_index,
+                        )
                         sim.consistent_snapshot = None
                         _continue_native(
                             cfg, sink, sim, it, stats, t0, on_block,
@@ -469,6 +499,40 @@ def _run_batched(
         sink.close()
     stats.wall_seconds = time.perf_counter() - t0
     return stats
+
+
+def _drain_pending_native(
+    cfg: SimConfig, sink: Sink, sim: Simulation, pending, stats: RunStats,
+    t0: float, on_block, base_index: int,
+) -> None:
+    """Write the in-flight batches' blocks from the native engine at
+    RealtimeSupervisor failover, leaving the device buffers unread.
+
+    The device results would be byte-identical after strict corrections
+    (the native engine IS the strict-parity reference), but fetching
+    them rides the transport whose deficit may be the very reason the
+    watchdog fired; native synthesis (~13x realtime/core) restores the
+    sink's lead in milliseconds instead. Block accounting, noise keying,
+    checkpoint snapshots, and on_block hooks match drain_one exactly."""
+    synth_fn = _native_synth_fn(cfg)
+    bits = cfg.sample_format.value
+    if cfg.noise_std_lsb > 0.0:
+        from .noise import apply_awgn
+    while pending:
+        _out, _redispatch, done_plans, snap = pending.popleft()
+        for plan in done_plans:
+            blk = quantize_iq(np.asarray(synth_fn(plan)), bits)
+            if cfg.noise_std_lsb > 0.0:
+                blk = apply_awgn(blk, bits, cfg.noise_std_lsb,
+                                 cfg.noise_seed, 0,
+                                 base_index + stats.blocks)
+            sink.write(blk)
+            stats.blocks += 1
+            stats.samples += plan.num_samples
+        stats.wall_seconds = time.perf_counter() - t0
+        sim.consistent_snapshot = snap
+        if on_block is not None:
+            on_block(stats, sim, done_plans[-1])
 
 
 def _continue_native(

@@ -57,13 +57,18 @@ def test_supervisor_no_action_within_budget():
 
 
 def test_supervisor_grace_then_failover():
+    """A steady in-band deficit (above ACT_FRACTION*budget but not yet
+    starving) gets one grace check, then fails over — while lead
+    remains to cover the switch."""
     if not _seq_available():
         pytest.skip("native engine unavailable")
     stats = RunStats(blocks=0)
     sup = RealtimeSupervisor(_cfg(), _StubSink(), stats)
-    t0 = time.perf_counter() - 1.0  # 1 s behind, budget 0.2 s
+    # 0.15 s behind, budget 0.2 s: in the (0.1, 0.2) grace band, and not
+    # growing, so starvation is not imminent.
+    t0 = time.perf_counter() - 0.15
     assert sup.check(t0) is None  # first strike: grace
-    assert sup.check(t0) == "failover"
+    assert sup.check(t0) == "failover"  # second strike (growth ~ 0)
     assert stats.failovers == 1
     assert any("failing over" in e for e in stats.events)
     # once failed over, further deficits only log
@@ -71,13 +76,41 @@ def test_supervisor_grace_then_failover():
     assert sup.check(t0) is None
 
 
+def test_supervisor_starving_acts_without_grace():
+    """Lag at/above the FULL budget means the paced sink is already (or
+    imminently) starving: grace would only add stream gaps, so the very
+    first check acts."""
+    if not _seq_available():
+        pytest.skip("native engine unavailable")
+    stats = RunStats(blocks=0)
+    sup = RealtimeSupervisor(_cfg(), _StubSink(), stats)
+    t0 = time.perf_counter() - 1.0  # 1 s behind, budget 0.2 s
+    assert sup.check(t0) == "failover"
+    assert stats.failovers == 1
+
+
+def test_supervisor_growing_deficit_preempts_grace():
+    """In-band lag whose per-check growth will cross the budget before
+    the next check (checks are spaced by batch drains — slow on exactly
+    the degraded path) acts now instead of waiting out the grace."""
+    if not _seq_available():
+        pytest.skip("native engine unavailable")
+    stats = RunStats(blocks=0)
+    sup = RealtimeSupervisor(_cfg(), _StubSink(), stats)
+    t0 = time.perf_counter() - 0.02
+    assert sup.check(t0) is None  # healthy: records prev_lag ~0.02
+    time.sleep(0.13)  # lag now ~0.15: in band, growth ~0.13
+    # 0.15 + 0.13 >= 0.2 -> imminent, acts on this first strike
+    assert sup.check(t0) == "failover"
+    assert stats.failovers == 1
+
+
 def test_supervisor_policy_fail_attributes_synthesis():
     stats = RunStats(blocks=0)
     sup = RealtimeSupervisor(
         _cfg(realtime_policy="fail"), _StubSink(underruns=3), stats
     )
-    t0 = time.perf_counter() - 1.0
-    assert sup.check(t0) is None
+    t0 = time.perf_counter() - 1.0  # starving: acts on the first check
     with pytest.raises(RealtimeDeficitError, match="synthesis below 1x"):
         sup.check(t0)
     assert any("3 sink underruns" in e for e in stats.events)
@@ -214,3 +247,44 @@ def test_tcp_sink_backlogged_probe():
         sink.close()
         conn.close()
         srv.close()
+
+
+def test_realtime_failover_paced_tcp_zero_underruns(fixtures_dir, tmp_path):
+    """The failover must land BEFORE the paced sink starves: with the
+    supervisor acting at half the FIFO budget (ACT_FRACTION) and the
+    in-flight batches re-synthesized natively (never fetched back
+    through the slow path), a run whose device backend is far below 1x
+    streams its full paced TX with ZERO underruns — the gap the
+    reference cannot close (fifo.c:97-148 starves silently)."""
+    if not _seq_available():
+        pytest.skip("native engine unavailable")
+    from tests.test_sinks import _LoopbackServer
+
+    from gpssim_tpu.io.sinks import TcpSink
+
+    srv = _LoopbackServer()
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=4.0,
+        almanac_enable=False, backend=SynthBackend.JAX,
+        realtime=True, sink="tcp", fifo_depth=8,
+    )
+    sink = TcpSink(addr=f"127.0.0.1:{srv.port}", fifo_depth=8, pace=True)
+    stats = run_simulation(cfg, sink=sink)
+    underruns = sink.underruns
+    bytes_sent = sink.bytes_sent
+    sink.close()
+    srv.join()
+    assert stats.failovers == 1, stats.events
+    assert bytes_sent == stats.blocks * 600_000
+    assert len(srv.received) == bytes_sent
+    assert underruns == 0, f"{underruns} underruns across failover"
+
+    # And the paced, failed-over stream is byte-identical to an offline
+    # strict-parity run of the same scenario.
+    ref_cfg = dataclasses.replace(
+        cfg, realtime=False, backend=SynthBackend.NUMPY, sink="iqfile",
+        out_file=str(tmp_path / "ref_tcp.bin"),
+    )
+    run_simulation(ref_cfg)
+    ref = np.fromfile(ref_cfg.out_file, dtype=np.int8).tobytes()
+    assert bytes(srv.received) == ref
