@@ -26,6 +26,11 @@ class RunStats:
     retries: int = 0  # batches re-dispatched after a device error
     failovers: int = 0  # realtime backend failovers (RealtimeSupervisor)
     events: list = field(default_factory=list)  # attributed runtime events
+    #: seconds from the supervisor's failover decision to the first
+    #: native-engine block landing at the sink (None until a failover
+    #: completes its first native write) — the production recovery
+    #: latency, asserted bounded in tests/test_realtime_resilience.py
+    failover_latency_s: float | None = None
 
     @property
     def samples_per_second(self) -> float:
@@ -76,11 +81,10 @@ class RealtimeSupervisor:
     #: exhaustion would mean the stream already has gaps by the time the
     #: native engine takes over (fifo.c:97-148 starves silently at the
     #: same point; the whole purpose of this watchdog is to act sooner).
-    #: Grace applies only inside the (ACT_FRACTION*budget, budget) band:
-    #: when the lag has already reached the budget, or its per-check
-    #: growth says it will before the next check (checks are spaced by
-    #: batch drains, which on a degraded path are exactly what is slow),
-    #: the supervisor acts immediately.
+    #: Grace applies to the whole (ACT_FRACTION*budget, budget) band,
+    #: however fast the lag arrived there: a single transient spike from
+    #: a healthy lead must not abandon the device path. Only a lag at or
+    #: beyond the FULL budget — the sink is starving NOW — skips grace.
     ACT_FRACTION = 0.5
 
     def __init__(self, cfg: SimConfig, sink: Sink, stats: RunStats):
@@ -95,30 +99,30 @@ class RealtimeSupervisor:
             )
         self.failed_over = False
         self._strikes = 0
-        self._prev_lag: float | None = None
 
     def _event(self, msg: str) -> None:
         logger.warning("realtime: %s", msg)
         self.stats.events.append(msg)
 
-    def check(self, t0: float) -> str | None:
+    def check(self, t0: float, now: float | None = None) -> str | None:
         """Call after each written block/batch; returns 'failover' when
-        the caller must switch synthesis to the native engine."""
-        lag = (time.perf_counter() - t0) - self.stats.blocks * 0.1
+        the caller must switch synthesis to the native engine. ``now``
+        overrides the clock sample for deterministic unit tests."""
+        if now is None:
+            now = time.perf_counter()
+        lag = (now - t0) - self.stats.blocks * 0.1
         budget = 0.1 * self.cfg.fifo_depth
         if lag <= budget * self.ACT_FRACTION:
             self._strikes = 0
-            self._prev_lag = lag
             return None
-        growth = 0.0 if self._prev_lag is None else max(
-            0.0, lag - self._prev_lag
-        )
-        self._prev_lag = lag
         self._strikes += 1
-        # Starving now (lag >= budget) or before the next check at the
-        # observed deficit rate: grace would only add stream gaps.
-        imminent = lag + growth >= budget
-        if self._strikes < self.GRACE_CHECKS and not imminent:
+        # In-band lag (below the full budget) gets the grace window
+        # regardless of its growth rate — growth measured against a
+        # healthy sample is just the lag itself, so acting on it would
+        # turn every one-off scheduling hiccup into an irreversible
+        # failover (advisor r3). Lag >= budget is starving now: grace
+        # would only add stream gaps, act on the first strike.
+        if self._strikes < self.GRACE_CHECKS and lag < budget:
             return None
         self._strikes = 0
         underruns = getattr(self.sink, "underruns", 0)
@@ -263,6 +267,7 @@ def run_simulation(
 
     stats = RunStats()
     supervisor = RealtimeSupervisor(cfg, sink, stats) if cfg.realtime else None
+    t_act: float | None = None  # failover decision time (latency metric)
     t0 = time.perf_counter()
     try:
         tp = time.perf_counter()
@@ -279,6 +284,8 @@ def run_simulation(
                                  cfg.noise_seed, 0,
                                  base_index + stats.blocks)
             sink.write(blk)
+            if t_act is not None and stats.failover_latency_s is None:
+                stats.failover_latency_s = time.perf_counter() - t_act
             stats.blocks += 1
             stats.samples += plan.num_samples
             stats.wall_seconds = te - t0
@@ -293,6 +300,7 @@ def run_simulation(
                 if ahead > 0.1 * cfg.fifo_depth:
                     time.sleep(ahead - 0.1 * cfg.fifo_depth)
                 if supervisor.check(t0) == "failover":
+                    t_act = time.perf_counter()
                     synth_fn = _native_synth_fn(cfg)
             tp = time.perf_counter()
     finally:
@@ -475,15 +483,17 @@ def _run_batched(
                         # that just proved too slow — that fetch could
                         # itself exhaust the remaining FIFO lead. Then
                         # continue block-by-block natively.
-                        _drain_pending_native(
+                        t_act = time.perf_counter()
+                        stopped = _drain_pending_native(
                             cfg, sink, sim, pending, stats, t0,
-                            on_block, base_index,
+                            on_block, stop, base_index, t_act,
                         )
-                        sim.consistent_snapshot = None
-                        _continue_native(
-                            cfg, sink, sim, it, stats, t0, on_block,
-                            stop, base_index,
-                        )
+                        if not stopped:
+                            sim.consistent_snapshot = None
+                            _continue_native(
+                                cfg, sink, sim, it, stats, t0, on_block,
+                                stop, base_index, t_act,
+                            )
                         return stats
             if not plans and not pending:
                 # Normal completion: live state matches the written blocks
@@ -501,52 +511,19 @@ def _run_batched(
     return stats
 
 
-def _drain_pending_native(
-    cfg: SimConfig, sink: Sink, sim: Simulation, pending, stats: RunStats,
-    t0: float, on_block, base_index: int,
-) -> None:
-    """Write the in-flight batches' blocks from the native engine at
-    RealtimeSupervisor failover, leaving the device buffers unread.
-
-    The device results would be byte-identical after strict corrections
-    (the native engine IS the strict-parity reference), but fetching
-    them rides the transport whose deficit may be the very reason the
-    watchdog fired; native synthesis (~13x realtime/core) restores the
-    sink's lead in milliseconds instead. Block accounting, noise keying,
-    checkpoint snapshots, and on_block hooks match drain_one exactly."""
+def _make_native_writer(cfg: SimConfig, sink: Sink, stats: RunStats,
+                        t0: float, base_index: int, t_act: float):
+    """Per-block native synth→quantize→noise→write→stats sequence shared
+    by the failover drain and continuation paths (single-sourced so
+    accounting and noise keying cannot drift between them). Also records
+    RunStats.failover_latency_s — decision to first native block at the
+    sink — on the first write."""
     synth_fn = _native_synth_fn(cfg)
     bits = cfg.sample_format.value
     if cfg.noise_std_lsb > 0.0:
         from .noise import apply_awgn
-    while pending:
-        _out, _redispatch, done_plans, snap = pending.popleft()
-        for plan in done_plans:
-            blk = quantize_iq(np.asarray(synth_fn(plan)), bits)
-            if cfg.noise_std_lsb > 0.0:
-                blk = apply_awgn(blk, bits, cfg.noise_std_lsb,
-                                 cfg.noise_seed, 0,
-                                 base_index + stats.blocks)
-            sink.write(blk)
-            stats.blocks += 1
-            stats.samples += plan.num_samples
-        stats.wall_seconds = time.perf_counter() - t0
-        sim.consistent_snapshot = snap
-        if on_block is not None:
-            on_block(stats, sim, done_plans[-1])
 
-
-def _continue_native(
-    cfg: SimConfig, sink: Sink, sim: Simulation, it, stats: RunStats,
-    t0: float, on_block, stop, base_index: int,
-) -> None:
-    """Finish a realtime run block-by-block on the native engine after a
-    RealtimeSupervisor failover. Stats/noise keying/pacing continue
-    seamlessly; the caller's finally-clause closes the sink."""
-    synth_fn = _native_synth_fn(cfg)
-    bits = cfg.sample_format.value
-    if cfg.noise_std_lsb > 0.0:
-        from .noise import apply_awgn
-    for plan in it:
+    def write_block(plan) -> None:
         ts = time.perf_counter()
         iq16 = np.asarray(synth_fn(plan))
         stats.synth_seconds += time.perf_counter() - ts
@@ -555,9 +532,54 @@ def _continue_native(
             blk = apply_awgn(blk, bits, cfg.noise_std_lsb,
                              cfg.noise_seed, 0, base_index + stats.blocks)
         sink.write(blk)
+        if stats.failover_latency_s is None:
+            stats.failover_latency_s = time.perf_counter() - t_act
         stats.blocks += 1
         stats.samples += plan.num_samples
         stats.wall_seconds = time.perf_counter() - t0
+
+    return write_block
+
+
+def _drain_pending_native(
+    cfg: SimConfig, sink: Sink, sim: Simulation, pending, stats: RunStats,
+    t0: float, on_block, stop, base_index: int, t_act: float,
+) -> bool:
+    """Write the in-flight batches' blocks from the native engine at
+    RealtimeSupervisor failover, leaving the device buffers unread.
+
+    The device results would be byte-identical after strict corrections
+    (the native engine IS the strict-parity reference), but fetching
+    them rides the transport whose deficit may be the very reason the
+    watchdog fired; native synthesis (~13x realtime/core) restores the
+    sink's lead in milliseconds instead. Block accounting, noise keying,
+    checkpoint snapshots, and on_block hooks match drain_one exactly.
+    Returns True when stop() ended the run between batches."""
+    write_block = _make_native_writer(cfg, sink, stats, t0, base_index,
+                                      t_act)
+    while pending:
+        _out, _redispatch, done_plans, snap = pending.popleft()
+        for plan in done_plans:
+            write_block(plan)
+        sim.consistent_snapshot = snap
+        if on_block is not None:
+            on_block(stats, sim, done_plans[-1])
+        if stop is not None and stop():
+            return True
+    return False
+
+
+def _continue_native(
+    cfg: SimConfig, sink: Sink, sim: Simulation, it, stats: RunStats,
+    t0: float, on_block, stop, base_index: int, t_act: float,
+) -> None:
+    """Finish a realtime run block-by-block on the native engine after a
+    RealtimeSupervisor failover. Stats/noise keying/pacing continue
+    seamlessly; the caller's finally-clause closes the sink."""
+    write_block = _make_native_writer(cfg, sink, stats, t0, base_index,
+                                      t_act)
+    for plan in it:
+        write_block(plan)
         if on_block is not None:
             on_block(stats, sim, plan)
         if stop is not None and stop():
