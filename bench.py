@@ -19,9 +19,16 @@ Measured sections (all fields land in the JSON line):
     D2H fetch (on this rig that transport is a ~40 MB/s dev tunnel — see
     PERFORMANCE.md "End-to-end" for the decomposition).
 
+Measured sections also include:
+  * fleet sink      — N concurrent paced TCP streams from one batched
+    pipeline: aggregate bytes-at-sink at N x realtime, zero underruns
+    (failing over to the native engine where the transport can't carry
+    the device path — on this rig, the dev tunnel).
+
 Env knobs: BENCH_DURATION_SEC, BENCH_BATCH_BLOCKS, BENCH_KERNEL
-(pallas|fused|xla), BENCH_E2E_SEC, BENCH_SINK_SEC, BENCH_PLATFORM,
-BENCH_CPU_DEVICES, BENCH_SKIP_E2E=1.
+(pallas|fused|xla), BENCH_E2E_SEC, BENCH_E2E_WINDOW, BENCH_SINK_SEC,
+BENCH_FLEET_STREAMS, BENCH_FLEET_SEC, BENCH_PLATFORM,
+BENCH_CPU_DEVICES, BENCH_SKIP_E2E=1, BENCH_SKIP_FLEET=1.
 """
 
 from __future__ import annotations
@@ -56,15 +63,19 @@ def _measure_e2e(cfg, kernel, n_rows, duration_label):
     import jax.numpy as jnp
 
     from gpssim_tpu.config import CarrierMode
-    from gpssim_tpu.ops.synth_seq import seq_available, seq_corrections
+    from gpssim_tpu.ops.synth_seq import (
+        seq_available, seq_corrections_window,
+    )
     from gpssim_tpu.parallel.blocks import collate_plans
     from gpssim_tpu.runner import strict_parity_enabled
     from gpssim_tpu.scenario import Simulation
 
+    from concurrent.futures import ThreadPoolExecutor
+
     int_nco = cfg.carrier_mode is CarrierMode.INT_NCO
     strict = strict_parity_enabled(cfg)
     sim = Simulation(cfg)
-    W = int(os.environ.get("BENCH_E2E_WINDOW", "100"))
+    W = int(os.environ.get("BENCH_E2E_WINDOW", "256"))
     it = sim.iter_plans()
 
     # Warm the compile cache with one full-shape window (not timed).
@@ -81,32 +92,50 @@ def _measure_e2e(cfg, kernel, n_rows, duration_label):
     # are stacked and fetched ONCE at the end — the one-device stream
     # executes in order, so the fetch is a full completion barrier
     # without paying this rig's ~27 ms tunnel round-trip per window.
+    # The H2D transfer of the NEXT window's args additionally overlaps
+    # the current window's corrections screen via a one-deep device_put
+    # lookahead (the transfer releases the GIL; on this rig it rides
+    # the ~40 MB/s dev tunnel and would otherwise serialize).
+    pool = ThreadPoolExecutor(max_workers=1)
     t0 = time.perf_counter()
     blocks = 0
     sums = []
     t_plan = t_collate = t_corr = 0.0
-    while True:
+
+    def _next_window():
         ts = time.perf_counter()
         plans = list(itertools.islice(it, W))
-        t_plan += time.perf_counter() - ts
+        dt_p = time.perf_counter() - ts
         if not plans:
-            break
+            return None, dt_p, 0.0
         if len(plans) < W:
             plans += [plans[-1]] * (W - len(plans))
         ts = time.perf_counter()
-        batch = collate_plans(plans, int_nco=int_nco)
-        t_collate += time.perf_counter() - ts
-        out = kernel(**batch.args, n_rows=n_rows,
+        b = collate_plans(plans, int_nco=int_nco)
+        put = pool.submit(
+            lambda a: {k: jax.device_put(v) for k, v in a.items()}, b.args
+        )
+        return (plans, b, put), dt_p, time.perf_counter() - ts
+
+    cur, dt_p, dt_c = _next_window()
+    t_plan += dt_p
+    t_collate += dt_c
+    while cur is not None:
+        plans, batch, put = cur
+        out = kernel(**put.result(), n_rows=n_rows,
                      num_samples=batch.num_samples, out_bits=8)
         sums.append(out.sum())  # async scalar reduction
+        cur, dt_p, dt_c = _next_window()  # submits next H2D immediately
+        t_plan += dt_p
+        t_collate += dt_c
         if strict and seq_available():
             ts = time.perf_counter()
-            for p in plans:
-                seq_corrections(p, int_nco=int_nco)
+            seq_corrections_window(plans, int_nco=int_nco)
             t_corr += time.perf_counter() - ts
         blocks += len(plans)
     _ = jax.device_get(jnp.stack(sums))  # one round trip
     dt = time.perf_counter() - t0
+    pool.shutdown()
     sps = blocks * cfg.samples_per_epoch / dt
     # Host-pipeline capacity: the measured host stages alone. The gap
     # between this and the wall number above is per-dispatch transport
@@ -121,6 +150,98 @@ def _measure_e2e(cfg, kernel, n_rows, duration_label):
         f"plan {t_plan:.2f}s, collate {t_collate:.2f}s, corrections "
         f"{t_corr:.2f}s -> host capacity {host_sps/1e6:.0f} Msps)")
     return sps, host_sps
+
+
+def _measure_fleet_sink(nav: str, on_tpu: bool):
+    """N concurrent paced TCP streams from ONE batched pipeline
+    (VERDICT r3 item 5): aggregate bytes-at-sink must hold N x realtime
+    with zero underruns.
+
+    On this rig the device path's D2H rides the ~40 MB/s dev tunnel,
+    which cannot carry 8 int8 streams at 3 Msps (48 MB/s) — the fleet
+    supervisor detects the deficit and fails the pipeline over to the
+    native sequential engine (strict-parity: byte-identical stream),
+    which sustains the fleet from one host core. On a PCIe-attached
+    production host the device path carries it directly and no failover
+    fires. Either way the recorded contract is the same: every paced
+    byte arrives on time.
+    """
+    import socket
+    import threading
+
+    from gpssim_tpu.config import (
+        LocationConfig, SampleFormat, SimConfig, SynthBackend,
+    )
+    from gpssim_tpu.fleet import run_fleet
+    from gpssim_tpu.io.sinks import TcpSink
+
+    n = int(os.environ.get("BENCH_FLEET_STREAMS", "8"))
+    sec = float(os.environ.get("BENCH_FLEET_SEC", "12"))
+
+    class _Reader:
+        """Accept one connection and count every received byte."""
+
+        def __init__(self):
+            self.srv = socket.socket()
+            self.srv.bind(("127.0.0.1", 0))
+            self.srv.listen(1)
+            self.port = self.srv.getsockname()[1]
+            self.nbytes = 0
+            self._t = threading.Thread(target=self._run, daemon=True)
+            self._t.start()
+
+        def _run(self):
+            conn, _ = self.srv.accept()
+            with conn:
+                while True:
+                    data = conn.recv(1 << 16)
+                    if not data:
+                        return
+                    self.nbytes += len(data)
+
+        def join(self):
+            self._t.join(30)
+            self.srv.close()
+
+    cfgs = [
+        SimConfig(
+            nav_file=nav, duration_sec=sec, almanac_enable=False,
+            realtime=True, fifo_depth=8, sink="tcp",
+            sample_format=SampleFormat.IQ8,
+            backend=(SynthBackend.PALLAS if on_tpu else SynthBackend.JAX),
+            location=LocationConfig(35.0 + 0.1 * i, 139.0 + 0.1 * i, 10.0),
+        )
+        for i in range(n)
+    ]
+    readers = [_Reader() for _ in range(n)]
+    sinks = [
+        TcpSink(addr=f"127.0.0.1:{r.port}", fifo_depth=8, pace=True,
+                start_timeout_s=600.0)
+        for r in readers
+    ]
+    t0 = time.perf_counter()
+    stats = run_fleet(cfgs, sinks=sinks)
+    wall = time.perf_counter() - t0
+    underruns = sum(s.underruns for s in sinks)
+    for s, r in zip(sinks, readers):
+        s.close()
+        r.join()
+    agg_bytes = sum(r.nbytes for r in readers)
+    agg_sps = agg_bytes / 2 / wall  # int8 I+Q -> bytes = 2*samples
+    blocks = sum(st.blocks for st in stats)
+    log(f"fleet sink: {n} paced TCP streams, {blocks} blocks, "
+        f"{agg_bytes/1e6:.0f} MB at sinks in {wall:.1f}s = "
+        f"{agg_sps/1e6:.1f} Msps aggregate ({agg_sps/3e6:.1f}x RT, "
+        f"target {n}x), underruns={underruns}, "
+        f"failovers={stats[0].failovers}, "
+        f"failover_latency={stats[0].failover_latency_s}")
+    return {
+        "fleet_sink_streams": n,
+        "fleet_sink_agg_msps": round(agg_sps / 1e6, 1),
+        "fleet_sink_x_rt": round(agg_sps / 3e6, 2),
+        "fleet_sink_underruns": underruns,
+        "fleet_sink_failovers": stats[0].failovers,
+    }
 
 
 def main() -> None:
@@ -347,6 +468,10 @@ def main() -> None:
         log(f"e2e bytes-at-sink (incl. D2H transport): "
             f"{sink_sps/1e6:.1f} Msps over {st.blocks} blocks")
 
+    fleet_sink = None
+    if os.environ.get("BENCH_SKIP_FLEET", "0") != "1":
+        fleet_sink = _measure_fleet_sink(nav, on_tpu)
+
     result = {
         "metric": "IQ samples/s/chip (3.0 Msps L1 scenario, 12 channels)",
         "value": round(sps / n_dev, 1),
@@ -369,6 +494,8 @@ def main() -> None:
         result["e2e_int_nco_msps"] = round(e2e_nco_sps / 1e6, 1)
         result["e2e_int_nco_host_msps"] = round(e2e_nco_host / 1e6, 1)
         result["e2e_sink_msps"] = round(sink_sps / 1e6, 1)
+    if fleet_sink is not None:
+        result.update(fleet_sink)
     if n_dev > 1:
         result["n_devices"] = n_dev
         result["aggregate_samples_per_s"] = round(sps, 1)

@@ -44,11 +44,17 @@ def _check_compatible(cfgs: list[SimConfig]) -> None:
             f"jax or pallas, got {c0.backend.name.lower()}"
         )
     for i, c in enumerate(cfgs):
-        if c.realtime or c.interactive:
+        if c.interactive:
             raise ValueError(
-                f"fleet member {i} sets realtime/interactive; fleet mode "
-                "is an offline bulk-generation pipeline with no pacing — "
-                "run paced/interactive scenarios through run_simulation"
+                f"fleet member {i} sets interactive; mid-run command "
+                "handling is per-scenario — run interactive scenarios "
+                "through run_simulation"
+            )
+        if c.realtime != cfgs[0].realtime:
+            raise ValueError(
+                f"fleet member {i} disagrees with member 0 on realtime; "
+                "a fleet paces as one pipeline — all members must share "
+                "the flag"
             )
         for opt in ("checkpoint_file", "profile_dir", "metrics_file"):
             if getattr(c, opt):
@@ -201,6 +207,17 @@ def run_fleet(
     blocks traffic-free across devices, channels psum'd over ICI — so the
     fleet scales to a pod slice exactly like a single scenario; sharding
     is bit-identical by the same integer-sum argument.
+
+    Realtime fleets (every member sets cfg.realtime, e.g. N paced TCP
+    streams) pace the shared pipeline to wall clock on the slowest
+    member's written signal time, bound each member's lead to the FIFO
+    depth (the reference's 8-buffer pipeline latency, sdr.h:24), and run
+    under the same RealtimeSupervisor as single scenarios: a sustained
+    aggregate deficit attributed to synthesis fails the whole fleet over
+    to the native sequential engine (strict-parity streams continue
+    byte-identically); transport-bound deficits (some sink backlogged)
+    are attributed and logged, never failed over. Supervisor events /
+    failover count / failover latency are reported on member 0's stats.
     """
     import itertools
 
@@ -219,7 +236,7 @@ def run_fleet(
         )
     strict = strict_parity_enabled(cfg0)
     if strict:
-        from .ops.synth_seq import apply_corrections, seq_corrections
+        from .ops.synth_seq import apply_corrections, seq_corrections_window
     if any(c.noise_std_lsb > 0.0 for c in cfgs):
         from .noise import apply_awgn
 
@@ -235,12 +252,28 @@ def run_fleet(
     # configured dispatch window if that is larger — whichever keeps the
     # device saturated. The compiled shape is fixed after the first full
     # batch; short tails are padded (and dropped) like the single-scenario
-    # runner, to never recompile mid-run.
-    W = window if window is not None else max(cfg0.dispatch_blocks, len(cfgs))
+    # runner, to never recompile mid-run. Realtime fleets instead bound
+    # the window so each member runs at most fifo_depth blocks ahead of
+    # its written stream with 2 batches in flight (the single-scenario
+    # runner's latency bound, round-robin across members).
+    realtime = cfg0.realtime
+    if window is not None:
+        W = window
+    elif realtime:
+        W = len(cfgs) * max(1, cfg0.fifo_depth // 2)
+    else:
+        W = max(cfg0.dispatch_blocks, len(cfgs))
     if mesh is not None:
         W += (-W) % nb  # full batches divide evenly over the blocks axis
 
     stats = [RunStats() for _ in cfgs]
+    if realtime:
+        from .runner import RealtimeSupervisor
+
+        agg = RunStats()  # slowest-member view the supervisor watches
+        supervisor = RealtimeSupervisor(
+            cfg0, _FleetTransportView(sinks), agg
+        )
     t0 = time.perf_counter()
     it = _interleave_plans(sims)
     pending: deque = deque()  # (device_out, redispatch, [(member, plan)])
@@ -268,8 +301,12 @@ def run_fleet(
                 # distinct extent is a fresh kernel compile (minutes
                 # through a remote compile service; measured dominating a
                 # 50-member run). Multiple-of-4 extents bound it to ≤3
-                # shapes while keeping most of the density win.
+                # shapes while keeping most of the density win. Realtime
+                # fleets keep the full channel axis — one compiled shape
+                # for the whole run, a mid-TX recompile being fatal for
+                # paced streams (same rule as the single-scenario runner).
                 batch = collate_plans(padded, int_nco=int_nco,
+                                      compact=not realtime,
                                       compact_multiple=4)
 
                 if mesh is None:
@@ -295,12 +332,16 @@ def run_fleet(
                 out, redispatch, done = pending.popleft()
                 host, retried = fetch_batch(out, redispatch)
                 stats[0].retries += retried  # one re-dispatch, booked once
+                corrs = (
+                    seq_corrections_window(
+                        [p for _, p in done], int_nco=int_nco
+                    )
+                    if strict else None
+                )
                 for k, (member, plan) in enumerate(done):
                     blk = host[k]
                     if strict:
-                        idx, i16, q16, _, _ = seq_corrections(
-                            plan, int_nco=int_nco
-                        )
+                        idx, i16, q16 = corrs[k]
                         blk = apply_corrections(blk, bits, idx, i16, q16)
                     mc = cfgs[member]
                     if mc.noise_std_lsb > 0.0:
@@ -317,6 +358,26 @@ def run_fleet(
                     st.wall_seconds = time.perf_counter() - t0
                 if on_batch is not None:
                     on_batch(stats)
+                if realtime:
+                    # Pace to wall clock on the slowest member (the FIFO
+                    # handles fine-grained backpressure; this guards the
+                    # no-consumer case), then watchdog the aggregate.
+                    agg.blocks = min(st.blocks for st in stats)
+                    ahead = agg.blocks * 0.1 - (time.perf_counter() - t0)
+                    if ahead > 0.1 * cfg0.fifo_depth:
+                        time.sleep(ahead - 0.1 * cfg0.fifo_depth)
+                    if supervisor.check(t0) == "failover":
+                        # Whole-fleet failover: re-synthesize the
+                        # in-flight batches' plans natively (never fetch
+                        # through the deficient path) and finish the
+                        # round-robin on the native engine — exactly the
+                        # single-scenario policy, N streams at once.
+                        t_act = time.perf_counter()
+                        _fleet_native_tail(
+                            cfgs, sinks, pending, it, stats, agg, t0,
+                            base_index, on_batch, stop, t_act,
+                        )
+                        break
             if not tagged and not pending:
                 break
             if stop is not None and stop():
@@ -328,4 +389,89 @@ def run_fleet(
     for st in stats:
         if st.blocks:
             st.wall_seconds = wall
+    if realtime:
+        # Surface the supervisor's verdicts on member 0 (the per-member
+        # stats list is the return contract).
+        stats[0].events.extend(agg.events)
+        stats[0].failovers += agg.failovers
+        if stats[0].failover_latency_s is None:
+            stats[0].failover_latency_s = agg.failover_latency_s
     return stats
+
+
+class _FleetTransportView:
+    """Aggregate sink facade for the RealtimeSupervisor: a fleet is
+    transport-bound when ANY member's sink is backlogged (that stream's
+    consumer is below the DAC rate — a synthesis failover cannot help),
+    and its underrun count is the fleet total."""
+
+    def __init__(self, sinks):
+        self._sinks = sinks
+
+    @property
+    def backlogged(self) -> bool:
+        return any(getattr(s, "backlogged", False) for s in self._sinks)
+
+    @property
+    def underruns(self) -> int:
+        return sum(getattr(s, "underruns", 0) for s in self._sinks)
+
+
+def _fleet_native_tail(
+    cfgs, sinks, pending, it, stats, agg, t0, base_index, on_batch, stop,
+    t_act,
+) -> None:
+    """Finish a realtime fleet on the native sequential engine after a
+    supervisor failover: first the in-flight batches' plans (device
+    buffers left unread), then the remaining round-robin, paced on the
+    slowest member. Noise keying and block accounting match the batched
+    drain exactly, so strict-parity member streams stay byte-identical
+    to solo runs."""
+    from .ops.synth_numpy import quantize_iq
+    from .runner import _native_synth_fn
+
+    cfg0 = cfgs[0]
+    synth_fn = _native_synth_fn(cfg0)
+    bits = cfg0.sample_format.value
+    if any(c.noise_std_lsb > 0.0 for c in cfgs):
+        from .noise import apply_awgn
+
+    def write_one(member: int, plan) -> None:
+        iq16 = np.asarray(synth_fn(plan))
+        blk = quantize_iq(iq16, bits)
+        mc = cfgs[member]
+        if mc.noise_std_lsb > 0.0:
+            blk = apply_awgn(
+                blk, bits, mc.noise_std_lsb, mc.noise_seed, 0,
+                base_index[member] + stats[member].blocks,
+            )
+        sinks[member].write(blk)
+        if agg.failover_latency_s is None:
+            agg.failover_latency_s = time.perf_counter() - t_act
+        st = stats[member]
+        st.blocks += 1
+        st.samples += plan.num_samples
+        st.wall_seconds = time.perf_counter() - t0
+
+    while pending:
+        _out, _redispatch, done = pending.popleft()
+        for member, plan in done:
+            write_one(member, plan)
+        if on_batch is not None:
+            on_batch(stats)
+        if stop is not None and stop():
+            return
+    writes = 0
+    for member, plan in it:
+        write_one(member, plan)
+        writes += 1
+        if writes % len(cfgs) == 0:  # once per fleet round
+            if on_batch is not None:
+                on_batch(stats)
+            if stop is not None and stop():
+                return
+            ahead = min(st.blocks for st in stats) * 0.1 - (
+                time.perf_counter() - t0
+            )
+            if ahead > 0.1 * cfg0.fifo_depth:
+                time.sleep(ahead - 0.1 * cfg0.fifo_depth)

@@ -82,6 +82,14 @@ def _lib():
             [c.c_long, c.c_long, c.c_double, c.c_int, c.c_int]
             + [c.c_void_p] * 18      # active..dwrd, LUTs, out, end state
         )
+        if hasattr(lib, "gseq_diff_window"):
+            lib.gseq_diff_window.restype = c.c_long
+            lib.gseq_diff_window.argtypes = (
+                [c.c_long, c.c_long, c.c_long, c.c_double, c.c_int]
+                + [c.c_void_p] * 15  # active..dwrd, sin/cos LUTs
+                + [c.c_long]         # max_out (per block)
+                + [c.c_void_p] * 4   # out_idx/i/q, out_n
+            )
         _configured = True
     return lib
 
@@ -184,6 +192,78 @@ def seq_corrections(
     if n == -2:
         raise ValueError(f"more than {max_out} corrections in one block")
     return out_idx[:n], out_i[:n], out_q[:n], end_carr, end_carr_i
+
+
+def seq_corrections_window(
+    plans: list[BlockPlan], int_nco: bool = False, max_out: int = 512,
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Corrections for a whole dispatch window in ONE native call.
+
+    Identical results to calling :func:`seq_corrections` per plan (the
+    native side runs the same gseq_diff_block per stacked block — fanned
+    over threads on multi-core hosts), but the per-block Python/ctypes
+    marshalling collapses to one vectorized stack per field, removing
+    the strict-parity pipeline's per-block constant cost (VERDICT r3
+    item 3).  Returns [(idx, i16, q16), ...] aligned with ``plans``.
+
+    A block overflowing ``max_out`` corrections (never observed — the
+    screen yields ~0/block) falls back to the per-plan path, which
+    raises its descriptive error.
+    """
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native sequential engine unavailable")
+    if not plans:
+        return []
+    if not hasattr(lib, "gseq_diff_window"):  # stale .so on disk
+        return [
+            seq_corrections(p, int_nco=int_nco)[:3] for p in plans
+        ]
+    B = len(plans)
+    C = plans[0].num_channels
+    cv = ctypes.c_void_p
+
+    def stack(name, dt):
+        return np.ascontiguousarray(
+            np.stack([getattr(p, name) for p in plans]), dtype=dt
+        )
+
+    active = stack("active", np.uint8)
+    args = [
+        stack("code_phase", np.float64), stack("f_code", np.float64),
+        stack("carr_phase", np.float64), stack("f_carr", np.float64),
+        stack("carr_phase_i", np.uint32), stack("carr_step_i", np.int32),
+        stack("gain", np.float64), stack("iword", np.int64),
+        stack("ibit", np.int64), stack("icode", np.int64),
+        stack("ca", np.int8), stack("dwrd", np.uint32),
+    ]
+    out_idx = np.empty(B * max_out, dtype=np.int64)
+    out_i = np.empty(B * max_out, dtype=np.int16)
+    out_q = np.empty(B * max_out, dtype=np.int16)
+    out_n = np.empty(B, dtype=np.int64)
+    rc = lib.gseq_diff_window(
+        B, C, int(plans[0].num_samples), float(plans[0].delt),
+        int(int_nco), active.ctypes.data_as(cv),
+        *[a.ctypes.data_as(cv) for a in args],
+        _SIN_F64.ctypes.data_as(cv), _COS_F64.ctypes.data_as(cv),
+        max_out,
+        out_idx.ctypes.data_as(cv), out_i.ctypes.data_as(cv),
+        out_q.ctypes.data_as(cv), out_n.ctypes.data_as(cv),
+    )
+    if rc == -2:
+        # per-plan path sizes its buffer larger and reports precisely
+        return [seq_corrections(p, int_nco=int_nco)[:3] for p in plans]
+    if rc != 0:
+        raise ValueError(
+            "invalid block plan in window for sequential replay "
+            "(data-word index out of range or too many channels)"
+        )
+    out = []
+    for b in range(B):
+        n = int(out_n[b])
+        s = b * max_out
+        out.append((out_idx[s:s + n], out_i[s:s + n], out_q[s:s + n]))
+    return out
 
 
 def apply_corrections(

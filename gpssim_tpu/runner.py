@@ -378,7 +378,7 @@ def _run_batched(
     W = window if window is not None else cfg.dispatch_blocks
     strict = strict_parity_enabled(cfg)
     if strict:
-        from .ops.synth_seq import apply_corrections, seq_corrections
+        from .ops.synth_seq import apply_corrections, seq_corrections_window
     base_index = sim.next_block_index  # noise keying (resume-stable)
     if cfg.noise_std_lsb > 0.0:
         from .noise import apply_awgn
@@ -406,12 +406,14 @@ def _run_batched(
         out, redispatch, done_plans, snap = pending.popleft()
         host, retried = fetch_batch(out, redispatch)  # quantized
         stats.retries += retried
+        corrs = (
+            seq_corrections_window(done_plans, int_nco=int_nco)
+            if strict else None
+        )
         for i, plan in enumerate(done_plans):
             blk = host[i]
             if strict:
-                idx, i16, q16, _, _ = seq_corrections(
-                    plan, int_nco=int_nco
-                )
+                idx, i16, q16 = corrs[i]
                 blk = apply_corrections(blk, bits, idx, i16, q16)
             if cfg.noise_std_lsb > 0.0:
                 blk = apply_awgn(blk, bits, cfg.noise_std_lsb,

@@ -39,6 +39,8 @@ def test_profile_capture(fixtures_dir, tmp_path):
     assert any(f.endswith(".xplane.pb") for f in found), found
 
 
+@pytest.mark.slow  # needs >30 s of signal; resume bit-exactness itself
+# is covered by the (fast) test_checkpoint.py suite
 def test_checkpoint_and_metrics_at_30s_cadence(fixtures_dir, tmp_path):
     import json
 

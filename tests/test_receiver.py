@@ -308,6 +308,7 @@ def test_pvt_solver_raim_rejects_outlier(fixtures_dir):
     assert abs(fix.t_rx - t_rx) < 1e-9
 
 
+@pytest.mark.slow
 def test_moving_receiver_pvt(fixtures_dir, tmp_path):
     """Full PVT on a dynamic platform: the circle-motion scenario (6.3 m/s,
     1.5 m/s² — the reference's canonical motion fixture) must yield a
@@ -415,6 +416,7 @@ def test_interactive_command_moves_receiver_fix(fixtures_dir, tmp_path):
     assert np.linalg.norm(fix.vel - v_truth) < 0.5, (fix.vel, v_truth)
 
 
+@pytest.mark.slow
 def test_fix_on_reference_oracle_output(oracle_bin, fixtures_dir, tmp_path):
     """The software receiver must fix on the *reference C simulator's* own
     IQ bytes — closing the loop against the reference itself, independent

@@ -295,6 +295,39 @@ def test_native_full_synth_matches_patched_numpy(fixtures_dir):
             assert np.array_equal(quantize_iq(want16, 8), got8)
 
 
+def test_seq_corrections_window_matches_per_plan(fixtures_dir, monkeypatch):
+    """The window-batched native screen (one call per dispatch window,
+    blocks fanned over threads) must return exactly the per-plan
+    results — on real scenario windows, on a window containing a
+    guaranteed-divergent plan, and under a forced threaded schedule."""
+    from gpssim_tpu.config import SimConfig
+    from gpssim_tpu.ops.synth_seq import seq_corrections_window
+    from gpssim_tpu.scenario import Simulation
+
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=1.0,
+        almanac_enable=False,
+    )
+    for int_nco in (False, True):
+        plans = list(Simulation(cfg).iter_plans())
+        win = seq_corrections_window(plans, int_nco=int_nco)
+        assert len(win) == len(plans)
+        for p, (idx, i16, q16) in zip(plans, win):
+            a, b, c, _, _ = seq_corrections(p, int_nco=int_nco)
+            assert np.array_equal(idx, a)
+            assert np.array_equal(i16, b)
+            assert np.array_equal(q16, c)
+
+    # Window with guaranteed non-empty corrections, threads forced on.
+    plan, idx, i16, q16, _ = _found()
+    monkeypatch.setenv("GPSSIM_CHAIN_THREADS", "3")
+    win = seq_corrections_window([plan, plan, plan])
+    for got_idx, got_i, got_q in win:
+        assert np.array_equal(got_idx, idx)
+        assert np.array_equal(got_i, i16)
+        assert np.array_equal(got_q, q16)
+
+
 def test_native_full_synth_on_divergent_plan():
     """On the constructed boundary-flip plan the native full synth must
     agree with the patched closed form (i.e., both sequential-exact)."""
