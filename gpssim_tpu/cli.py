@@ -191,7 +191,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Run one scenario per roster row "
                         "(lat,lon,height[,out_file]) through a single "
                         "batched device pipeline; other flags form the "
-                        "base scenario. iqfile/null sinks only")
+                        "base scenario. iqfile/null/tcp sinks (tcp "
+                        "members stream to consecutive ports from the "
+                        "-U base address; with --realtime the fleet "
+                        "paces as one pipeline)")
     return p
 
 
@@ -336,10 +339,11 @@ def main(argv: list[str] | None = None) -> int:
         sim = None
 
     if args.fleet:
-        if args.resume or cfg.realtime or cfg.interactive or args.tui:
+        if args.resume or cfg.interactive or args.tui:
             parser.error(
-                "--fleet is an offline bulk pipeline; it cannot combine "
-                "with --resume/--realtime/--interactive/--tui"
+                "--fleet cannot combine with --resume/--interactive/--tui "
+                "(per-scenario features; run members through "
+                "run_simulation)"
             )
         if args.checkpoint or args.metrics_file or args.profile_dir:
             # Refuse rather than silently skip: a day-scale fleet run that
@@ -360,8 +364,10 @@ def main(argv: list[str] | None = None) -> int:
         total_blocks = sum(st.blocks for st in stats)
         wall = max((st.wall_seconds for st in stats), default=0.0)
         for i, (c, st) in enumerate(zip(cfgs, stats)):
+            target = (c.out_file if c.sink == "iqfile"
+                      else c.tcp_addr if c.sink == "tcp" else c.sink)
             print(f"fleet member {i}: {st.blocks * 0.1:.1f} s of signal "
-                  f"→ {c.out_file if c.sink == 'iqfile' else c.sink}")
+                  f"→ {target}")
         if wall > 0:
             print(f"fleet aggregate: {total_blocks * 0.1 / wall:.1f}x "
                   f"realtime across {len(cfgs)} members")

@@ -145,28 +145,41 @@ def member_configs(base: SimConfig, rows: list[tuple]) -> list[SimConfig]:
 
     Members vary in location (and optionally out_file); everything else —
     ephemeris, duration, rates, backend — comes from the base. Default
-    out_file names insert a member index before the extension so targets
+    out_file names insert a member index before the extension, and tcp
+    members take consecutive ports from the base address, so targets
     never alias."""
     import dataclasses
     import os.path
 
-    if base.sink not in ("iqfile", "null"):
+    if base.sink not in ("iqfile", "null", "tcp"):
         raise ValueError(
-            f"--fleet supports the iqfile and null sinks, not {base.sink!r}"
-            " (per-member TX hardware/streams need the run_fleet API with"
-            " explicit sinks)"
+            f"--fleet supports the iqfile, null, and tcp sinks, not "
+            f"{base.sink!r} (per-member TX hardware needs the run_fleet "
+            "API with explicit sinks)"
         )
     stem, ext = os.path.splitext(base.out_file)
+    if base.sink == "tcp":
+        host, _, port = base.tcp_addr.rpartition(":")
+        if not host or not port.isdigit():
+            raise ValueError(
+                f"--fleet with -r tcp needs a host:port base address to "
+                f"derive member ports from, got {base.tcp_addr!r}"
+            )
     cfgs = []
     for i, (loc, out) in enumerate(rows):
-        if out is None:
+        extra = {}
+        if base.sink == "tcp":
+            # Member i streams to base port + i (one receiver per port).
+            extra["tcp_addr"] = f"{host}:{int(port) + i}"
+        elif out is None:
             out = f"{stem}_m{i}{ext}"
         cfgs.append(dataclasses.replace(
-            base, location=loc, out_file=out,
+            base, location=loc, out_file=out if out else base.out_file,
             # Independent noise per member (a farm must not share one
             # noise realization); each member still equals a solo run
             # with the same derived seed.
             noise_seed=base.noise_seed + i,
+            **extra,
         ))
     return cfgs
 
@@ -227,6 +240,23 @@ def run_fleet(
     cfg0 = cfgs[0]
     int_nco = cfg0.carrier_mode is CarrierMode.INT_NCO
     kernel, wide, n_rows, bits = resolve_batch_kernel(cfg0)
+
+    # Single-transfer dispatch (see runner._run_batched): the batch's
+    # seven 32-bit arg arrays ship as one packed buffer, unpacked on
+    # device — bit-exact, and immune to per-array transfer latency.
+    import jax
+
+    from .parallel.blocks import pack_args, unpack_args
+
+    num_samples = cfg0.samples_per_epoch
+
+    def _packed_kernel(packed, spec):
+        return kernel(
+            **unpack_args(packed, spec), n_rows=n_rows,
+            num_samples=num_samples, out_bits=bits, wide=wide,
+        )
+
+    _packed_kernel = jax.jit(_packed_kernel, static_argnums=1)
     if mesh is not None:
         from .parallel.shard import make_sharded_synth, pad_batch, pad_channels
 
@@ -310,12 +340,10 @@ def run_fleet(
                                       compact_multiple=4)
 
                 if mesh is None:
-                    def dispatch(b=batch):
-                        return kernel(
-                            **b.args, n_rows=n_rows,
-                            num_samples=b.num_samples,
-                            out_bits=bits, wide=wide,
-                        )
+                    packed, pspec = pack_args(batch.args)
+
+                    def dispatch(p=packed, s=pspec):
+                        return _packed_kernel(p, s)
                 else:
                     # Short first batch (scenario set smaller than W with
                     # no later full batch): pad blocks up to the mesh

@@ -44,6 +44,53 @@ class PlanBatch:
     n_blocks: int
 
 
+def pack_args(args: dict) -> tuple[np.ndarray, tuple]:
+    """Flatten a batch's kernel args into ONE int32 array (B, K).
+
+    Every collated arg is 32-bit with a leading blocks axis, so the whole
+    window ships to the device as a single contiguous transfer. On links
+    where per-transfer latency dominates volume (this rig's dev tunnel
+    charges ~30 ms per array, 7 arrays/window), one transfer instead of
+    seven is the difference between a dispatch-bound and a host-bound
+    pipeline; on a PCIe host it is simply one fewer degree of freedom.
+    Returns (packed, spec) where spec is the static layout for
+    :func:`unpack_args` (hashable: name, dtype str, trailing shape).
+    """
+    parts, spec = [], []
+    for k in sorted(args):
+        v = np.asarray(args[k])
+        if v.dtype.itemsize != 4:
+            raise ValueError(f"pack_args: {k} is not 32-bit ({v.dtype})")
+        B = v.shape[0]
+        parts.append(v.view(np.int32).reshape(B, -1))
+        spec.append((k, v.dtype.str, v.shape[1:]))
+    return np.concatenate(parts, axis=1), tuple(spec)
+
+
+def unpack_args(packed, spec: tuple) -> dict:
+    """Device-side inverse of :func:`pack_args` (jnp, traceable).
+
+    Slices are static (spec is a compile-time constant), so XLA fuses the
+    unpack into the consuming kernel program; uint32 fields are bitcast
+    back losslessly.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    out, off = {}, 0
+    B = packed.shape[0]
+    for k, dtype_str, shape in spec:
+        n = 1
+        for s in shape:
+            n *= s
+        sl = packed[:, off:off + n]
+        if np.dtype(dtype_str) == np.uint32:
+            sl = lax.bitcast_convert_type(sl, jnp.uint32)
+        out[k] = sl.reshape((B,) + tuple(shape))
+        off += n
+    return out
+
+
 def collate_plans(
     plans: list[BlockPlan], int_nco: bool = False, compact: bool = True,
     compact_multiple: int = 1,

@@ -370,11 +370,28 @@ def _run_batched(
     import itertools
     from collections import deque
 
+    import jax
+
     from .config import CarrierMode
-    from .parallel.blocks import collate_plans
+    from .parallel.blocks import collate_plans, pack_args, unpack_args
 
     int_nco = cfg.carrier_mode is CarrierMode.INT_NCO
     kernel, wide, n_rows, bits = resolve_batch_kernel(cfg)
+
+    # One H2D transfer per batch: the window's seven 32-bit arg arrays
+    # ship as a single packed buffer, unpacked on device inside the jit
+    # (XLA fuses the static slices into the kernel program — bit-exact).
+    # Per-array transfer LATENCY, not volume, dominates on tunneled
+    # links; on PCIe hosts this is neutral.
+    num_samples = cfg.samples_per_epoch
+
+    def _packed_kernel(packed, spec):
+        return kernel(
+            **unpack_args(packed, spec), n_rows=n_rows,
+            num_samples=num_samples, out_bits=bits, wide=wide,
+        )
+
+    _packed_kernel = jax.jit(_packed_kernel, static_argnums=1)
     W = window if window is not None else cfg.dispatch_blocks
     strict = strict_parity_enabled(cfg)
     if strict:
@@ -448,15 +465,10 @@ def _run_batched(
                 # service) to at most C/4 shapes.
                 batch = collate_plans(padded, int_nco=int_nco,
                                       compact=compact, compact_multiple=4)
+                packed, spec = pack_args(batch.args)
 
-                def dispatch(b=batch):
-                    return kernel(
-                        **b.args,
-                        n_rows=n_rows,
-                        num_samples=b.num_samples,
-                        out_bits=bits,  # 8-bit quantize on device
-                        wide=wide,
-                    )  # async dispatch
+                def dispatch(p=packed, s=spec):
+                    return _packed_kernel(p, s)  # async dispatch
 
                 out = dispatch()
                 # Snapshot NOW: sim state currently matches "all planned

@@ -252,15 +252,17 @@ def test_cli_fleet_rejects_bad_combos(fixtures_dir, tmp_path):
 
     roster = tmp_path / "roster.csv"
     roster.write_text("1,2,3\n")
+    # (realtime fleets and tcp fleets are supported since r4; the
+    # remaining rejections are per-scenario features and bad targets)
     with pytest.raises(SystemExit):
         cli.main([
             "-e", f"{fixtures_dir}/brdc_test.22n", "-r", "iqfile",
-            "--fleet", str(roster), "--realtime",
+            "--fleet", str(roster), "--interactive",
         ])
     with pytest.raises(SystemExit):
         cli.main([
             "-e", f"{fixtures_dir}/brdc_test.22n", "-r", "tcp",
-            "--fleet", str(roster),
+            "--tcp-addr", "noport", "--fleet", str(roster),
         ])
     bad = tmp_path / "bad.csv"
     bad.write_text("1,2\n")

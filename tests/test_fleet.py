@@ -124,8 +124,19 @@ def test_member_configs_derivation(fixtures_dir, tmp_path):
     # base fields carry through untouched
     assert all(c.noise_std_lsb == 2.0 for c in cfgs)
 
-    with pytest.raises(ValueError, match="iqfile and null"):
-        member_configs(_cfg(fixtures_dir, sink="tcp"), rows)
+    # tcp members take consecutive ports from the base address
+    tcp_cfgs = member_configs(
+        _cfg(fixtures_dir, sink="tcp", tcp_addr="127.0.0.1:5000"), rows
+    )
+    assert [c.tcp_addr for c in tcp_cfgs] == [
+        "127.0.0.1:5000", "127.0.0.1:5001",
+    ]
+    with pytest.raises(ValueError, match="host:port"):
+        member_configs(
+            _cfg(fixtures_dir, sink="tcp", tcp_addr="badaddr"), rows
+        )
+    with pytest.raises(ValueError, match="iqfile, null, and tcp"):
+        member_configs(_cfg(fixtures_dir, sink="hackrf"), rows)
     bad = tmp_path / "bad.csv"
     bad.write_text("1.0, x, 3.0\n")
     with pytest.raises(ValueError, match="non-numeric"):
@@ -192,29 +203,20 @@ def test_fleet_realtime_paced_tcp_failover_zero_underruns(fixtures_dir,
         pytest.skip("native engine unavailable")
     import time as _time
 
-    import gpssim_tpu.runner as runner_mod
+    import gpssim_tpu.parallel.blocks as blocks_mod
     from tests.test_sinks import _LoopbackServer
 
     from gpssim_tpu.io.sinks import TcpSink
 
-    real_resolve = runner_mod.resolve_batch_kernel
+    # Throttle the dispatch pipeline's host stage (per-batch), which
+    # stalls the device path below 1x deterministically.
+    real_pack = blocks_mod.pack_args
 
-    def throttled_resolve(cfg):
-        kernel, wide, n_rows, bits = real_resolve(cfg)
+    def slow_pack(args):
+        _time.sleep(0.8)  # > the 0.4 s of signal/member per batch
+        return real_pack(args)
 
-        def slow_kernel(*a, **kw):
-            _time.sleep(0.8)  # > the 0.4 s of signal/member per batch
-            return kernel(*a, **kw)
-
-        return slow_kernel, wide, n_rows, bits
-
-    monkeypatch.setattr(runner_mod, "resolve_batch_kernel",
-                        throttled_resolve)
-    # fleet.py binds resolve_batch_kernel at import time
-    import gpssim_tpu.fleet as fleet_mod
-
-    monkeypatch.setattr(fleet_mod, "resolve_batch_kernel",
-                        throttled_resolve)
+    monkeypatch.setattr(blocks_mod, "pack_args", slow_pack)
 
     n = 3
     locs = [LocationConfig(35.0 + i, 139.0 + i, 10.0) for i in range(n)]

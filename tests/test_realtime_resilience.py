@@ -272,29 +272,24 @@ def test_realtime_failover_paced_tcp_zero_underruns(
     streams its full paced TX with ZERO underruns — the gap the
     reference cannot close (fifo.c:97-148 starves silently).
 
-    The deficit is forced deterministically (a throttled kernel wrapper)
+    The deficit is forced deterministically (a throttled host stage:
+    pack_args sleeps per batch, stalling the dispatch pipeline below 1x)
     rather than relying on ambient JAX-on-CPU slowness, so the test
     cannot flake in either direction on fast or loaded machines."""
     if not _seq_available():
         pytest.skip("native engine unavailable")
-    import gpssim_tpu.runner as runner_mod
+    import gpssim_tpu.parallel.blocks as blocks_mod
     from tests.test_sinks import _LoopbackServer
 
     from gpssim_tpu.io.sinks import TcpSink
 
-    real_resolve = runner_mod.resolve_batch_kernel
+    real_pack = blocks_mod.pack_args
 
-    def throttled_resolve(cfg):
-        kernel, wide, n_rows, bits = real_resolve(cfg)
+    def slow_pack(args):
+        time.sleep(0.6)  # > the 0.4 s of signal per 4-block batch
+        return real_pack(args)
 
-        def slow_kernel(*a, **kw):
-            time.sleep(0.6)  # > the 0.4 s of signal per 4-block batch
-            return kernel(*a, **kw)
-
-        return slow_kernel, wide, n_rows, bits
-
-    monkeypatch.setattr(runner_mod, "resolve_batch_kernel",
-                        throttled_resolve)
+    monkeypatch.setattr(blocks_mod, "pack_args", slow_pack)
 
     srv = _LoopbackServer()
     cfg = SimConfig(
