@@ -60,7 +60,6 @@ def _measure_e2e(cfg, kernel, n_rows, duration_label):
     import itertools
 
     import jax
-    import jax.numpy as jnp
 
     from gpssim_tpu.config import CarrierMode
     from gpssim_tpu.ops.synth_seq import (
@@ -100,14 +99,15 @@ def _measure_e2e(cfg, kernel, n_rows, duration_label):
     packed, spec = pack_args(batch.args)
     _ = jax.device_get(wrapped(packed, spec))
 
-    # Dispatches are async, so host work (plan/collate/corrections)
-    # overlaps device compute naturally; scalar per-window reductions
-    # are stacked and fetched ONCE at the end — the one-device stream
-    # executes in order, so the fetch is a full completion barrier
-    # without paying the tunnel round-trip per window.
+    # One-deep pipelining with a PER-WINDOW completion fetch: window k's
+    # scalar is fetched after window k+1 dispatches, so its round-trip
+    # rides k+1's transfer+compute. Queuing MORE windows in flight is
+    # measured 4x SLOWER on this tunnel (concurrent H2D streams degrade
+    # each other: 245 ms/window queued-deep vs 58 ms fetched-serially
+    # vs ~40 ms at depth 1), so depth stays at one.
     t0 = time.perf_counter()
     blocks = 0
-    sums = []
+    prev = None
     t_plan = t_collate = t_corr = 0.0
     while True:
         ts = time.perf_counter()
@@ -121,13 +121,17 @@ def _measure_e2e(cfg, kernel, n_rows, duration_label):
         batch = collate_plans(plans, int_nco=int_nco)
         packed, spec = pack_args(batch.args)
         t_collate += time.perf_counter() - ts
-        sums.append(wrapped(packed, spec))  # one H2D + synth + reduce
+        out = wrapped(packed, spec)  # one H2D + synth + reduce, async
+        if prev is not None:
+            _ = jax.device_get(prev)
+        prev = out
         if strict and seq_available():
             ts = time.perf_counter()
             seq_corrections_window(plans, int_nco=int_nco)
             t_corr += time.perf_counter() - ts
         blocks += len(plans)
-    _ = jax.device_get(jnp.stack(sums))  # one round trip
+    if prev is not None:
+        _ = jax.device_get(prev)  # completion barrier for the last window
     dt = time.perf_counter() - t0
     sps = blocks * cfg.samples_per_epoch / dt
     # Host-pipeline capacity: the measured host stages alone. The gap
@@ -163,7 +167,8 @@ def _measure_fleet_sink(nav: str, on_tpu: bool):
     import threading
 
     from gpssim_tpu.config import (
-        LocationConfig, SampleFormat, SimConfig, SynthBackend,
+        CarrierMode, LocationConfig, SampleFormat, SimConfig,
+        SynthBackend,
     )
     from gpssim_tpu.fleet import run_fleet
     from gpssim_tpu.io.sinks import TcpSink
@@ -200,11 +205,18 @@ def _measure_fleet_sink(nav: str, on_tpu: bool):
             self._t.join(30)
             self.srv.close()
 
+    # int-NCO carrier: ALSO bit-exact vs the reference (its
+    # non-FLOAT_CARR_PHASE build) and the documented recommendation for
+    # realtime fleets on small hosts — the native engine this rig's
+    # post-failover fleet rides runs 17x realtime in int-NCO vs 13.6x
+    # float, and 8 full-rate streams need the margin on ONE core
+    # (PERFORMANCE.md "Fleet mode").
     cfgs = [
         SimConfig(
             nav_file=nav, duration_sec=sec, almanac_enable=False,
             realtime=True, fifo_depth=8, sink="tcp",
             sample_format=SampleFormat.SC08,
+            carrier_mode=CarrierMode.INT_NCO,
             backend=(SynthBackend.PALLAS if on_tpu else SynthBackend.JAX),
             location=LocationConfig(35.0 + 0.1 * i, 139.0 + 0.1 * i, 10.0),
         )

@@ -459,14 +459,20 @@ def _fleet_native_tail(
     from .runner import _native_synth_fn
 
     cfg0 = cfgs[0]
-    synth_fn = _native_synth_fn(cfg0)
     bits = cfg0.sample_format.value
-    if any(c.noise_std_lsb > 0.0 for c in cfgs):
+    noisy = any(c.noise_std_lsb > 0.0 for c in cfgs)
+    # Clean 8-bit fleets quantize inside the native loop (one fewer
+    # full-block numpy pass per 0.1 s of signal per member — real
+    # headroom when one core must hold N paced streams).
+    direct8 = bits == 8 and not noisy
+    synth_fn = _native_synth_fn(cfg0, bits=8 if direct8 else 16)
+    if noisy:
         from .noise import apply_awgn
 
     def write_one(member: int, plan) -> None:
-        iq16 = np.asarray(synth_fn(plan))
-        blk = quantize_iq(iq16, bits)
+        blk = np.asarray(synth_fn(plan))
+        if not direct8:
+            blk = quantize_iq(blk, bits)
         mc = cfgs[member]
         if mc.noise_std_lsb > 0.0:
             blk = apply_awgn(
