@@ -411,6 +411,12 @@ def run_fleet(
             if stop is not None and stop():
                 break
     finally:
+        # End-of-stream on EVERY sink first (non-blocking): close() below
+        # flushes each paced sink at the DAC rate sequentially, and a
+        # later sink's pacer must not count that wait — after its own
+        # final block — as underruns.
+        for s in sinks[:inited]:
+            s.end_stream()
         for s in sinks[:inited]:
             s.close()
     wall = time.perf_counter() - t0

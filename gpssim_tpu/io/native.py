@@ -83,6 +83,9 @@ def _load():
         lib.gstream_started.argtypes = [ctypes.c_void_p]
         lib.gstream_finish.restype = ctypes.c_int
         lib.gstream_finish.argtypes = [ctypes.c_void_p, ctypes.c_double]
+        if hasattr(lib, "gstream_halt"):  # stale .so tolerance
+            lib.gstream_halt.restype = ctypes.c_int
+            lib.gstream_halt.argtypes = [ctypes.c_void_p]
         lib.gstream_close.restype = ctypes.c_int
         lib.gstream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -203,6 +206,14 @@ class NativeStreamer:
     @property
     def started(self) -> bool:
         return bool(self._lib.gstream_started(self._h))
+
+    def halt(self) -> None:
+        """Mark end-of-stream WITHOUT waiting for the flush: the paced
+        drain keeps sending queued blocks but a drained-out tail no
+        longer counts as underruns (the stream is complete). Multi-sink
+        producers call this on every sink before the blocking closes."""
+        if self._h and hasattr(self._lib, "gstream_halt"):
+            self._lib.gstream_halt(self._h)
 
     def close(self, flush_timeout_s: float = 10.0) -> int:
         if self._h:

@@ -34,6 +34,14 @@ class Sink:
     def close(self) -> None:
         pass
 
+    def end_stream(self) -> None:
+        """Mark end-of-stream without waiting for the flush (no-op for
+        non-paced sinks). Paced sinks stop counting a drained-out tail
+        as underruns — the stream is complete, no byte is late. A
+        multi-sink producer (fleet) calls this on EVERY sink before the
+        per-sink blocking closes; otherwise sink k's paced flush wait
+        would turn sinks k+1..N into false underrun counters."""
+
     def set_gain(self, gain: int) -> int:
         return gain
 
@@ -289,6 +297,12 @@ class TcpSink(Sink):
         if self._native is not None:
             return self._native.bytes_sent
         return self._py_bytes
+
+    def end_stream(self) -> None:
+        if self._native is not None:
+            self._native.halt()
+        elif self.fifo is not None:
+            self.fifo.halt()
 
     def close(self) -> None:
         if self._native is not None:

@@ -545,6 +545,16 @@ int gstream_started(void* s) {
 int gstream_finish(void* s, double flush_timeout_s) {
   return static_cast<Streamer*>(s)->finish(flush_timeout_s);
 }
+// End-of-stream marker WITHOUT waiting for the flush: halts the FIFO so
+// the paced drain stops counting a drained-out tail as underruns (the
+// stream is complete — no byte is late), then returns immediately.  A
+// multi-stream producer calls this on EVERY sink before the per-sink
+// blocking closes; otherwise sink k's flush wait would turn sinks k+1..N
+// into false underrun counters.
+int gstream_halt(void* s) {
+  static_cast<Streamer*>(s)->fifo.halt();
+  return 0;
+}
 int gstream_close(void* s) {
   Streamer* st = static_cast<Streamer*>(s);
   int rc = st->finish();

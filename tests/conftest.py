@@ -23,6 +23,11 @@ if not os.environ.get("GPSSIM_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache: XLA-CPU compiles dominate several suite
+    # files; warm reruns (CI retries, local iteration) skip them.
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/gpssim-test-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest
 

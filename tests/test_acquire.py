@@ -9,6 +9,8 @@ Doppler and code phase.
 import numpy as np
 import pytest
 
+from tests.helpers import strict_gen_backend
+
 from gpssim_tpu.acquire import acquire, load_iq
 from gpssim_tpu.config import SimConfig, SynthBackend
 from gpssim_tpu.runner import run_simulation
@@ -20,7 +22,7 @@ def generated(fixtures_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("acq") / "iq.bin")
     cfg = SimConfig(
         nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=1.0,
-        almanac_enable=False, backend=SynthBackend.NUMPY,
+        almanac_enable=False, backend=strict_gen_backend(),
         sink="iqfile", out_file=out,
     )
     # Planning is deterministic: probe the first block's plan separately.
@@ -60,7 +62,7 @@ def test_nav_bits_demodulate(fixtures_dir, tmp_path):
     out = str(tmp_path / "iq.bin")
     cfg = SimConfig(
         nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=1.6,
-        almanac_enable=False, backend=SynthBackend.NUMPY,
+        almanac_enable=False, backend=strict_gen_backend(),
         sink="iqfile", out_file=out,
     )
     plans = list(Simulation(cfg).iter_plans())
@@ -90,7 +92,7 @@ def test_subframe_tow_decode(fixtures_dir, tmp_path):
     out = str(tmp_path / "iq.bin")
     cfg = SimConfig(
         nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=13.0,
-        almanac_enable=False, backend=SynthBackend.NUMPY,
+        almanac_enable=False, backend=strict_gen_backend(),
         sink="iqfile", out_file=out,
     )
     sim = Simulation(cfg)
@@ -129,7 +131,7 @@ def test_ppb_shifts_every_acquired_doppler(fixtures_dir, tmp_path):
     out = str(tmp_path / "iq.bin")
     cfg = SimConfig(
         nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=1.0,
-        almanac_enable=False, backend=SynthBackend.NUMPY,
+        almanac_enable=False, backend=strict_gen_backend(),
         sink="iqfile", out_file=out, ppb=ppb, parity_exact=False,
     )
     offset = TX_FREQUENCY * ((1.0e7 - ppb) / 1.0e7 - 1.0)

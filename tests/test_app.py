@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from gpssim_tpu.app import run_app
 from gpssim_tpu.config import SimConfig, SynthBackend

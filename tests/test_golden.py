@@ -201,9 +201,19 @@ def test_interactive_motion(oracle_bin, fixtures_dir, tmp_path):
     )
     sim = Simulation(cfg)
     sim.set_motion(bearing_deg=47.0, velocity=5.0, vertical_speed=0.5)
-    mine = np.concatenate(
-        [quantize_iq(synth_block_seq(p), 8) for p in sim.iter_plans()]
-    )
+    # Native sequential engine: byte-identical to the NumPy parity path
+    # (asserted by test_synth_seq) and ~10x faster — this is the longest
+    # default-suite golden (31 s of signal to cross the 30 s regen).
+    from gpssim_tpu.ops.synth_seq import seq_available, synth_block_seq_native
+
+    if seq_available():
+        mine = np.concatenate(
+            [synth_block_seq_native(p, bits=8) for p in sim.iter_plans()]
+        )
+    else:
+        mine = np.concatenate(
+            [quantize_iq(synth_block_seq(p), 8) for p in sim.iter_plans()]
+        )
     assert_parity(mine, ref, np.int8)
 
 

@@ -47,8 +47,11 @@ print("wrote", part)
     [
         (3_000_000, "FLOAT", 0.0),
         # gps-sdr-sim-family rate (wide-window kernel) + integer NCO:
-        # both flags must thread through the multihost path.
-        (2_046_000, "INT_NCO", 0.0),
+        # both flags must thread through the multihost path. Slow-marked:
+        # each case spawns two jax processes; the default suite keeps
+        # the clean and the noisy case (the wide/int-NCO flags are
+        # covered single-host by test_runner/test_sharding).
+        pytest.param(2_046_000, "INT_NCO", 0.0, marks=pytest.mark.slow),
         # AWGN keying must match the single-host runner byte-for-byte
         # across the process split (noise.py counter scheme).
         (3_000_000, "FLOAT", 2.0),

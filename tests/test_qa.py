@@ -5,6 +5,8 @@ the known truth trajectory. Complements the blind receiver
 import numpy as np
 import pytest
 
+from tests.helpers import strict_gen_backend
+
 from gpssim_tpu.config import (
     CarrierMode, LocationConfig, SampleFormat, SimConfig, SynthBackend,
 )
@@ -13,7 +15,7 @@ from gpssim_tpu.runner import run_simulation
 
 
 def _cfg(fixtures_dir, out, **kw):
-    kw.setdefault("backend", SynthBackend.NUMPY)
+    kw.setdefault("backend", strict_gen_backend())
     kw.setdefault("location", LocationConfig(35.681298, 139.766247, 10.0))
     kw.setdefault("duration_sec", 1.0)
     return SimConfig(

@@ -12,6 +12,8 @@ lands on the simulated position to meter level.
 import numpy as np
 import pytest
 
+from tests.helpers import strict_gen_backend
+
 from gpssim_tpu.acquire import load_iq
 from gpssim_tpu.config import LocationConfig, SimConfig, SynthBackend
 from gpssim_tpu.core.almanac import Almanac
@@ -77,7 +79,7 @@ def rx_scenario(fixtures_dir, tmp_path_factory):
         sample_rate=RATE,
         almanac_enable=False,
         ionosphere_enable=False,
-        backend=SynthBackend.NUMPY,
+        backend=strict_gen_backend(),
         sink="iqfile",
         out_file=out,
         location=LocationConfig(35.681298, 139.766247, 10.0),
@@ -321,7 +323,7 @@ def test_moving_receiver_pvt(fixtures_dir, tmp_path):
         sample_rate=RATE,
         almanac_enable=False,
         ionosphere_enable=False,
-        backend=SynthBackend.NUMPY,
+        backend=strict_gen_backend(),
         sink="iqfile",
         out_file=out,
         motion_file=f"{fixtures_dir}/circle_motion.csv",
@@ -367,7 +369,7 @@ def test_interactive_command_moves_receiver_fix(fixtures_dir, tmp_path):
         sample_rate=RATE,
         almanac_enable=False,
         ionosphere_enable=False,
-        backend=SynthBackend.NUMPY,
+        backend=strict_gen_backend(),
         sink="iqfile",
         out_file=out,
         interactive=True,
@@ -502,7 +504,7 @@ def test_fix_from_live_tcp_stream(fixtures_dir, tmp_path):
         sample_rate=RATE,
         almanac_enable=False,
         ionosphere_enable=False,
-        backend=SynthBackend.NUMPY,
+        backend=strict_gen_backend(),
         sink="tcp",
         tcp_addr=f"127.0.0.1:{port}",
         location=LocationConfig(35.681298, 139.766247, 10.0),
@@ -543,7 +545,7 @@ def test_iono_on_fix_with_provided_klobuchar(fixtures_dir, tmp_path):
         sample_rate=RATE,
         almanac_enable=False,
         ionosphere_enable=True,
-        backend=SynthBackend.NUMPY,
+        backend=strict_gen_backend(),
         sink="iqfile",
         out_file=out,
         location=LocationConfig(35.681298, 139.766247, 10.0),
@@ -595,7 +597,7 @@ def test_position_fix_wide_window_rates(fixtures_dir, tmp_path, rate, err_bound)
         sample_rate=rate,
         almanac_enable=False,
         ionosphere_enable=False,
-        backend=SynthBackend.NUMPY,
+        backend=strict_gen_backend(),
         sink="iqfile",
         out_file=out,
         location=LocationConfig(35.681298, 139.766247, 10.0),
@@ -639,7 +641,7 @@ def test_commensurate_rate_2sps_still_receivable(fixtures_dir, tmp_path):
         sample_rate=rate,
         almanac_enable=False,
         ionosphere_enable=False,
-        backend=SynthBackend.NUMPY,
+        backend=strict_gen_backend(),
         sink="iqfile",
         out_file=out,
         location=LocationConfig(35.681298, 139.766247, 10.0),
@@ -685,7 +687,7 @@ def test_cold_start_fix_decodes_iono_page18_over_the_air(
         sample_rate=RATE,
         almanac_enable=False,
         ionosphere_enable=True,
-        backend=SynthBackend.NUMPY,
+        backend=strict_gen_backend(),
         location=LocationConfig(35.681298, 139.766247, 10.0),
     )
     sim = Simulation(cfg)
