@@ -54,6 +54,18 @@ _TABLE_AMP = float(abs(
 _CA_CROSS_MAX = 65.0 / 1023.0
 
 
+def min_ratio_floor(gains, active, c, tolerance: float = 0.25) -> float:
+    """Worst-single-millisecond acceptance floor for channel ``c`` of a
+    block: 1 - 2*tolerance minus the stacked worst-case Gold cross-
+    correlation leakage of every other active channel, never below 0.1
+    (zeroed/garbage/mis-phased samples collapse the coherent ratio to
+    ~0 and still fail outright)."""
+    interf = _CA_CROSS_MAX * float(
+        sum(gains[j] for j in range(len(gains)) if active[j] and j != c)
+    ) / gains[c]
+    return max(1.0 - 2.0 * tolerance - interf, 0.1)
+
+
 @dataclass
 class ChannelReport:
     prn: int
@@ -219,16 +231,12 @@ def verify_stream(
                     # amplitude.
                     pred = gains[b, c] * _TABLE_AMP
                     r = mags[b, c] / pred
-                    # Worst-case cross-channel interference on this
-                    # channel's matched filter in this block: every other
-                    # active channel leaks ≤ _CA_CROSS_MAX of ITS
-                    # amplitude.
-                    interf = _CA_CROSS_MAX * float(
-                        sum(gains[b, j] for j in range(mags.shape[1])
-                            if active[b, j] and j != c)
-                    ) / gains[b, c]
+                    floor = min_ratio_floor(
+                        gains[b], active[b], c, tolerance
+                    )
                     reports.setdefault(int(prn[b, c]), []).append(
-                        (float(np.mean(r)), float(np.min(r)), interf)
+                        (float(np.mean(r)), float(np.min(r)),
+                         bool(np.min(r) > floor))
                     )
             verified += len(plans)
 
@@ -244,19 +252,14 @@ def verify_stream(
         mean_r = float(np.mean([v[0] for v in vals]))
         min_r = float(np.min([v[1] for v in vals]))
         # The worst-millisecond floor budgets for cross-channel Gold-code
-        # interference (each other channel leaks ≤ 65/1023 of its
-        # amplitude into this matched filter): with many near-equal-gain
-        # channels a clean, bit-exact stream legitimately dips ~0.45
+        # interference per block (min_ratio_floor): with many near-equal-
+        # gain channels a clean, bit-exact stream legitimately dips ~0.45
         # below 1.0 in an unlucky millisecond. The mean check (averaged
         # over every ms, where the leakage integrates toward zero) keeps
         # its tight ±tolerance either way, so corruption — zeroed or
         # garbage samples, wrong phases — still collapses the metric far
         # below both bounds.
-        interf = float(np.max([v[2] for v in vals]))
-        # Never fully vacuous: 0.1 still fails zeroed/garbage/mis-phased
-        # samples outright (their coherent ratio collapses to ~0).
-        floor = max(1.0 - 2 * tolerance - interf, 0.1)
-        ok = abs(mean_r - 1.0) < tolerance and min_r > floor
+        ok = abs(mean_r - 1.0) < tolerance and all(v[2] for v in vals)
         all_ok = all_ok and ok
         channels.append(ChannelReport(p, mean_r, min_r, ok))
     return StreamReport(blocks=verified, channels=channels, ok=all_ok)

@@ -188,7 +188,9 @@ def test_24h_device_scale_qa(fixtures_dir, tmp_path):
     from gpssim_tpu.ops.synth_jax import LANES
     from gpssim_tpu.ops.synth_pallas import synth_blocks_batch_pallas
     from gpssim_tpu.parallel.blocks import collate_plans
-    from gpssim_tpu.qa import _TABLE_AMP, _block_correlations
+    from gpssim_tpu.qa import (
+        _TABLE_AMP, _block_correlations, min_ratio_floor,
+    )
 
     if jax.default_backend() != "tpu":
         pytest.skip("requires the real TPU chip (GPSSIM_TEST_TPU=1)")
@@ -230,7 +232,8 @@ def test_24h_device_scale_qa(fixtures_dir, tmp_path):
             if not active[0, c]:
                 continue
             r = mags[0, c] / (gains[0, c] * _TABLE_AMP)
-            if abs(float(np.mean(r)) - 1.0) > 0.25 or float(np.min(r)) < 0.5:
+            floor = min_ratio_floor(gains[0], active[0], c)
+            if abs(float(np.mean(r)) - 1.0) > 0.25 or float(np.min(r)) < floor:
                 qa_failures.append((index, int(prn[0, c])))
         qa_checked += 1
 
