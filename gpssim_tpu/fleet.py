@@ -300,7 +300,8 @@ def run_fleet(
     if realtime:
         from .runner import RealtimeSupervisor
 
-        agg = RunStats()  # slowest-member view the supervisor watches
+        totals = [c.num_epochs - 1 for c in cfgs]  # blocks per member
+        agg = RunStats()  # slowest-LIVE-member view the supervisor watches
         supervisor = RealtimeSupervisor(
             cfg0, _FleetTransportView(sinks), agg
         )
@@ -387,14 +388,22 @@ def run_fleet(
                 if on_batch is not None:
                     on_batch(stats)
                 if realtime:
-                    # Pace to wall clock on the slowest member (the FIFO
-                    # handles fine-grained backpressure; this guards the
-                    # no-consumer case), then watchdog the aggregate.
-                    agg.blocks = min(st.blocks for st in stats)
-                    ahead = agg.blocks * 0.1 - (time.perf_counter() - t0)
-                    if ahead > 0.1 * cfg0.fifo_depth:
-                        time.sleep(ahead - 0.1 * cfg0.fifo_depth)
-                    if supervisor.check(t0) == "failover":
+                    # Pace to wall clock on the slowest LIVE member (the
+                    # FIFO handles fine-grained backpressure; this guards
+                    # the no-consumer case), then watchdog the aggregate.
+                    # Members that already wrote their full scenario must
+                    # not pin the minimum — a finished member's frozen
+                    # count would otherwise grow the lag metric without
+                    # bound and fire a spurious whole-fleet failover.
+                    live = _live_min_blocks(stats, totals)
+                    if live is not None:
+                        agg.blocks = live
+                        ahead = agg.blocks * 0.1 - (
+                            time.perf_counter() - t0
+                        )
+                        if ahead > 0.1 * cfg0.fifo_depth:
+                            time.sleep(ahead - 0.1 * cfg0.fifo_depth)
+                    if live is not None and supervisor.check(t0) == "failover":
                         # Whole-fleet failover: re-synthesize the
                         # in-flight batches' plans natively (never fetch
                         # through the deficient path) and finish the
@@ -431,6 +440,14 @@ def run_fleet(
         if stats[0].failover_latency_s is None:
             stats[0].failover_latency_s = agg.failover_latency_s
     return stats
+
+
+def _live_min_blocks(stats, totals) -> int | None:
+    """Slowest LIVE member's written-block count for fleet pacing and
+    lag attribution; None once every member has written its full
+    scenario (nothing left to pace or watchdog)."""
+    live = [st.blocks for st, tot in zip(stats, totals) if st.blocks < tot]
+    return min(live) if live else None
 
 
 class _FleetTransportView:
@@ -501,6 +518,7 @@ def _fleet_native_tail(
             on_batch(stats)
         if stop is not None and stop():
             return
+    totals = [c.num_epochs - 1 for c in cfgs]
     writes = 0
     for member, plan in it:
         write_one(member, plan)
@@ -510,8 +528,9 @@ def _fleet_native_tail(
                 on_batch(stats)
             if stop is not None and stop():
                 return
-            ahead = min(st.blocks for st in stats) * 0.1 - (
-                time.perf_counter() - t0
-            )
+            live = _live_min_blocks(stats, totals)
+            if live is None:
+                continue
+            ahead = live * 0.1 - (time.perf_counter() - t0)
             if ahead > 0.1 * cfg0.fifo_depth:
                 time.sleep(ahead - 0.1 * cfg0.fifo_depth)

@@ -176,6 +176,73 @@ def test_fleet_rejects_duplicate_default_targets(fixtures_dir):
     # bit-exactness tests above.
 
 
+def test_live_min_blocks_ignores_finished_members():
+    """Fleet pacing/lag attribution follows the slowest LIVE member: a
+    shorter-duration member that wrote its full scenario must not pin
+    the minimum (its frozen count would grow the lag metric without
+    bound and fire a spurious whole-fleet failover), and an all-done
+    fleet has nothing to pace."""
+    from gpssim_tpu.fleet import _live_min_blocks
+    from gpssim_tpu.runner import RunStats
+
+    def st(n):
+        s = RunStats()
+        s.blocks = n
+        return s
+
+    totals = [10, 5, 10]
+    assert _live_min_blocks([st(3), st(2), st(4)], totals) == 2
+    # member 1 done: its frozen 5 no longer pins the minimum
+    assert _live_min_blocks([st(7), st(5), st(6)], totals) == 6
+    # all done
+    assert _live_min_blocks([st(10), st(5), st(10)], totals) is None
+
+
+def test_fleet_realtime_unequal_durations(fixtures_dir, monkeypatch):
+    """A realtime fleet whose members end at different times must stream
+    every member to ITS full duration (the early finisher neither stalls
+    pacing nor trips the watchdog into treating the fleet as behind),
+    byte-identical to offline solo runs."""
+    from gpssim_tpu.ops.synth_seq import seq_available
+
+    if not seq_available():
+        pytest.skip("native engine unavailable")
+    from tests.test_sinks import _LoopbackServer
+
+    from gpssim_tpu.io.sinks import TcpSink
+
+    durs = [1.2, 2.4, 3.6]
+    cfgs = [
+        _cfg(fixtures_dir, duration_sec=d, realtime=True, fifo_depth=8,
+             sink="tcp", sample_rate=1_060_000,
+             location=LocationConfig(34.0 + i, 138.0 + i, 5.0))
+        for i, d in enumerate(durs)
+    ]
+    srvs = [_LoopbackServer() for _ in durs]
+    sinks = [
+        TcpSink(addr=f"127.0.0.1:{srv.port}", fifo_depth=8, pace=True,
+                start_timeout_s=120.0)
+        for srv in srvs
+    ]
+    stats = run_fleet(cfgs, sinks=sinks)
+    for s, srv in zip(sinks, srvs):
+        s.close()
+        srv.join()
+    import dataclasses
+
+    for i, cfg in enumerate(cfgs):
+        assert stats[i].blocks == cfg.num_epochs - 1, (
+            f"member {i}: {stats[i].blocks} blocks"
+        )
+        ref_cfg = dataclasses.replace(
+            cfg, realtime=False, backend=SynthBackend.NUMPY, sink="null",
+        )
+        solo = CaptureSink()
+        run_simulation(ref_cfg, sink=solo)
+        ref = b"".join(np.asarray(b).tobytes() for b in solo.data)
+        assert bytes(srvs[i].received) == ref, f"member {i} stream"
+
+
 def test_fleet_rejects_interactive_and_mixed_realtime(fixtures_dir):
     with pytest.raises(ValueError, match="interactive"):
         run_fleet([_cfg(fixtures_dir, duration_sec=0.3, interactive=True)])
