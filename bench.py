@@ -223,9 +223,13 @@ def _measure_fleet_sink(nav: str, on_tpu: bool):
         for i in range(n)
     ]
     readers = [_Reader() for _ in range(n)]
+    # start_timeout covers the first kernel compile: through the remote
+    # compile service this can take tens of minutes on a bad day, and a
+    # paced consumer giving up its start barrier would book the wait as
+    # underruns.
     sinks = [
         TcpSink(addr=f"127.0.0.1:{r.port}", fifo_depth=8, pace=True,
-                start_timeout_s=600.0)
+                start_timeout_s=3600.0)
         for r in readers
     ]
     t0 = time.perf_counter()

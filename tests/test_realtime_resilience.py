@@ -297,7 +297,11 @@ def test_realtime_failover_paced_tcp_zero_underruns(
         almanac_enable=False, backend=SynthBackend.JAX,
         realtime=True, sink="tcp", fifo_depth=8,
     )
-    sink = TcpSink(addr=f"127.0.0.1:{srv.port}", fifo_depth=8, pace=True)
+    # start_timeout covers the first JAX-CPU compile under suite load:
+    # the paced consumer must not give up its start barrier (and book
+    # the wait as underruns) before the first batch exists.
+    sink = TcpSink(addr=f"127.0.0.1:{srv.port}", fifo_depth=8, pace=True,
+                   start_timeout_s=120.0)
     stats = run_simulation(cfg, sink=sink)
     underruns = sink.underruns
     bytes_sent = sink.bytes_sent
