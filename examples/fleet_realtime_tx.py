@@ -61,10 +61,13 @@ def main() -> None:
         print(f"member {i}: {st.blocks * 0.1:.1f} s of signal streamed, "
               f"{s.underruns} underruns")
     if stats[0].failovers:
-        print(f"supervisor failover(s): {stats[0].failovers} "
-              f"(first native block at the sink "
-              f"{stats[0].failover_latency_s * 1e3:.0f} ms after the "
-              "decision)")
+        lat = stats[0].failover_latency_s
+        detail = (
+            f"first native block at the sink {lat * 1e3:.0f} ms after "
+            "the decision" if lat is not None
+            else "no blocks remained to synthesize natively"
+        )
+        print(f"supervisor failover(s): {stats[0].failovers} ({detail})")
 
 
 if __name__ == "__main__":

@@ -241,22 +241,13 @@ def run_fleet(
     int_nco = cfg0.carrier_mode is CarrierMode.INT_NCO
     kernel, wide, n_rows, bits = resolve_batch_kernel(cfg0)
 
-    # Single-transfer dispatch (see runner._run_batched): the batch's
-    # seven 32-bit arg arrays ship as one packed buffer, unpacked on
-    # device — bit-exact, and immune to per-array transfer latency.
-    import jax
+    # Single-transfer dispatch, shared with runner._run_batched.
+    from .parallel.blocks import pack_args
+    from .runner import make_packed_kernel
 
-    from .parallel.blocks import pack_args, unpack_args
-
-    num_samples = cfg0.samples_per_epoch
-
-    def _packed_kernel(packed, spec):
-        return kernel(
-            **unpack_args(packed, spec), n_rows=n_rows,
-            num_samples=num_samples, out_bits=bits, wide=wide,
-        )
-
-    _packed_kernel = jax.jit(_packed_kernel, static_argnums=1)
+    _packed_kernel = make_packed_kernel(
+        kernel, n_rows, cfg0.samples_per_epoch, bits, wide
+    )
     if mesh is not None:
         from .parallel.shard import make_sharded_synth, pad_batch, pad_channels
 
@@ -300,7 +291,12 @@ def run_fleet(
     if realtime:
         from .runner import RealtimeSupervisor
 
-        totals = [c.num_epochs - 1 for c in cfgs]  # blocks per member
+        # Blocks each member will actually produce: the PLANNER's count
+        # (a motion file shorter than duration_sec trims it below
+        # cfg.num_epochs, scenario.py:104-109) — a member measured
+        # against the un-trimmed config total would stay "live" forever
+        # after its last block and pin the fleet minimum.
+        totals = [s.numd - 1 for s in sims]
         agg = RunStats()  # slowest-LIVE-member view the supervisor watches
         supervisor = RealtimeSupervisor(
             cfg0, _FleetTransportView(sinks), agg
@@ -412,7 +408,7 @@ def run_fleet(
                         t_act = time.perf_counter()
                         _fleet_native_tail(
                             cfgs, sinks, pending, it, stats, agg, t0,
-                            base_index, on_batch, stop, t_act,
+                            base_index, on_batch, stop, t_act, totals,
                         )
                         break
             if not tagged and not pending:
@@ -470,45 +466,26 @@ class _FleetTransportView:
 
 def _fleet_native_tail(
     cfgs, sinks, pending, it, stats, agg, t0, base_index, on_batch, stop,
-    t_act,
+    t_act, totals,
 ) -> None:
     """Finish a realtime fleet on the native sequential engine after a
     supervisor failover: first the in-flight batches' plans (device
     buffers left unread), then the remaining round-robin, paced on the
-    slowest member. Noise keying and block accounting match the batched
-    drain exactly, so strict-parity member streams stay byte-identical
-    to solo runs."""
-    from .ops.synth_numpy import quantize_iq
-    from .runner import _native_synth_fn
+    slowest member. The per-block write path is runner's
+    _make_native_writer — one writer per member, the fleet aggregate
+    carrying the recovery latency — so noise keying, accounting, and
+    the direct-int8 fast path cannot drift from the single-scenario
+    failover."""
+    from .runner import _make_native_writer
 
     cfg0 = cfgs[0]
-    bits = cfg0.sample_format.value
-    noisy = any(c.noise_std_lsb > 0.0 for c in cfgs)
-    # Clean 8-bit fleets quantize inside the native loop (one fewer
-    # full-block numpy pass per 0.1 s of signal per member — real
-    # headroom when one core must hold N paced streams).
-    direct8 = bits == 8 and not noisy
-    synth_fn = _native_synth_fn(cfg0, bits=8 if direct8 else 16)
-    if noisy:
-        from .noise import apply_awgn
+    writers = [
+        _make_native_writer(c, s, st, t0, bi, t_act, latency_stats=agg)
+        for c, s, st, bi in zip(cfgs, sinks, stats, base_index)
+    ]
 
     def write_one(member: int, plan) -> None:
-        blk = np.asarray(synth_fn(plan))
-        if not direct8:
-            blk = quantize_iq(blk, bits)
-        mc = cfgs[member]
-        if mc.noise_std_lsb > 0.0:
-            blk = apply_awgn(
-                blk, bits, mc.noise_std_lsb, mc.noise_seed, 0,
-                base_index[member] + stats[member].blocks,
-            )
-        sinks[member].write(blk)
-        if agg.failover_latency_s is None:
-            agg.failover_latency_s = time.perf_counter() - t_act
-        st = stats[member]
-        st.blocks += 1
-        st.samples += plan.num_samples
-        st.wall_seconds = time.perf_counter() - t0
+        writers[member](plan)
 
     while pending:
         _out, _redispatch, done = pending.popleft()
@@ -518,7 +495,6 @@ def _fleet_native_tail(
             on_batch(stats)
         if stop is not None and stop():
             return
-    totals = [c.num_epochs - 1 for c in cfgs]
     writes = 0
     for member, plan in it:
         write_one(member, plan)

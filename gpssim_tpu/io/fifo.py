@@ -25,15 +25,17 @@ class BlockFifo:
         self._not_full = threading.Condition(self._lock)
         self._full_once = threading.Condition(self._lock)
         self._halted = False
+        self._finished = False
 
     def enqueue(self, block) -> bool:
         """Producer: blocks while the queue is full (reference fifo.c:128-148
         models this as an empty freelist). Returns False if halted."""
         with self._lock:
-            while len(self._q) >= self.depth and not self._halted:
+            while (len(self._q) >= self.depth and not self._halted
+                   and not self._finished):
                 self._full_once.notify_all()
                 self._not_full.wait()
-            if self._halted:
+            if self._halted or self._finished:
                 return False
             self._q.append(block)
             self._not_empty.notify()
@@ -44,10 +46,10 @@ class BlockFifo:
     def dequeue(self, timeout: float | None = None):
         """Consumer: blocks until a block or halt; None on halt/timeout."""
         with self._lock:
-            while not self._q and not self._halted:
+            while not self._q and not self._halted and not self._finished:
                 if not self._not_empty.wait(timeout=timeout):
                     return None
-            if self._halted and not self._q:
+            if (self._halted or self._finished) and not self._q:
                 return None
             block = self._q.popleft()
             self._not_full.notify()
@@ -68,6 +70,19 @@ class BlockFifo:
         flush for short runs that never fill the pre-buffer (a TX must
         still transmit what was queued)."""
         with self._lock:
+            self._full_once.notify_all()
+
+    def finish(self) -> None:
+        """End-of-stream: no more blocks are coming, but everything queued
+        still transmits. The paced drain stops counting a drained-out
+        tail as underruns (empty_and_live → False), dequeue returns None
+        once the queue empties, and a pending start barrier releases so
+        short runs transmit what was queued. Unlike halt(), nothing is
+        discarded."""
+        with self._lock:
+            self._finished = True
+            self._not_empty.notify_all()
+            self._not_full.notify_all()
             self._full_once.notify_all()
 
     def halt(self) -> None:
@@ -93,4 +108,4 @@ class BlockFifo:
         """Queue empty while the stream is still live — the underrun
         condition for a paced consumer (see TcpSink)."""
         with self._lock:
-            return not self._q and not self._halted
+            return not self._q and not self._halted and not self._finished

@@ -300,9 +300,15 @@ class TcpSink(Sink):
 
     def end_stream(self) -> None:
         if self._native is not None:
+            # The native drain keeps transmitting queued blocks after a
+            # FIFO halt (Fifo::dequeue drains before returning nullptr).
             self._native.halt()
         elif self.fifo is not None:
-            self.fifo.halt()
+            # The Python BlockFifo's halt() DISCARDS the queue (the
+            # reference's abort semantics, fifo.c:105-126) — end of
+            # stream must flush, so mark finished instead: everything
+            # queued still transmits, only underrun accounting stops.
+            self.fifo.finish()
 
     def close(self) -> None:
         if self._native is not None:
@@ -552,6 +558,14 @@ def make_configured_sink(cfg) -> Sink:
     elif cfg.sink == "tcp":
         kwargs = {"addr": cfg.tcp_addr, "fifo_depth": cfg.fifo_depth,
                   "pace": cfg.realtime}
+        if cfg.realtime:
+            # The start barrier must outlast the first kernel compile of
+            # a device-backend run (tens of minutes through a remote
+            # compile service on a bad day): a paced drain giving up its
+            # barrier would book the wait as underruns before the first
+            # real byte exists. Pre-start wall time is not part of the
+            # underrun contract — the TX simply begins later.
+            kwargs["start_timeout_s"] = 3600.0
     sink = make_sink(cfg.sink, **kwargs)
     if sink.gain_range is not None:
         cfg.tx_gain = sink.set_gain(cfg.tx_gain)

@@ -215,6 +215,16 @@ def seq_corrections_window(
         raise RuntimeError("native sequential engine unavailable")
     if not plans:
         return []
+    for p in plans[1:]:
+        # The stacked native call replays every block with plans[0]'s
+        # static facts — a heterogeneous window would be silently
+        # replayed wrong (wrong sample count / phase step), so refuse.
+        if p.num_samples != plans[0].num_samples or p.delt != plans[0].delt:
+            raise ValueError(
+                "seq_corrections_window needs a homogeneous window: "
+                f"num_samples {p.num_samples} != {plans[0].num_samples} "
+                f"or delt {p.delt} != {plans[0].delt}"
+            )
     if not hasattr(lib, "gseq_diff_window"):  # stale .so on disk
         return [
             seq_corrections(p, int_nco=int_nco)[:3] for p in plans

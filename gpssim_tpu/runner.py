@@ -339,6 +339,27 @@ def resolve_batch_kernel(cfg: SimConfig):
     return kernel, wide, n_rows, bits
 
 
+def make_packed_kernel(kernel, n_rows: int, num_samples: int, bits: int,
+                       wide: bool):
+    """One-transfer jitted dispatch shared by the batched runner and the
+    fleet: the batch's 32-bit arg arrays ship as a single packed buffer
+    (parallel.blocks.pack_args) and unpack on device inside the jit (XLA
+    fuses the static slices into the kernel program — bit-exact).
+    Per-array transfer LATENCY, not volume, dominates on tunneled links;
+    on PCIe hosts this is neutral."""
+    import jax
+
+    from .parallel.blocks import unpack_args
+
+    def _packed(packed, spec):
+        return kernel(
+            **unpack_args(packed, spec), n_rows=n_rows,
+            num_samples=num_samples, out_bits=bits, wide=wide,
+        )
+
+    return jax.jit(_packed, static_argnums=1)
+
+
 def fetch_batch(out, redispatch) -> tuple[np.ndarray, bool]:
     """device_get with the transient-failure retry policy (SURVEY §5).
 
@@ -372,28 +393,14 @@ def _run_batched(
     import itertools
     from collections import deque
 
-    import jax
-
     from .config import CarrierMode
-    from .parallel.blocks import collate_plans, pack_args, unpack_args
+    from .parallel.blocks import collate_plans, pack_args
 
     int_nco = cfg.carrier_mode is CarrierMode.INT_NCO
     kernel, wide, n_rows, bits = resolve_batch_kernel(cfg)
-
-    # One H2D transfer per batch: the window's seven 32-bit arg arrays
-    # ship as a single packed buffer, unpacked on device inside the jit
-    # (XLA fuses the static slices into the kernel program — bit-exact).
-    # Per-array transfer LATENCY, not volume, dominates on tunneled
-    # links; on PCIe hosts this is neutral.
-    num_samples = cfg.samples_per_epoch
-
-    def _packed_kernel(packed, spec):
-        return kernel(
-            **unpack_args(packed, spec), n_rows=n_rows,
-            num_samples=num_samples, out_bits=bits, wide=wide,
-        )
-
-    _packed_kernel = jax.jit(_packed_kernel, static_argnums=1)
+    _packed_kernel = make_packed_kernel(
+        kernel, n_rows, cfg.samples_per_epoch, bits, wide
+    )
     W = window if window is not None else cfg.dispatch_blocks
     strict = strict_parity_enabled(cfg)
     if strict:
@@ -528,17 +535,22 @@ def _run_batched(
 
 
 def _make_native_writer(cfg: SimConfig, sink: Sink, stats: RunStats,
-                        t0: float, base_index: int, t_act: float):
+                        t0: float, base_index: int, t_act: float,
+                        latency_stats: RunStats | None = None):
     """Per-block native synth→quantize→noise→write→stats sequence shared
-    by the failover drain and continuation paths (single-sourced so
-    accounting and noise keying cannot drift between them). Also records
-    RunStats.failover_latency_s — decision to first native block at the
-    sink — on the first write.
+    by the failover drain/continuation paths and the fleet's native tail
+    (single-sourced so accounting and noise keying cannot drift between
+    them). Also records failover_latency_s — decision to first native
+    block at the sink — on ``latency_stats`` (defaults to ``stats``; a
+    fleet passes its aggregate so the FIRST member byte defines the
+    fleet's recovery latency).
 
     Clean 8-bit streams quantize inside the native loop (one fewer
     full-block numpy pass per 0.1 s — headroom that matters when one
     core feeds a realtime fleet); noisy/16-bit streams keep the
     quantize-then-noise order of the batched path."""
+    if latency_stats is None:
+        latency_stats = stats
     noisy = cfg.noise_std_lsb > 0.0
     bits = cfg.sample_format.value
     direct8 = bits == 8 and not noisy
@@ -556,8 +568,8 @@ def _make_native_writer(cfg: SimConfig, sink: Sink, stats: RunStats,
             blk = apply_awgn(blk, bits, cfg.noise_std_lsb,
                              cfg.noise_seed, 0, base_index + stats.blocks)
         sink.write(blk)
-        if stats.failover_latency_s is None:
-            stats.failover_latency_s = time.perf_counter() - t_act
+        if latency_stats.failover_latency_s is None:
+            latency_stats.failover_latency_s = time.perf_counter() - t_act
         stats.blocks += 1
         stats.samples += plan.num_samples
         stats.wall_seconds = time.perf_counter() - t0

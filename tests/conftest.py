@@ -25,8 +25,14 @@ if not os.environ.get("GPSSIM_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
     # Persistent compile cache: XLA-CPU compiles dominate several suite
     # files; warm reruns (CI retries, local iteration) skip them.
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/gpssim-test-jax-cache")
+    # Per-user path — a world-shared /tmp dir would be unwritable for
+    # the second user and a cache-poisoning surface for the first.
+    import tempfile
+
+    _cache = os.path.join(
+        tempfile.gettempdir(), f"gpssim-jax-cache-{os.getuid()}"
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest

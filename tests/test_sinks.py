@@ -139,6 +139,37 @@ def test_tcp_sink_stream_integrity(engine):
 
 
 @pytest.mark.parametrize("engine", ["native", "python"])
+def test_tcp_sink_end_stream_flushes_queue(engine):
+    """end_stream() marks the stream complete WITHOUT discarding queued
+    blocks: everything written before it must still arrive (on both
+    engines — the Python BlockFifo's halt() clears its queue, so
+    end_stream must use finished semantics there), and a drained-out
+    tail after end_stream must not count as underruns."""
+    from gpssim_tpu.io import native as native_mod
+    from gpssim_tpu.io.sinks import TcpSink
+
+    if engine == "native" and not native_mod.available():
+        pytest.skip("native runtime unavailable")
+    srv = _LoopbackServer()
+    sink = TcpSink(addr=f"127.0.0.1:{srv.port}", fifo_depth=8,
+                   pace=False, engine=engine, start_timeout_s=5.0)
+    sink.init()
+    rng = np.random.default_rng(7)
+    # Fewer blocks than the FIFO depth: without the flush semantics the
+    # whole stream sits in the queue at end_stream time.
+    blocks = [rng.integers(-128, 128, 50_000, dtype=np.int8)
+              for _ in range(3)]
+    for b in blocks:
+        sink.write(b)
+    sink.end_stream()
+    sink.close()
+    srv.join()
+    want = np.concatenate(blocks).tobytes()
+    assert bytes(srv.received) == want
+    assert sink.underruns == 0
+
+
+@pytest.mark.parametrize("engine", ["native", "python"])
 def test_tcp_sink_start_full_barrier(engine):
     """No byte may leave before the FIFO has filled once (the reference's
     fifo_wait_full start barrier, fifo.c:97-103, sdr_iqfile.c:74)."""
