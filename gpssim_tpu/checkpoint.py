@@ -96,6 +96,11 @@ def capture_state(sim) -> dict:
     runner captures right after planning a batch so the snapshot it hands
     to checkpoint hooks matches the blocks actually written, even while
     the planner runs ahead (see runner._run_batched)."""
+    # The windowed planner defers channel write-back (scenario.py
+    # _sync_channels); materialize it so the snapshot sees live state.
+    sync = getattr(sim, "_sync_channels", None)
+    if sync is not None:
+        sync()
     chans = sim.channels.chan
     C = len(chans)
     arrays: dict[str, np.ndarray] = {}
@@ -146,35 +151,90 @@ def write_state(path: str, state: dict) -> None:
         np.savez(fp, **state)
 
 
-def load_checkpoint(path: str):
-    """Load a snapshot → (SimConfig, Simulation positioned to continue)."""
+def _restore(z, p: str = ""):
+    """Rebuild (SimConfig, Simulation) from snapshot arrays with key
+    prefix ``p`` ('' for a single-scenario file, 'mN_' for fleet member
+    N)."""
     from .scenario import Simulation
 
-    z = np.load(path, allow_pickle=False)
-    cfg = _config_from_json(str(z["config_json"]))
-
+    cfg = _config_from_json(str(z[f"{p}config_json"]))
     sim = Simulation(cfg)
 
     for i, c in enumerate(sim.channels.chan):
         for name, _ in _CHAN_SCALARS:
-            v = z[f"ch_{name}"][i]
+            v = z[f"{p}ch_{name}"][i]
             setattr(c, name, type(getattr(c, name))(v))
-        c.g0 = GpsTime(int(z["ch_g0_week"][i]), float(z["ch_g0_sec"][i]))
-        c.rho0_g = GpsTime(
-            int(z["ch_rho0_week"][i]), float(z["ch_rho0_sec"][i])
+        c.g0 = GpsTime(
+            int(z[f"{p}ch_g0_week"][i]), float(z[f"{p}ch_g0_sec"][i])
         )
-        c.azel = tuple(z["ch_azel"][i])
-        c.dwrd = z["ch_dwrd"][i].copy()
-        c.sbf = z["ch_sbf"][i].copy() if z["ch_has_sbf"][i] else None
-    sim.channels.allocated_sat = z["allocated_sat"].copy()
+        c.rho0_g = GpsTime(
+            int(z[f"{p}ch_rho0_week"][i]), float(z[f"{p}ch_rho0_sec"][i])
+        )
+        c.azel = tuple(z[f"{p}ch_azel"][i])
+        c.dwrd = z[f"{p}ch_dwrd"][i].copy()
+        c.sbf = (
+            z[f"{p}ch_sbf"][i].copy() if z[f"{p}ch_has_sbf"][i] else None
+        )
+    sim.channels.allocated_sat = z[f"{p}allocated_sat"].copy()
 
-    sim.grx = GpsTime(int(z["grx"][0]), float(z["grx"][1]))
-    sim.g0 = GpsTime(int(z["g0"][0]), float(z["g0"][1]))
-    sim.ieph = int(z["ieph"])
-    sim._iumd = int(z["iumd"])
-    sim._xyz_prev = z["xyz_prev"].copy()
-    ia = z["interactive"]
+    sim.grx = GpsTime(int(z[f"{p}grx"][0]), float(z[f"{p}grx"][1]))
+    sim.g0 = GpsTime(int(z[f"{p}g0"][0]), float(z[f"{p}g0"][1]))
+    sim.ieph = int(z[f"{p}ieph"])
+    sim._iumd = int(z[f"{p}iumd"])
+    sim._xyz_prev = z[f"{p}xyz_prev"].copy()
+    ia = z[f"{p}interactive"]
     sim.interactive.bearing_millideg = float(ia[0])
     sim.interactive.velocity = float(ia[1])
     sim.interactive.vertical_speed = float(ia[2])
     return cfg, sim
+
+
+def load_checkpoint(path: str):
+    """Load a snapshot → (SimConfig, Simulation positioned to continue)."""
+    z = np.load(path, allow_pickle=False)
+    if "fleet_n" in z:
+        raise ValueError(
+            f"{path} is a FLEET checkpoint "
+            f"({int(z['fleet_n'])} members) — load it with "
+            "load_fleet_checkpoint / resume it through run_fleet"
+        )
+    return _restore(z)
+
+
+def is_fleet_checkpoint(path: str) -> bool:
+    with np.load(path, allow_pickle=False) as z:
+        return "fleet_n" in z
+
+
+def capture_fleet_state(sims, blocks) -> dict:
+    """Snapshot of every member of a fleet (checkpoint schema = the
+    single-scenario channel_t schema per member, keys prefixed mN_),
+    plus the per-member written-block counts the snapshot corresponds
+    to (VERDICT r4 item 4)."""
+    out = {
+        "fleet_n": np.array(len(sims), dtype=np.int64),
+        "fleet_blocks": np.array(blocks, dtype=np.int64),
+    }
+    for i, sim in enumerate(sims):
+        for k, v in capture_state(sim).items():
+            out[f"m{i}_{k}"] = v
+    return out
+
+
+def load_fleet_checkpoint(path: str):
+    """Load a fleet snapshot → (cfgs, sims, blocks): one restored
+    Simulation per member, positioned to continue, and the per-member
+    block counts already written when the snapshot was taken."""
+    z = np.load(path, allow_pickle=False)
+    if "fleet_n" not in z:
+        raise ValueError(
+            f"{path} is a single-scenario checkpoint — load it with "
+            "load_checkpoint"
+        )
+    n = int(z["fleet_n"])
+    cfgs, sims = [], []
+    for i in range(n):
+        cfg, sim = _restore(z, f"m{i}_")
+        cfgs.append(cfg)
+        sims.append(sim)
+    return cfgs, sims, z["fleet_blocks"].copy()

@@ -208,22 +208,40 @@ def args_from_arrays(
     gb = (g44 - ga.astype(np.float64) * float(1 << 22)).astype(np.int32)
     # The Q44 truncation drops gain bits below 2^-44; trunc(T*gQ44) could
     # in principle differ from the f64 trunc(T*g) when T*g sits within
-    # ~2^-35 of an integer. Screen that exhaustively — the LUT magnitude
-    # set has only 129 distinct values, so per conversion this is a few
-    # thousand vectorized flops, and a hit (never observed; ~1e-11 odds
-    # per block) raises instead of silently corrupting device output.
+    # ~2^-35 of an integer. Screen that — the LUT magnitude set has only
+    # 129 distinct values, and a hit (never observed; ~1e-11 odds per
+    # block) raises instead of silently corrupting device output.
+    #
+    # Two-stage screen: the split evaluates floor(P - eps_drop) where
+    # eps_drop = (r + delta*T)/2^44 < 2^-21 is the dropped low product
+    # (split approximates T*g from BELOW), so trunc can only disagree
+    # when an integer sits inside (P - eps_drop, P] — i.e. when P lies
+    # within 2^-21 AT OR ABOVE an integer.  A distance prescreen (2
+    # array passes) replaces the full int64 split evaluation (~8 passes
+    # over the (B, M, C) outer product — measured as HALF of collation
+    # cost), and the exact comparison runs only when something is
+    # flagged, preserving the raise-on-real-mismatch contract bit for
+    # bit (tests/test_synth.py plants a 250*g = 100+1e-13 gain).
     mags = _LUT_MAGS[:, None]  # (M, 1)
     gf = g[..., None, :]  # (..., 1, C)
-    exact = np.trunc(mags * gf)
-    q44 = (
-        ga.astype(np.int64)[..., None, :] * mags.astype(np.int64)
-        + ((gb.astype(np.int64)[..., None, :] * mags.astype(np.int64)) >> 22)
-    ) >> 22
-    if not np.array_equal(exact.astype(np.int64), q44):
-        raise ValueError(
-            "Q44 gain split is not truncation-exact for this gain value — "
-            "a LUT product sits on an integer boundary closer than 2^-44"
-        )
+    prod = mags * gf  # (..., M, C); exact to 0.5 ulp <= 2^-44*|P|
+    # Inactive slots carry g == 0: every product is exactly the integer
+    # 0 and the split is trivially exact — exclude them or the prescreen
+    # would flag every batch.
+    flagged = (prod - np.floor(prod) < 2.0**-20) & (gf > 0.0)
+    if np.any(flagged):
+        exact = np.trunc(prod)
+        q44 = (
+            ga.astype(np.int64)[..., None, :] * mags.astype(np.int64)
+            + ((gb.astype(np.int64)[..., None, :] * mags.astype(np.int64))
+               >> 22)
+        ) >> 22
+        if not np.array_equal(exact.astype(np.int64), q44):
+            raise ValueError(
+                "Q44 gain split is not truncation-exact for this gain "
+                "value — a LUT product sits on an integer boundary closer "
+                "than 2^-44"
+            )
 
     # Bit-packed C/A chips from the cached per-PRN table (wrap-extended);
     # packing 1023 chips per block would dominate collation otherwise.

@@ -580,10 +580,33 @@ class Simulation:
         self._win = win
 
     def _apply_window_epoch(self) -> BlockPlan:
-        """Hand out the next buffered plan and commit its state effects."""
+        """Hand out the next buffered plan.
+
+        Channel-state write-back is DEFERRED: every per-epoch field is a
+        pure overwrite from the window row (no accumulation), so only the
+        last handed-out row matters — ``_sync_channels`` applies it on
+        demand (window end, checkpoint capture, TUI reads) instead of
+        ~17 Python attribute stores per channel per epoch, which measured
+        as ~15% of strict-parity planning cost."""
         win = self._win
         j = win["pos"]
         win["pos"] = j + 1
+        self._xyz_prev = np.asarray(win["xyz"][j], dtype=np.float64)
+        plan = win["plans"][j]
+        if win["pos"] >= win["K"]:
+            self._sync_channels()  # window state must land before regen
+            self._win = None
+        return plan
+
+    def _sync_channels(self) -> None:
+        """Write the last handed-out window row back onto the channel
+        table (idempotent; no-op between windows or in interactive mode,
+        where _plan_epoch writes eagerly)."""
+        win = self._win
+        if win is None or win["pos"] == 0 or win.get("synced") == win["pos"]:
+            return
+        win["synced"] = win["pos"]
+        j = win["pos"] - 1
         cfg = self.cfg
         if win["slots"]:
             rho, cps = win["rho"], win["cps"]
@@ -608,11 +631,6 @@ class Simulation:
                     ch.carr_phase = float(win["carr_next"][j, k])
                 else:
                     ch.carr_phase_i = int(win["carr_i_next"][j, k])
-        self._xyz_prev = np.asarray(win["xyz"][j], dtype=np.float64)
-        plan = win["plans"][j]
-        if win["pos"] >= win["K"]:
-            self._win = None
-        return plan
 
     def step(self) -> BlockPlan | None:
         """Produce the next epoch's plan and advance scenario state past it.

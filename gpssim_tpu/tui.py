@@ -44,6 +44,11 @@ class StatusLog:
 
 def format_channel_rows(sim) -> list[str]:
     """Verbose channel table (reference gps.c:2677-2685 / 2911-2928)."""
+    # The windowed planner defers channel write-back; pull it current so
+    # the displayed az/el/rho match the last planned block.
+    sync = getattr(sim, "_sync_channels", None)
+    if sync is not None:
+        sync()
     rows = []
     for i, ch in enumerate(sim.channels.chan):
         if ch.prn <= 0:

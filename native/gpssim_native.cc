@@ -367,16 +367,21 @@ constexpr double kCarrMargin = 1e-4;
 // phase (< 1024 → ulp ≤ 2^-43, half-ulp 2^-44 ≈ 5.684e-14) plus the
 // closed form's fl(n*dc) (≤ ulp(1.2e5)/2 ≈ 7.3e-12) and final-add
 // (≤ 2^-44) roundings.
-static inline double code_margin_fast(long N) {
-  return 10.0 * (static_cast<double>(N) * 5.684e-14 + 1.0e-11);
-}
+// Margins are linear in the sample index: slope * n + constant.  The
+// whole-block screens query with the value at n = N (the conservative
+// envelope); the per-candidate refinement re-tests a flagged sample n
+// against the value at THAT n, which is what the bound actually proves
+// — a candidate outside margin(n) cannot diverge at n, so the walk to
+// it is skipped (measured: ~1.3 over-flagged candidates/block, each
+// walking ~half a block — the dominant strict-corrections cost).
+static inline double code_margin_slope() { return 10.0 * 5.684e-14; }
+static inline double code_margin_const() { return 10.0 * 1.0e-11; }
 
 // LUT-index units: 512 x (N half-ulp roundings of the phase in [0,1) →
 // ulp ≤ 2^-53, half-ulp 2^-54 ≈ 5.552e-17) plus 512 x the closed
 // form's fl(n*dp) / final-add roundings (≤ 1e-10 total for any block).
-static inline double carr_margin_fast(long N) {
-  return 10.0 * (static_cast<double>(N) * 512.0 * 5.552e-17 + 1.0e-10);
-}
+static inline double carr_margin_slope() { return 10.0 * 512.0 * 5.552e-17; }
+static inline double carr_margin_const() { return 10.0 * 1.0e-10; }
 
 struct SeqChan {
   double cp;        // sequential code phase, chips in [0, 1023)
@@ -656,10 +661,23 @@ static double carr_advance_n(double p, double dp, long n) {
       if (low > half) {
         S += 1;
       } else if (low == half) {
-        // Tie: rounding depends on the running mantissa parity — scalar.
-        p = carr_step1(p, dp);
-        --n;
-        continue;
+        // Rounding tie: the exact sum sits half an ulp between the two
+        // candidates, and round-half-to-EVEN makes the progression exact
+        // again — from an even mantissa every step lands even with the
+        // even step T = S + (S & 1) (for either sign of dp), so the
+        // binade jumps like any other instead of going all-scalar (a tie
+        // binade otherwise degrades every step in it; measured ~26% of
+        // walk iterations on realistic Doppler).  An odd mantissa takes
+        // one scalar step, which RNE lands on an even mantissa.
+        const int64_t mm = static_cast<int64_t>(
+            (pbits & 0xFFFFFFFFFFFFFull) | (1ull << 52));
+        if (mm & 1) {
+          p = carr_step1(p, dp);
+          --n;
+          continue;
+        }
+        S += S & 1;
+        if (S == 0) return p;  // dmant exactly half an ulp: fixed point
       }
     }
     if (dsign) S = -S;
@@ -978,10 +996,21 @@ static long seg_room(double v, double dv, double vcap, int64_t* S_out,
     const int64_t low = dmant & ((int64_t(1) << sh) - 1);
     const int64_t half = int64_t(1) << (sh - 1);
     S = dmant >> sh;
-    if (low > half)
+    if (low > half) {
       S += 1;
-    else if (low == half)
-      return 0;  // rounding tie: parity-dependent, stay scalar
+    } else if (low == half) {
+      // Rounding tie: round-half-to-even keeps the progression exact
+      // from an EVEN mantissa with the even step S + (S & 1) — same
+      // lemma as carr_advance_n.  An odd mantissa defers to one scalar
+      // step (which RNE lands even); the segment caches in the callers
+      // preserve evenness (even step from even start).
+      if (mant & 1) return 0;
+      S += S & 1;
+      if (S == 0) {  // dmant exactly half an ulp: even mantissa is fixed
+        *fixed_out = true;
+        return kRoomMax;
+      }
+    }
   }
   if (dsign) S = -S;
   if (S == 0) return 0;  // unreachable for normal dmant: stay scalar
@@ -1020,15 +1049,26 @@ static inline double mant_to_double(uint64_t tmpl_bits, int64_t mant) {
   return v;
 }
 
-// Minimal j >= 0 with (a + j*s) mod m < w, or -1 if none exists.
-// Preconditions: 0 <= a < m, 0 <= s < m, 0 <= w <= m.  Euclidean descent
-// on the modulus (m, s) -> (s, (-m) mod s): O(log m) like gcd.  This is
-// what makes the segment screen O(hits) instead of O(samples): a hit
-// needs (a + j*s) to land in a width-w window mod m, and the first such
-// j is found directly instead of scanning.
+// Minimal j in [0, budget) with (a + j*s) mod m < w, or -1 if none
+// exists below the budget.  Preconditions: 0 <= a < m, 0 <= s < m,
+// 0 <= w <= m, budget >= 0.  Euclidean descent on the modulus
+// (m, s) -> (s, (-m) mod s): O(log m) like gcd.  This is what makes the
+// segment screen O(hits) instead of O(samples): a hit needs (a + j*s)
+// to land in a width-w window mod m, and the first such j is found
+// directly instead of scanning.
+//
+// The budget is threaded DOWN the descent, not just checked at the top:
+// j(k2) = ceil(((k2+1)m - a)/s) is increasing in k2, so "j < budget"
+// bounds the child problem to k2 + 1 <= ((budget-1)s + a)/m allowed
+// values.  Since s <= m/2 after the reflection, the child budget at
+// least halves per level — a screen query over N samples descends
+// ~log2(N) levels instead of the full ~log(m) Euclid ladder (the screen
+// issues 2 such queries per channel-block and hits are ~never below N,
+// so the early-out is the common case and was measured as most of the
+// strict-parity corrections cost).
 static long long first_hit_mod(long long a, long long s, long long m,
-                               long long w) {
-  if (w <= 0) return -1;
+                               long long w, long long budget) {
+  if (w <= 0 || budget <= 0) return -1;
   if (a < w) return 0;
   if (s == 0) return -1;
   if (s > m - s) {
@@ -1039,18 +1079,22 @@ static long long first_hit_mod(long long a, long long s, long long m,
     // recursion is LINEAR depth for s near m, e.g. s = m-1).
     long long ar = (w - 1 - a) % m;
     if (ar < 0) ar += m;
-    return first_hit_mod(ar, m - s, m, w);
+    return first_hit_mod(ar, m - s, m, w, budget);
   }
   // Need k >= 1 wraps: k*m <= a + j*s < k*m + w with j = ceil((k*m-a)/s),
   // valid iff the ceil residue r_k = (a - k*m) mod s < w.  Substituting
   // k = 1 + k2 turns "minimal valid k" into the same problem one level
   // down: r_k = ((a - m) mod s + k2 * ((-m) mod s)) mod s.
+  // j < budget  <=>  (k2+1)m - a <= (budget-1)s  <=>  k2+1 <= b2 below.
+  const long long b2 = static_cast<long long>(
+      ((static_cast<__int128>(budget) - 1) * s + a) / m);
+  if (b2 <= 0) return -1;
   const long long w2 = w < s ? w : s;
   long long a2 = (a - m) % s;
   if (a2 < 0) a2 += s;
   long long s2 = (-m) % s;
   if (s2 < 0) s2 += s;
-  const long long k2 = first_hit_mod(a2, s2, s, w2);
+  const long long k2 = first_hit_mod(a2, s2, s, w2, b2);
   if (k2 < 0) return -1;
   const __int128 num = (static_cast<__int128>(k2) + 1) * m - a;
   return static_cast<long long>((num + s - 1) / s);
@@ -1065,6 +1109,11 @@ constexpr int64_t kFixM = int64_t(1) << 62;
 
 struct GlobalScreen {
   int64_t a, s, w;
+  // n-dependent refinement terms, in 2^-62 counts: a flagged sample n
+  // is walked only if its boundary distance is within
+  // W(n) = slope*n + cons + n + 2 — make_global's window with N -> n.
+  double slope;
+  double cons;
 };
 
 // frac(x) in 2^-62 fixed point.  x - floor(x) is exact for |x| < 2^53
@@ -1080,11 +1129,12 @@ static inline int64_t to_fix(double x) {
 }
 
 static GlobalScreen make_global(double pos, double step, double scale,
-                                double margin, long N) {
+                                double m_slope, double m_const, long N) {
   // scale is 1.0 or 512.0: scale*pos / scale*step are exact (power-of-2
   // multiply), so the only inexactness is the fixed-point rounding of
   // a0 (<= 0.5 counts) and of s (<= 0.5 counts, linearly accumulated to
   // <= N/2 counts by sample N) — widen the window by N+2 counts.
+  const double margin = m_slope * static_cast<double>(N) + m_const;
   const int64_t W =
       static_cast<int64_t>(margin * static_cast<double>(kFixM)) + N + 2;
   const int64_t a0 = to_fix(scale * pos);
@@ -1092,7 +1142,24 @@ static GlobalScreen make_global(double pos, double step, double scale,
   // Proximity window [0, W] u [M-W, M-1], rotated by +W to [0, 2W].
   int64_t a = a0 + W;
   if (a >= kFixM) a -= kFixM;
-  return {a, s, 2 * W + 1};
+  return {a, s, 2 * W + 1, m_slope * static_cast<double>(kFixM),
+          m_const * static_cast<double>(kFixM)};
+}
+
+// Refined per-candidate test: could sample n actually diverge?  The
+// query window used margin(N); the bound at the candidate itself is
+// margin(n) (sequential divergence and fixed-point slop both accumulate
+// linearly in n), so a candidate outside that tighter window is proven
+// identical in both semantics and needs no sequential walk.
+static inline bool gs_hit_refined(const GlobalScreen& g, long n) {
+  const int64_t t = static_cast<int64_t>(
+      (static_cast<__int128>(g.s) * n + g.a) % kFixM);
+  const int64_t Wc = (g.w - 1) / 2;  // the query half-width, margin(N)
+  const int64_t Wn =
+      static_cast<int64_t>(g.slope * static_cast<double>(n) + g.cons) + n + 2;
+  int64_t d = t - Wc;
+  if (d < 0) d = -d;
+  return d <= Wn;
 }
 
 // First flagged sample in [n0, N) for this screen, or N if none.
@@ -1100,7 +1167,7 @@ static inline long gs_next(const GlobalScreen& g, long n0, long N) {
   if (n0 >= N) return N;
   const int64_t an = static_cast<int64_t>(
       (static_cast<__int128>(g.s) * n0 + g.a) % kFixM);
-  const long long h = first_hit_mod(an, g.s, kFixM, g.w);
+  const long long h = first_hit_mod(an, g.s, kFixM, g.w, N - n0);
   if (h < 0 || h >= N - n0) return N;
   return n0 + static_cast<long>(h);
 }
@@ -1226,10 +1293,18 @@ static bool eval_candidate(const SeqChan& ch, long n, double cp_n,
 extern "C" {
 
 // Test hook: the modular first-hit solver, for direct fuzzing against a
-// brute-force scan (tests/test_synth_seq.py).
+// brute-force scan (tests/test_synth_seq.py).  The unbudgeted form asks
+// for any hit below the modulus (every j < m is admissible since the
+// residues cycle with period <= m).
 long long gseq_first_hit(long long a, long long s, long long m,
                          long long w) {
-  return first_hit_mod(a, s, m, w);
+  return first_hit_mod(a, s, m, w, m);
+}
+
+// Test hook: budget-limited variant (the production gs_next path).
+long long gseq_first_hit_budget(long long a, long long s, long long m,
+                                long long w, long long budget) {
+  return first_hit_mod(a, s, m, w, budget);
 }
 
 long gseq_diff_block(
@@ -1286,26 +1361,35 @@ long gseq_diff_block(
     std::vector<Delta>* dl = &dlists[static_cast<size_t>(k)];
     // Candidate samples from the exact closed-form progressions (chip
     // edges; LUT edges unless the integer NCO makes the carrier exact).
-    const GlobalScreen gc =
-        make_global(ch.cp0, ch.dc, 1.0, code_margin_fast(N), N);
-    GlobalScreen gp{0, 0, 0};
+    const GlobalScreen gc = make_global(ch.cp0, ch.dc, 1.0,
+                                        code_margin_slope(),
+                                        code_margin_const(), N);
+    GlobalScreen gp{0, 0, 0, 0.0, 0.0};
     if (!nco)
-      gp = make_global(ch.c0, ch.dp, 512.0, carr_margin_fast(N), N);
+      gp = make_global(ch.c0, ch.dp, 512.0, carr_margin_slope(),
+                       carr_margin_const(), N);
     long cur = 0;
     long hc = gs_next(gc, 0, N);
     long hp = nco ? N : gs_next(gp, 0, N);
     while (true) {
       const long nh = hc < hp ? hc : hp;
       if (nh >= N) break;
-      if (!seq_ff(ch, nco, nh - cur)) {
-        walk_ok[static_cast<size_t>(k)] = 0;
-        return;
-      }
-      cur = nh;
-      if (!eval_candidate(ch, nh, ch.cp, ch.ph, nco, phi0, sin_lut,
-                          cos_lut, dl)) {
-        walk_ok[static_cast<size_t>(k)] = 0;
-        return;
+      // The query window is margin(N)-wide; re-test the candidate
+      // against margin(nh) before paying the sequential walk to it — a
+      // rejected candidate is PROVEN identical in both semantics.
+      const bool need = (hc == nh && gs_hit_refined(gc, nh)) ||
+                        (hp == nh && gs_hit_refined(gp, nh));
+      if (need) {
+        if (!seq_ff(ch, nco, nh - cur)) {
+          walk_ok[static_cast<size_t>(k)] = 0;
+          return;
+        }
+        cur = nh;
+        if (!eval_candidate(ch, nh, ch.cp, ch.ph, nco, phi0, sin_lut,
+                            cos_lut, dl)) {
+          walk_ok[static_cast<size_t>(k)] = 0;
+          return;
+        }
       }
       if (hc == nh) hc = gs_next(gc, nh + 1, N);
       if (hp == nh) hp = gs_next(gp, nh + 1, N);
@@ -1348,9 +1432,13 @@ long gseq_diff_block(
   // per-block thread spawn/join would then cost more than the work.
   // Pre-count channels with actual candidates (the queries are
   // microseconds) and fan out only when >= 2 of them have real walks
-  // (or the env override forces a schedule).
+  // (or the env override forces a schedule).  Hosts that cannot thread
+  // at all (< 4 cores) skip the pre-count: it would double the screen
+  // queries — the whole cost of a candidate-free block — to inform a
+  // decision with only one possible outcome.
   long n_work = 0;
-  if (!std::getenv("GPSSIM_CHAIN_THREADS")) {
+  const bool can_thread = std::thread::hardware_concurrency() >= 4;
+  if (!std::getenv("GPSSIM_CHAIN_THREADS") && can_thread) {
     if (want_end) {
       // Every channel walks the full block tail to materialize end
       // state — always real work, independent of candidate count.
@@ -1358,15 +1446,16 @@ long gseq_diff_block(
     } else {
       for (long k = 0; k < A; ++k) {
         const SeqChan& ch = chs[k];
-        if (gs_next(make_global(ch.cp0, ch.dc, 1.0, code_margin_fast(N), N),
+        if (gs_next(make_global(ch.cp0, ch.dc, 1.0, code_margin_slope(),
+                                code_margin_const(), N),
                     0, N) < N) {
           ++n_work;
           continue;
         }
-        if (!nco &&
-            gs_next(
-                make_global(ch.c0, ch.dp, 512.0, carr_margin_fast(N), N),
-                0, N) < N)
+        if (!nco && gs_next(make_global(ch.c0, ch.dp, 512.0,
+                                        carr_margin_slope(),
+                                        carr_margin_const(), N),
+                            0, N) < N)
           ++n_work;
       }
     }
