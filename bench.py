@@ -20,6 +20,10 @@ Measured sections (all fields land in the JSON line):
     PERFORMANCE.md "End-to-end" for the decomposition).
 
 Measured sections also include:
+  * realtime device — ONE paced 3 Msps int8 TCP stream held by the
+    device (Pallas) backend for >= 60 s: 6 MB/s of D2H fits even this
+    rig's dev tunnel, so the recorded contract is zero underruns AND
+    zero failovers on the device path itself;
   * fleet sink      — N concurrent paced TCP streams from one batched
     pipeline: aggregate bytes-at-sink at N x realtime, zero underruns
     (failing over to the native engine where the transport can't carry
@@ -27,8 +31,9 @@ Measured sections also include:
 
 Env knobs: BENCH_DURATION_SEC, BENCH_BATCH_BLOCKS, BENCH_KERNEL
 (pallas|fused|xla), BENCH_E2E_SEC, BENCH_E2E_WINDOW, BENCH_SINK_SEC,
-BENCH_FLEET_STREAMS, BENCH_FLEET_SEC, BENCH_PLATFORM,
-BENCH_CPU_DEVICES, BENCH_SKIP_E2E=1, BENCH_SKIP_FLEET=1.
+BENCH_RT_SEC, BENCH_FLEET_STREAMS, BENCH_FLEET_SEC, BENCH_PLATFORM,
+BENCH_CPU_DEVICES, BENCH_SKIP_E2E=1, BENCH_SKIP_RT=1,
+BENCH_SKIP_FLEET=1.
 """
 
 from __future__ import annotations
@@ -149,6 +154,89 @@ def _measure_e2e(cfg, kernel, n_rows, duration_label):
     return sps, host_sps
 
 
+class _Reader:
+    """Accept one TCP connection; count bytes and the streaming span."""
+
+    def __init__(self):
+        import socket
+        import threading
+
+        self.srv = socket.socket()
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(1)
+        self.port = self.srv.getsockname()[1]
+        self.nbytes = 0
+        self.t_first = self.t_last = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        conn, _ = self.srv.accept()
+        with conn:
+            while True:
+                data = conn.recv(1 << 16)
+                if not data:
+                    return
+                if self.t_first is None:
+                    self.t_first = time.perf_counter()
+                self.t_last = time.perf_counter()
+                self.nbytes += len(data)
+
+    def join(self):
+        self._t.join(30)
+        self.srv.close()
+
+
+def _measure_realtime_device(nav: str) -> dict:
+    """Single paced realtime TCP stream held by the DEVICE path (VERDICT
+    r4 item 5): a 3 Msps int8 stream needs only 6 MB/s of D2H, which
+    fits even this rig's ~40 MB/s dev tunnel — so "a PCIe host needs no
+    failover" becomes a measurement here instead of an assertion.  The
+    contract (sdr_iqfile.c:74 + fifo.c:97-103): every paced byte arrives
+    on time — zero underruns, zero failovers, for >= 60 s of signal.
+    """
+    from dataclasses import replace
+
+    from gpssim_tpu.config import SampleFormat, SimConfig, SynthBackend
+    from gpssim_tpu.io.sinks import TcpSink
+    from gpssim_tpu.runner import run_simulation
+
+    sec = float(os.environ.get("BENCH_RT_SEC", "65"))
+    cfg = SimConfig(
+        nav_file=nav, duration_sec=sec, almanac_enable=False,
+        backend=SynthBackend.PALLAS, realtime=True, sink="tcp",
+        sample_format=SampleFormat.SC08,
+    )
+    # Warm the compile cache with the same REALTIME shapes (full channel
+    # axis, fifo_depth//2 dispatch window — realtime runs never compact,
+    # runner.py) — a first-compile through the remote compile service can
+    # take minutes, and the paced consumer would book it as underruns.
+    # policy=warn: the warm run itself must NOT fail over mid-compile
+    # (that would skip the compile and defeat the warm).
+    run_simulation(replace(cfg, duration_sec=1.0, sink="null",
+                           realtime_policy="warn"))
+    reader = _Reader()
+    sink = TcpSink(addr=f"127.0.0.1:{reader.port}", fifo_depth=8,
+                   pace=True, start_timeout_s=3600.0)
+    t0 = time.perf_counter()
+    stats = run_simulation(cfg, sink=sink)
+    wall = time.perf_counter() - t0
+    underruns = sink.underruns
+    sink.close()
+    reader.join()
+    secs = stats.blocks * 0.1
+    log(f"realtime device path: {secs:.0f}s of paced 3 Msps int8 signal "
+        f"over TCP from the {cfg.backend.name.lower()} backend in "
+        f"{wall:.1f}s wall, underruns={underruns}, "
+        f"failovers={stats.failovers}")
+    return {
+        "realtime_device_underruns": underruns,
+        "realtime_device_failovers": stats.failovers,
+        "realtime_device_secs": round(secs, 1),
+        "realtime_device_wall_s": round(wall, 1),
+    }
+
+
 def _measure_fleet_sink(nav: str, on_tpu: bool):
     """N concurrent paced TCP streams from ONE batched pipeline
     (VERDICT r3 item 5): aggregate bytes-at-sink must hold N x realtime
@@ -163,9 +251,6 @@ def _measure_fleet_sink(nav: str, on_tpu: bool):
     fires. Either way the recorded contract is the same: every paced
     byte arrives on time.
     """
-    import socket
-    import threading
-
     from gpssim_tpu.config import (
         CarrierMode, LocationConfig, SampleFormat, SimConfig,
         SynthBackend,
@@ -175,35 +260,6 @@ def _measure_fleet_sink(nav: str, on_tpu: bool):
 
     n = int(os.environ.get("BENCH_FLEET_STREAMS", "8"))
     sec = float(os.environ.get("BENCH_FLEET_SEC", "12"))
-
-    class _Reader:
-        """Accept one connection; count bytes and the streaming span."""
-
-        def __init__(self):
-            self.srv = socket.socket()
-            self.srv.bind(("127.0.0.1", 0))
-            self.srv.listen(1)
-            self.port = self.srv.getsockname()[1]
-            self.nbytes = 0
-            self.t_first = self.t_last = None
-            self._t = threading.Thread(target=self._run, daemon=True)
-            self._t.start()
-
-        def _run(self):
-            conn, _ = self.srv.accept()
-            with conn:
-                while True:
-                    data = conn.recv(1 << 16)
-                    if not data:
-                        return
-                    if self.t_first is None:
-                        self.t_first = time.perf_counter()
-                    self.t_last = time.perf_counter()
-                    self.nbytes += len(data)
-
-        def join(self):
-            self._t.join(30)
-            self.srv.close()
 
     # int-NCO carrier: ALSO bit-exact vs the reference (its
     # non-FLOAT_CARR_PHASE build) and the documented recommendation for
@@ -264,6 +320,10 @@ def _measure_fleet_sink(nav: str, on_tpu: bool):
         "fleet_sink_wall_msps": round(agg_wall_sps / 1e6, 1),
         "fleet_sink_underruns": underruns,
         "fleet_sink_failovers": stats[0].failovers,
+        "failover_latency_ms": (
+            round(stats[0].failover_latency_s * 1e3, 1)
+            if stats[0].failover_latency_s is not None else None
+        ),
     }
 
 
@@ -491,6 +551,11 @@ def main() -> None:
         log(f"e2e bytes-at-sink (incl. D2H transport): "
             f"{sink_sps/1e6:.1f} Msps over {st.blocks} blocks")
 
+    # ---- single-stream realtime, DEVICE path (VERDICT r4 item 5) ----
+    rt_device = None
+    if on_tpu and os.environ.get("BENCH_SKIP_RT", "0") != "1":
+        rt_device = _measure_realtime_device(nav)
+
     fleet_sink = None
     if os.environ.get("BENCH_SKIP_FLEET", "0") != "1":
         fleet_sink = _measure_fleet_sink(nav, on_tpu)
@@ -517,6 +582,8 @@ def main() -> None:
         result["e2e_int_nco_msps"] = round(e2e_nco_sps / 1e6, 1)
         result["e2e_int_nco_host_msps"] = round(e2e_nco_host / 1e6, 1)
         result["e2e_sink_msps"] = round(sink_sps / 1e6, 1)
+    if rt_device is not None:
+        result.update(rt_device)
     if fleet_sink is not None:
         result.update(fleet_sink)
     if n_dev > 1:

@@ -116,6 +116,13 @@ class SimConfig:
     # keeps counting (the reference's behavior, fifo.c:97-148, plus
     # attribution).
     realtime_policy: str = "failover"
+    # After a failover, probe the device path every this many seconds of
+    # written signal (a shadow window dispatched in the background while
+    # the native engine keeps the stream on time) and fail BACK to the
+    # batched device pipeline once a probe completes a full window at
+    # >= 2x realtime (runner.DeviceProbe). 0 disables failback — the
+    # pre-r5 one-way behavior.
+    failback_probe_sec: float = 10.0
 
     @property
     def samples_per_epoch(self) -> int:

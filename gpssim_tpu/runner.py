@@ -25,6 +25,7 @@ class RunStats:
     plan_seconds: float = 0.0
     retries: int = 0  # batches re-dispatched after a device error
     failovers: int = 0  # realtime backend failovers (RealtimeSupervisor)
+    failbacks: int = 0  # probed returns to the device path (DeviceProbe)
     events: list = field(default_factory=list)  # attributed runtime events
     #: seconds from the supervisor's failover decision to the first
     #: native-engine block landing at the sink (None until a failover
@@ -160,6 +161,78 @@ class RealtimeSupervisor:
             msg + " -> failing over to the native sequential backend"
         )
         return "failover"
+
+
+class DeviceProbe:
+    """Failback probe (VERDICT r4 item 3: failover was one-way).
+
+    After a RealtimeSupervisor failover, the native engine carries the
+    paced stream; this probe periodically shadow-dispatches ONE window of
+    upcoming plans to the device and measures dispatch→fetch wall time in
+    a background thread (the probed plans are ALSO written natively, so
+    the stream never depends on the probe).  A probe that completes its
+    window at >= MARGIN x realtime proves the device path healthy and the
+    runner fails back to the batched device pipeline — block index is the
+    only state, and every backend is strict-parity-exact, so the output
+    is byte-identical to an uninterrupted run either way.
+
+    At most one probe is ever in flight: a fetch stalled on a sick
+    transport must not pile further fetches onto it (concurrent streams
+    measurably degrade each other on tunneled links — PERFORMANCE.md).
+    """
+
+    #: a probe window must complete at this multiple of realtime —
+    #: failing back at exactly 1.0x would flap straight back into the
+    #: supervisor's deficit band
+    MARGIN = 2.0
+
+    def __init__(self, dispatch, window_blocks: int):
+        self._dispatch = dispatch  # plans -> device value (async)
+        self._window = window_blocks
+        self._done: "threading.Event | None" = None
+        self._dt: list = []
+
+    @property
+    def in_flight(self) -> bool:
+        return self._done is not None and not self._done.is_set()
+
+    def start(self, plans) -> None:
+        """Dispatch a probe window (plans are NOT consumed — the caller
+        still writes them natively)."""
+        import threading
+
+        out = self._dispatch(plans)
+        t0 = time.perf_counter()
+        done = threading.Event()
+        dt = self._dt = []
+
+        def fetch():
+            try:
+                import jax
+
+                jax.device_get(out)
+                dt.append(time.perf_counter() - t0)
+            except Exception:  # noqa: BLE001 — a dead probe is just "slow"
+                pass
+            finally:
+                done.set()
+
+        self._done = done
+        threading.Thread(target=fetch, daemon=True,
+                         name="gpssim-failback-probe").start()
+
+    def poll(self) -> str:
+        """'idle' (no probe started / previous verdict consumed),
+        'pending', 'healthy', or 'slow'."""
+        if self._done is None:
+            return "idle"
+        if not self._done.is_set():
+            return "pending"
+        dt = self._dt[0] if self._dt else None
+        self._done = None
+        if dt is not None and dt <= self._window * 0.1 / self.MARGIN:
+            return "healthy"
+        return "slow"
 
 
 def strict_parity_enabled(cfg: SimConfig) -> bool:
@@ -505,19 +578,40 @@ def _run_batched(
                         # device buffers back through the very transport
                         # that just proved too slow — that fetch could
                         # itself exhaust the remaining FIFO lead. Then
-                        # continue block-by-block natively.
+                        # continue block-by-block natively, probing the
+                        # device path for failback (DeviceProbe).
                         t_act = time.perf_counter()
                         stopped = _drain_pending_native(
                             cfg, sink, sim, pending, stats, t0,
                             on_block, stop, base_index, t_act,
                         )
-                        if not stopped:
-                            sim.consistent_snapshot = None
-                            _continue_native(
-                                cfg, sink, sim, it, stats, t0, on_block,
-                                stop, base_index, t_act,
+                        if stopped:
+                            return stats
+                        sim.consistent_snapshot = None
+
+                        def probe_dispatch(probe_plans):
+                            padded = probe_plans + [probe_plans[-1]] * (
+                                W - len(probe_plans)
                             )
-                        return stats
+                            b = collate_plans(padded, int_nco=int_nco,
+                                              compact=compact,
+                                              compact_multiple=4)
+                            pk, sp = pack_args(b.args)
+                            return _packed_kernel(pk, sp)
+
+                        probe = (
+                            DeviceProbe(probe_dispatch, W)
+                            if cfg.failback_probe_sec > 0 else None
+                        )
+                        if not _native_until_failback(
+                            cfg, sink, sim, it, stats, t0, on_block,
+                            stop, base_index, t_act, supervisor, probe, W,
+                        ):
+                            return stats
+                        # Failback: the device path held a probe window
+                        # with margin — resume the batched device loop
+                        # (it continues from the next unwritten plan).
+                        continue
             if not plans and not pending:
                 # Normal completion: live state matches the written blocks
                 # again, so later checkpoints can use it directly.
@@ -605,21 +699,71 @@ def _drain_pending_native(
     return False
 
 
-def _continue_native(
+def _native_until_failback(
     cfg: SimConfig, sink: Sink, sim: Simulation, it, stats: RunStats,
     t0: float, on_block, stop, base_index: int, t_act: float,
-) -> None:
-    """Finish a realtime run block-by-block on the native engine after a
-    RealtimeSupervisor failover. Stats/noise keying/pacing continue
-    seamlessly; the caller's finally-clause closes the sink."""
+    supervisor: RealtimeSupervisor, probe: "DeviceProbe | None",
+    window: int,
+) -> bool:
+    """Carry a realtime run block-by-block on the native engine after a
+    RealtimeSupervisor failover, probing the device path for failback.
+
+    Every ``cfg.failback_probe_sec`` of written signal, one window of
+    upcoming plans is shadow-dispatched to the device (the plans are
+    still written natively first — the stream never waits on the probe).
+    Returns True when a probe proves the device path healthy (the caller
+    resumes the batched device loop from the next unwritten plan) and
+    False when the scenario finished or stop() ended the run.
+    Stats/noise keying/pacing continue seamlessly either way; the
+    caller's finally-clause closes the sink."""
+    import itertools
+    from collections import deque
+
     write_block = _make_native_writer(cfg, sink, stats, t0, base_index,
                                       t_act)
-    for plan in it:
+    probe_every = max(1, int(cfg.failback_probe_sec * 10))
+    since = 0
+    buf: deque = deque()  # probed plans awaiting their native write
+    while True:
+        plan = buf.popleft() if buf else next(it, None)
+        if plan is None:
+            return False
         write_block(plan)
         if on_block is not None:
             on_block(stats, sim, plan)
         if stop is not None and stop():
-            return
+            # Drain probed-but-unwritten plans first: a final checkpoint
+            # captures live planner state, which must not run ahead of
+            # the written blocks.
+            while buf:
+                write_block(buf.popleft())
+            return False
         ahead = stats.blocks * 0.1 - (time.perf_counter() - t0)
         if ahead > 0.1 * cfg.fifo_depth:
             time.sleep(ahead - 0.1 * cfg.fifo_depth)
+        if probe is None:
+            continue
+        since += 1
+        verdict = probe.poll()
+        if verdict == "healthy":
+            supervisor.failed_over = False
+            supervisor._strikes = 0
+            stats.failbacks += 1
+            msg = (
+                "device path probe held a full window at >= "
+                f"{DeviceProbe.MARGIN:g}x realtime -> failing back to "
+                "the batched device pipeline"
+            )
+            logger.info("realtime: %s", msg)
+            stats.events.append(msg)
+            return True
+        if verdict == "pending":
+            continue  # never stack fetches on a possibly-sick transport
+        if verdict == "slow":
+            since = 0  # full interval before re-probing a sick path
+        if since >= probe_every and not buf:
+            since = 0
+            plans = list(itertools.islice(it, window))
+            if plans:
+                buf.extend(plans)  # written natively over the next turns
+                probe.start(plans)

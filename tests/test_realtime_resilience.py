@@ -332,3 +332,190 @@ def test_realtime_failover_paced_tcp_zero_underruns(
     run_simulation(ref_cfg)
     ref = np.fromfile(ref_cfg.out_file, dtype=np.int8).tobytes()
     assert bytes(srv.received) == ref
+
+
+# ---------------------------------------------------------------------------
+# Failback (VERDICT r4 item 3): after a failover, the supervisor probes
+# the device path and returns to the batched device pipeline when it
+# recovers — output byte-identical to an uninterrupted run, both
+# transitions recorded on RunStats.
+# ---------------------------------------------------------------------------
+
+
+def _throttled_pack(monkeypatch, sleep_s=0.9):
+    """Monkeypatch pack_args with a toggleable throttle; returns the
+    toggle dict.  While ``on``, every dispatch window stalls below 1x
+    realtime — a deterministic transport/host deficit that also governs
+    the failback probe's own dispatch path."""
+    import gpssim_tpu.parallel.blocks as blocks_mod
+
+    real_pack = blocks_mod.pack_args
+    throttle = {"on": True}
+
+    def pack(args):
+        if throttle["on"]:
+            time.sleep(sleep_s)
+        return real_pack(args)
+
+    monkeypatch.setattr(blocks_mod, "pack_args", pack)
+    return throttle
+
+
+def _recover_after(throttle, delay_s):
+    t = threading.Timer(delay_s, lambda: throttle.update(on=False))
+    t.daemon = True
+    t.start()
+    return t
+
+
+def test_device_probe_verdicts():
+    """DeviceProbe threshold logic, deterministic: a probe window must
+    complete within window*0.1/MARGIN seconds to prove the device path
+    healthy; anything else (slow, failed fetch, still in flight) must
+    not fail back."""
+    import threading
+
+    from gpssim_tpu.runner import DeviceProbe
+
+    probe = DeviceProbe(lambda plans: None, window_blocks=4)
+    assert probe.poll() == "idle"
+    # threshold = 4 * 0.1 / 2.0 = 0.2 s
+    probe._done = threading.Event()
+    assert probe.poll() == "pending"
+    probe._done.set()
+    probe._dt = [0.1]
+    assert probe.poll() == "healthy"
+    assert probe.poll() == "idle"  # verdict consumed
+    probe._done = threading.Event()
+    probe._done.set()
+    probe._dt = [0.5]
+    assert probe.poll() == "slow"
+    probe._done = threading.Event()
+    probe._done.set()
+    probe._dt = []  # fetch raised: a dead probe is just "slow"
+    assert probe.poll() == "slow"
+
+
+def test_realtime_failback_resumes_device_and_stream_identical(
+    fixtures_dir, tmp_path, monkeypatch
+):
+    """Induced transient deficit -> failover -> transport recovers ->
+    failback; the written stream is byte-identical to an uninterrupted
+    offline run and RunStats records both transitions.
+
+    The probe margin is relaxed for this test: the suite's virtual-CPU
+    JAX backend measures ~0.5x realtime on a dispatch window even at
+    the minimum 1.03 Msps rate, so the production >= 2x criterion would
+    (correctly!) never fail back here — the threshold arithmetic is
+    covered deterministically by test_device_probe_verdicts, and this
+    test covers the full transition machinery: probe lifecycle, native
+    bridging, seamless batched-loop resume, and stream integrity across
+    repeated engine switches."""
+    if not _seq_available():
+        pytest.skip("native engine unavailable")
+    from gpssim_tpu.runner import DeviceProbe
+
+    monkeypatch.setattr(DeviceProbe, "MARGIN", 0.02)
+    throttle = _throttled_pack(monkeypatch)
+    rate = 1_030_000
+    cfg = _scenario_cfg(
+        fixtures_dir, tmp_path, "fb.bin",
+        duration_sec=10.0, sample_rate=rate,
+        backend=SynthBackend.JAX, realtime=True, fifo_depth=8,
+        failback_probe_sec=0.5,
+    )
+    timer = _recover_after(throttle, 3.0)
+    try:
+        stats = run_simulation(cfg)
+    finally:
+        timer.cancel()
+        throttle["on"] = False
+    assert stats.failovers >= 1, stats.events
+    assert stats.failbacks >= 1, stats.events
+    assert any("failing over" in e for e in stats.events)
+    assert any("failing back" in e for e in stats.events)
+    assert stats.blocks == cfg.num_epochs - 1
+
+    ref_cfg = dataclasses.replace(
+        cfg, realtime=False, backend=SynthBackend.NUMPY,
+        out_file=str(tmp_path / "fb_ref.bin"),
+    )
+    run_simulation(ref_cfg)
+    a = np.fromfile(cfg.out_file, dtype=np.int8)
+    b = np.fromfile(ref_cfg.out_file, dtype=np.int8)
+    assert a.size == b.size and np.array_equal(a, b)
+
+
+def test_realtime_failback_disabled_stays_native(
+    fixtures_dir, tmp_path, monkeypatch
+):
+    """failback_probe_sec=0 preserves the one-way behavior: no probes,
+    no failback, stream still byte-identical via the native engine."""
+    if not _seq_available():
+        pytest.skip("native engine unavailable")
+    throttle = _throttled_pack(monkeypatch)
+    cfg = _scenario_cfg(
+        fixtures_dir, tmp_path, "fb_off.bin",
+        duration_sec=4.0, sample_rate=1_030_000,
+        backend=SynthBackend.JAX, realtime=True, fifo_depth=8,
+        failback_probe_sec=0.0,
+    )
+    timer = _recover_after(throttle, 1.5)
+    try:
+        stats = run_simulation(cfg)
+    finally:
+        timer.cancel()
+        throttle["on"] = False
+    assert stats.failovers == 1
+    assert stats.failbacks == 0
+    assert not any("failing back" in e for e in stats.events)
+
+
+def test_fleet_realtime_failback_and_members_identical(
+    fixtures_dir, tmp_path, monkeypatch
+):
+    """Fleet variant: whole-fleet failover on an induced deficit, then
+    failback once the path recovers; every member's bytes equal its solo
+    offline run."""
+    if not _seq_available():
+        pytest.skip("native engine unavailable")
+    from gpssim_tpu.config import LocationConfig
+    from gpssim_tpu.fleet import run_fleet
+    from gpssim_tpu.runner import DeviceProbe
+
+    monkeypatch.setattr(DeviceProbe, "MARGIN", 0.02)  # see single-
+    # scenario failback test: the virtual-CPU device path cannot hold
+    # the production 2x criterion, which is unit-tested separately.
+    throttle = _throttled_pack(monkeypatch)
+    rate = 1_030_000
+    # Duration leaves runway for the first probe: its fetch queues
+    # behind the two unread in-flight pre-failover batches on the
+    # virtual device (~2 s each here), which is exactly what the probe
+    # should measure — the path isn't ready until the queue drains.
+    cfgs = [
+        _scenario_cfg(
+            fixtures_dir, tmp_path, f"fbm{i}.bin",
+            duration_sec=15.0, sample_rate=rate,
+            backend=SynthBackend.JAX, realtime=True, fifo_depth=8,
+            failback_probe_sec=0.5,
+            location=LocationConfig(35.0 + 0.2 * i, 139.0, 10.0),
+        )
+        for i in range(2)
+    ]
+    timer = _recover_after(throttle, 3.0)
+    try:
+        stats = run_fleet(cfgs)
+    finally:
+        timer.cancel()
+        throttle["on"] = False
+    assert stats[0].failovers >= 1, stats[0].events
+    assert stats[0].failbacks >= 1, stats[0].events
+    for i, c in enumerate(cfgs):
+        ref = dataclasses.replace(
+            c, realtime=False, backend=SynthBackend.NUMPY,
+            out_file=str(tmp_path / f"fbm{i}_ref.bin"),
+        )
+        run_simulation(ref)
+        a = np.fromfile(c.out_file, dtype=np.int8)
+        b = np.fromfile(ref.out_file, dtype=np.int8)
+        assert a.size == b.size and np.array_equal(a, b), f"member {i}"
