@@ -275,6 +275,19 @@ def args_to_config(args: argparse.Namespace) -> SimConfig:
     return cfg
 
 
+def _print_fleet_summary(cfgs, stats) -> None:
+    total_blocks = sum(st.blocks for st in stats)
+    wall = max((st.wall_seconds for st in stats), default=0.0)
+    for i, (c, st) in enumerate(zip(cfgs, stats)):
+        target = (c.out_file if c.sink == "iqfile"
+                  else c.tcp_addr if c.sink == "tcp" else c.sink)
+        print(f"fleet member {i}: {st.blocks * 0.1:.1f} s of signal "
+              f"→ {target}")
+    if wall > 0:
+        print(f"fleet aggregate: {total_blocks * 0.1 / wall:.1f}x "
+              f"realtime across {len(cfgs)} members")
+
+
 def main(argv: list[str] | None = None) -> int:
     from .config import honor_jax_platforms_env
 
@@ -295,7 +308,9 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     if args.resume:
-        from .checkpoint import load_checkpoint
+        from .checkpoint import (
+            is_fleet_checkpoint, load_checkpoint, load_fleet_checkpoint,
+        )
 
         # Every flag except --resume/--checkpoint/--tui is ignored on
         # --resume (the checkpoint carries the full SimConfig); surface
@@ -319,6 +334,18 @@ def main(argv: list[str] | None = None) -> int:
                 f"ignoring: {', '.join(ignored)}",
                 file=sys.stderr,
             )
+        if is_fleet_checkpoint(args.resume):
+            # A fleet snapshot carries every member; resume the whole
+            # fleet (no --fleet flag needed — the file IS the roster).
+            from .fleet import run_fleet
+
+            cfgs, sims, _blocks = load_fleet_checkpoint(args.resume)
+            if args.checkpoint:
+                for c in cfgs:
+                    c.checkpoint_file = args.checkpoint
+            stats = run_fleet(cfgs, sims=sims)
+            _print_fleet_summary(cfgs, stats)
+            return 0
         cfg, sim = load_checkpoint(args.resume)
         if args.checkpoint:
             cfg.checkpoint_file = args.checkpoint
@@ -345,14 +372,16 @@ def main(argv: list[str] | None = None) -> int:
                 "(per-scenario features; run members through "
                 "run_simulation)"
             )
-        if args.checkpoint or args.metrics_file or args.profile_dir:
+        if args.metrics_file or args.profile_dir:
             # Refuse rather than silently skip: a day-scale fleet run that
-            # the user believes is checkpointed/metered/profiled must not
-            # lose that expectation without notice.
+            # the user believes is metered/profiled must not lose that
+            # expectation without notice. (--checkpoint IS supported: the
+            # fleet snapshots all members into one file and --resume
+            # restores them, fleet.run_fleet.)
             parser.error(
-                "--fleet does not support --checkpoint, --metrics-file, or "
-                "--profile-dir; run members through run_simulation for "
-                "checkpointed, metered, or profiled runs"
+                "--fleet does not support --metrics-file or --profile-dir; "
+                "run members through run_simulation for metered or "
+                "profiled runs"
             )
         from .fleet import member_configs, parse_fleet_file, run_fleet
 
@@ -361,16 +390,7 @@ def main(argv: list[str] | None = None) -> int:
             stats = run_fleet(cfgs)
         except ValueError as e:
             parser.error(str(e))
-        total_blocks = sum(st.blocks for st in stats)
-        wall = max((st.wall_seconds for st in stats), default=0.0)
-        for i, (c, st) in enumerate(zip(cfgs, stats)):
-            target = (c.out_file if c.sink == "iqfile"
-                      else c.tcp_addr if c.sink == "tcp" else c.sink)
-            print(f"fleet member {i}: {st.blocks * 0.1:.1f} s of signal "
-                  f"→ {target}")
-        if wall > 0:
-            print(f"fleet aggregate: {total_blocks * 0.1 / wall:.1f}x "
-                  f"realtime across {len(cfgs)} members")
+        _print_fleet_summary(cfgs, stats)
         return 0
 
     from .app import run_app

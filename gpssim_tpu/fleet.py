@@ -56,13 +56,19 @@ def _check_compatible(cfgs: list[SimConfig]) -> None:
                 "a fleet paces as one pipeline — all members must share "
                 "the flag"
             )
-        for opt in ("checkpoint_file", "profile_dir", "metrics_file"):
+        for opt in ("profile_dir", "metrics_file"):
             if getattr(c, opt):
                 raise ValueError(
                     f"fleet member {i} sets {opt}, which only the "
                     "single-scenario runner honors (run_app) — it would "
                     "be silently ignored here"
                 )
+        if c.checkpoint_file != cfgs[0].checkpoint_file:
+            raise ValueError(
+                f"fleet member {i} disagrees with member 0 on "
+                "checkpoint_file: a fleet snapshots ALL members into ONE "
+                "file (checkpoint.capture_fleet_state)"
+            )
     noisy_seeds: dict[int, int] = {}
     for i, c in enumerate(cfgs):
         if c.noise_std_lsb > 0.0:
@@ -206,6 +212,7 @@ def run_fleet(
     on_batch=None,
     stop=None,
     mesh=None,
+    sims: list[Simulation] | None = None,
 ) -> list[RunStats]:
     """Run N scenarios through one shared batched device pipeline.
 
@@ -214,6 +221,15 @@ def run_fleet(
     per-member RunStats; the aggregate rate is their sum. on_batch(stats)
     is called after each drained batch with the per-member stats list;
     stop() → True aborts cleanly between batches.
+
+    With ``cfgs[0].checkpoint_file`` set, the fleet snapshots every
+    member's channel_t-schema state into ONE .npz (keys mN_*): written at
+    every 30 s boundary of the slowest member, and finally at return —
+    always from the drain-time capture, so a snapshot never runs ahead of
+    the blocks actually at the sinks. Resume by loading the file with
+    checkpoint.load_fleet_checkpoint and passing the restored ``sims``
+    here (the CLI does this for --fleet --resume); each member's resumed
+    stream continues bit-identically (tests/test_fleet.py).
 
     With ``mesh`` (a (blocks, chan) jax.sharding.Mesh from
     parallel.shard.make_mesh), each fleet batch shards over the mesh —
@@ -261,13 +277,33 @@ def run_fleet(
     if any(c.noise_std_lsb > 0.0 for c in cfgs):
         from .noise import apply_awgn
 
-    sims = [Simulation(c) for c in cfgs]
+    if sims is None:
+        sims = [Simulation(c) for c in cfgs]
+    elif len(sims) != len(cfgs):
+        raise ValueError(f"{len(sims)} restored sims for {len(cfgs)} configs")
     base_index = [s.next_block_index for s in sims]  # noise keying
     if sinks is None:
         _check_distinct_targets(cfgs)
         sinks = [make_configured_sink(c) for c in cfgs]
     if len(sinks) != len(cfgs):
         raise ValueError(f"{len(sinks)} sinks for {len(cfgs)} scenarios")
+
+    # Fleet checkpointing: drain-time snapshots of every member into one
+    # file (see docstring). fsnap() captures the state matching "all
+    # plans handed out so far" — consistent with the written blocks once
+    # the batch it was captured with drains.
+    ckpt_path = cfg0.checkpoint_file
+    if ckpt_path:
+        from .checkpoint import capture_fleet_state, write_state
+
+        def fsnap():
+            return capture_fleet_state(
+                sims, [s.next_block_index - 1 for s in sims]
+            )
+    else:
+        fsnap = None
+    consistent = None  # last drain-time fleet snapshot
+    saved_at = 0
 
     # Batch width: one full round of the fleet per dispatch, or the
     # configured dispatch window if that is larger — whichever keeps the
@@ -303,9 +339,12 @@ def run_fleet(
         )
     t0 = time.perf_counter()
     it = _interleave_plans(sims)
-    pending: deque = deque()  # (device_out, redispatch, [(member, plan)])
+    pending: deque = deque()  # (out, redispatch, [(member, plan)], snap)
     any_full = False
     inited = 0
+    live_ok = True  # live sim state corresponds to the written blocks
+    if fsnap is not None:
+        consistent = fsnap()  # pre-run state for a stop-before-drain
     try:
         for c, s in zip(cfgs, sinks):
             s.init(c)
@@ -352,9 +391,12 @@ def run_fleet(
 
                 out = dispatch()
                 stats[0].synth_seconds += time.perf_counter() - tp
-                pending.append((out, dispatch, tagged))
+                pending.append(
+                    (out, dispatch, tagged,
+                     fsnap() if fsnap is not None else None)
+                )
             if (not tagged and pending) or len(pending) >= 2:
-                out, redispatch, done = pending.popleft()
+                out, redispatch, done, snap = pending.popleft()
                 host, retried = fetch_batch(out, redispatch)
                 stats[0].retries += retried  # one re-dispatch, booked once
                 corrs = (
@@ -381,6 +423,12 @@ def run_fleet(
                     st.blocks += 1
                     st.samples += plan.num_samples
                     st.wall_seconds = time.perf_counter() - t0
+                if snap is not None:
+                    consistent = snap  # matches the blocks just written
+                    tick = stats[0].blocks // 300
+                    if tick > saved_at:
+                        saved_at = tick
+                        write_state(ckpt_path, consistent)
                 if on_batch is not None:
                     on_batch(stats)
                 if realtime:
@@ -402,18 +450,48 @@ def run_fleet(
                     if live is not None and supervisor.check(t0) == "failover":
                         # Whole-fleet failover: re-synthesize the
                         # in-flight batches' plans natively (never fetch
-                        # through the deficient path) and finish the
+                        # through the deficient path) and continue the
                         # round-robin on the native engine — exactly the
-                        # single-scenario policy, N streams at once.
+                        # single-scenario policy, N streams at once —
+                        # while probing the device path for failback.
                         t_act = time.perf_counter()
-                        _fleet_native_tail(
+
+                        def probe_dispatch(probe_plans):
+                            padded = probe_plans + [probe_plans[-1]] * (
+                                W - len(probe_plans)
+                            )
+                            b = collate_plans(padded, int_nco=int_nco,
+                                              compact=not realtime,
+                                              compact_multiple=4)
+                            if mesh is None:
+                                pk, sp = pack_args(b.args)
+                                return _packed_kernel(pk, sp)
+                            margs, _ = pad_batch(
+                                pad_channels(b.args, nc), nb
+                            )
+                            return sharded(margs)
+
+                        from .runner import DeviceProbe
+
+                        probe = (
+                            DeviceProbe(probe_dispatch, W)
+                            if cfg0.failback_probe_sec > 0 else None
+                        )
+                        if _fleet_native_tail(
                             cfgs, sinks, pending, it, stats, agg, t0,
                             base_index, on_batch, stop, t_act, totals,
-                        )
+                            supervisor, probe, W,
+                        ):
+                            # Failback: resume the batched fleet loop.
+                            continue
                         break
             if not tagged and not pending:
                 break
             if stop is not None and stop():
+                # Batches may be in flight: the live planners have run
+                # ahead of the written blocks, so the final checkpoint
+                # must come from the last drain-time snapshot.
+                live_ok = False
                 break
     finally:
         # End-of-stream on EVERY sink first (non-blocking): close() below
@@ -424,6 +502,11 @@ def run_fleet(
             s.end_stream()
         for s in sinks[:inited]:
             s.close()
+    if fsnap is not None:
+        # Final snapshot: live state when every handed-out plan was
+        # written (normal completion / native tail), else the last
+        # drain-time capture.
+        write_state(ckpt_path, fsnap() if live_ok else consistent)
     wall = time.perf_counter() - t0
     for st in stats:
         if st.blocks:
@@ -433,6 +516,7 @@ def run_fleet(
         # stats list is the return contract).
         stats[0].events.extend(agg.events)
         stats[0].failovers += agg.failovers
+        stats[0].failbacks += agg.failbacks
         if stats[0].failover_latency_s is None:
             stats[0].failover_latency_s = agg.failover_latency_s
     return stats
@@ -466,17 +550,24 @@ class _FleetTransportView:
 
 def _fleet_native_tail(
     cfgs, sinks, pending, it, stats, agg, t0, base_index, on_batch, stop,
-    t_act, totals,
-) -> None:
-    """Finish a realtime fleet on the native sequential engine after a
+    t_act, totals, supervisor, probe, window,
+) -> bool:
+    """Carry a realtime fleet on the native sequential engine after a
     supervisor failover: first the in-flight batches' plans (device
     buffers left unread), then the remaining round-robin, paced on the
-    slowest member. The per-block write path is runner's
-    _make_native_writer — one writer per member, the fleet aggregate
-    carrying the recovery latency — so noise keying, accounting, and
-    the direct-int8 fast path cannot drift from the single-scenario
-    failover."""
-    from .runner import _make_native_writer
+    slowest member — while probing the device path for failback exactly
+    like the single-scenario runner (the probed plans are still written
+    natively first; at most one probe in flight). Returns True on
+    failback (the caller resumes the batched fleet loop), False when
+    the fleet finished or stop() ended the run.
+
+    The per-block write path is runner's _make_native_writer — one
+    writer per member, the fleet aggregate carrying the recovery
+    latency — so noise keying, accounting, and the direct-int8 fast
+    path cannot drift from the single-scenario failover."""
+    import itertools
+
+    from .runner import DeviceProbe, _make_native_writer
 
     cfg0 = cfgs[0]
     writers = [
@@ -488,25 +579,63 @@ def _fleet_native_tail(
         writers[member](plan)
 
     while pending:
-        _out, _redispatch, done = pending.popleft()
+        _out, _redispatch, done, _snap = pending.popleft()
         for member, plan in done:
             write_one(member, plan)
         if on_batch is not None:
             on_batch(stats)
         if stop is not None and stop():
-            return
+            return False
+    # Probe cadence in written blocks: the fleet writes N member-blocks
+    # per 0.1 s of signal time.
+    probe_every = max(1, int(cfg0.failback_probe_sec * 10 * len(cfgs)))
+    since = 0
+    buf: deque = deque()  # probed (member, plan) awaiting native write
     writes = 0
-    for member, plan in it:
+    while True:
+        item = buf.popleft() if buf else next(it, None)
+        if item is None:
+            return False
+        member, plan = item
         write_one(member, plan)
         writes += 1
         if writes % len(cfgs) == 0:  # once per fleet round
             if on_batch is not None:
                 on_batch(stats)
             if stop is not None and stop():
-                return
+                # Drain probed-but-unwritten plans first: a final fleet
+                # checkpoint captures LIVE planner state, which must not
+                # run ahead of the written blocks.
+                while buf:
+                    m2, p2 = buf.popleft()
+                    write_one(m2, p2)
+                return False
             live = _live_min_blocks(stats, totals)
-            if live is None:
-                continue
-            ahead = live * 0.1 - (time.perf_counter() - t0)
-            if ahead > 0.1 * cfg0.fifo_depth:
-                time.sleep(ahead - 0.1 * cfg0.fifo_depth)
+            if live is not None:
+                ahead = live * 0.1 - (time.perf_counter() - t0)
+                if ahead > 0.1 * cfg0.fifo_depth:
+                    time.sleep(ahead - 0.1 * cfg0.fifo_depth)
+        if probe is None:
+            continue
+        since += 1
+        verdict = probe.poll()
+        if verdict == "healthy":
+            supervisor.failed_over = False
+            supervisor._strikes = 0
+            agg.failbacks += 1
+            agg.events.append(
+                "device path probe held a full window at >= "
+                f"{DeviceProbe.MARGIN:g}x realtime -> failing the fleet "
+                "back to the batched device pipeline"
+            )
+            return True
+        if verdict == "pending":
+            continue
+        if verdict == "slow":
+            since = 0  # full interval before re-probing a sick path
+        if since >= probe_every and not buf:
+            since = 0
+            tagged = list(itertools.islice(it, window))
+            if tagged:
+                buf.extend(tagged)
+                probe.start([p for _, p in tagged])

@@ -73,3 +73,133 @@ def test_interactive_state_round_trips(fixtures_dir, tmp_path):
     assert sim2.interactive.velocity == 1.5
     assert sim2.interactive.vertical_speed == -2.0
     assert np.array_equal(sim2._xyz_prev, sim._xyz_prev)
+
+
+# ---------------------------------------------------------------------------
+# Fleet checkpoint/resume (VERDICT r4 item 4): one .npz snapshots every
+# member; a killed fleet run resumes with every member's remaining
+# stream byte-identical to an uninterrupted run.
+# ---------------------------------------------------------------------------
+
+
+def _fleet_cfgs(fixtures_dir, tmp_path, stem, n=2, **kw):
+    import dataclasses
+
+    from gpssim_tpu.config import LocationConfig
+
+    import dataclasses as _dc
+
+    base = _dc.replace(
+        _cfg(fixtures_dir, duration_sec=kw.pop("duration_sec", 6.0),
+             dispatch_blocks=8, **kw),
+        backend=SynthBackend.JAX,
+    )
+    return [
+        dataclasses.replace(
+            base,
+            location=LocationConfig(35.0 + 0.3 * i, 139.0, 10.0),
+            out_file=str(tmp_path / f"{stem}{i}.bin"),
+        )
+        for i in range(n)
+    ]
+
+
+def _run_fleet_interrupted(cfgs, ckpt, batches=3):
+    """Run a checkpointed fleet, stopping cleanly after N drained
+    batches; returns the per-member stats."""
+    import dataclasses
+
+    from gpssim_tpu.fleet import run_fleet
+
+    cfgs = [dataclasses.replace(c, checkpoint_file=ckpt) for c in cfgs]
+    seen = {"batches": 0}
+
+    def on_batch(stats):
+        seen["batches"] += 1
+
+    return run_fleet(
+        cfgs, on_batch=on_batch, stop=lambda: seen["batches"] >= batches
+    )
+
+
+def _resume_and_check(fixtures_dir, tmp_path, ckpt, full_cfgs, stats_head,
+                      head_stem):
+    import dataclasses
+
+    from gpssim_tpu.checkpoint import load_fleet_checkpoint
+    from gpssim_tpu.fleet import run_fleet
+
+    cfgs_r, sims, blocks = load_fleet_checkpoint(ckpt)
+    assert list(blocks) == [st.blocks for st in stats_head]
+    for i, c in enumerate(cfgs_r):
+        c.out_file = str(tmp_path / f"tail{i}.bin")
+        c.checkpoint_file = None
+    run_fleet(cfgs_r, sims=sims)
+
+    for i, full in enumerate(full_cfgs):
+        whole = np.fromfile(full.out_file, dtype=np.int8)
+        head = np.fromfile(
+            str(tmp_path / f"{head_stem}{i}.bin"), dtype=np.int8
+        )
+        tail = np.fromfile(str(tmp_path / f"tail{i}.bin"), dtype=np.int8)
+        block_bytes = 2 * full.samples_per_epoch
+        assert head.size == blocks[i] * block_bytes, f"member {i} head"
+        joined = np.concatenate([head, tail])
+        assert joined.size == whole.size, f"member {i} size"
+        assert np.array_equal(joined, whole), f"member {i} bytes"
+
+
+def test_fleet_checkpoint_resume_bit_identical(fixtures_dir, tmp_path):
+    from gpssim_tpu.fleet import run_fleet
+
+    full = _fleet_cfgs(fixtures_dir, tmp_path, "full")
+    run_fleet(full)  # uninterrupted reference streams
+
+    head = _fleet_cfgs(fixtures_dir, tmp_path, "head")
+    ckpt = str(tmp_path / "fleet.npz")
+    stats = _run_fleet_interrupted(head, ckpt)
+    assert all(0 < st.blocks < full[0].num_epochs - 1 for st in stats)
+    _resume_and_check(fixtures_dir, tmp_path, ckpt, full, stats, "head")
+
+
+def test_fleet_checkpoint_resume_realtime(fixtures_dir, tmp_path):
+    """The same kill/resume contract holds for a paced realtime fleet
+    (low rate so the virtual-CPU device path keeps up)."""
+    from gpssim_tpu.fleet import run_fleet
+
+    kw = dict(sample_rate=1_030_000, realtime=True, fifo_depth=8)
+    full = _fleet_cfgs(fixtures_dir, tmp_path, "rtfull", duration_sec=4.0,
+                       **kw)
+    run_fleet(full)
+
+    head = _fleet_cfgs(fixtures_dir, tmp_path, "rthead", duration_sec=4.0,
+                       **kw)
+    ckpt = str(tmp_path / "rtfleet.npz")
+    stats = _run_fleet_interrupted(head, ckpt, batches=2)
+    assert all(0 < st.blocks < full[0].num_epochs - 1 for st in stats)
+    _resume_and_check(fixtures_dir, tmp_path, ckpt, full, stats, "rthead")
+
+
+def test_fleet_checkpoint_loader_type_guards(fixtures_dir, tmp_path):
+    import pytest
+
+    from gpssim_tpu.checkpoint import (
+        is_fleet_checkpoint, load_fleet_checkpoint,
+    )
+
+    cfg = _cfg(fixtures_dir)
+    sim = Simulation(cfg)
+    next(sim.iter_plans())
+    single = str(tmp_path / "single.npz")
+    save_checkpoint(single, sim)
+    assert not is_fleet_checkpoint(single)
+    with pytest.raises(ValueError, match="single-scenario"):
+        load_fleet_checkpoint(single)
+
+    from gpssim_tpu.checkpoint import capture_fleet_state, write_state
+
+    fleet = str(tmp_path / "fleet.npz")
+    write_state(fleet, capture_fleet_state([sim], [1]))
+    assert is_fleet_checkpoint(fleet)
+    with pytest.raises(ValueError, match="FLEET"):
+        load_checkpoint(fleet)

@@ -271,3 +271,29 @@ def test_cli_fleet_rejects_bad_combos(fixtures_dir, tmp_path):
             "-e", f"{fixtures_dir}/brdc_test.22n", "-r", "iqfile",
             "--fleet", str(bad),
         ])
+
+
+def test_cli_fleet_checkpoint_and_resume(fixtures_dir, tmp_path, monkeypatch,
+                                         capsys):
+    """--fleet --checkpoint writes ONE fleet snapshot; --resume on that
+    file restores and finishes the whole fleet (here: already complete,
+    so it resumes to an immediate clean end)."""
+    from gpssim_tpu import cli
+    from gpssim_tpu.checkpoint import is_fleet_checkpoint
+
+    roster = tmp_path / "roster.csv"
+    roster.write_text("35.681298, 139.766247, 10.0\n35.9, 139.8, 10.0\n")
+    ckpt = tmp_path / "fleet.npz"
+    monkeypatch.chdir(tmp_path)
+    assert cli.main([
+        "-e", f"{fixtures_dir}/brdc_test.22n", "-d", "0.4",
+        "-r", "iqfile", "--disable-almanac",
+        "--out-file", str(tmp_path / "iq.bin"),
+        "--fleet", str(roster), "--checkpoint", str(ckpt),
+    ]) == 0
+    assert ckpt.exists() and is_fleet_checkpoint(str(ckpt))
+    capsys.readouterr()
+
+    assert cli.main(["--resume", str(ckpt)]) == 0
+    out = capsys.readouterr().out
+    assert "fleet member 1" in out
