@@ -75,6 +75,62 @@ def global_mesh(chan_shards: int = 1) -> Mesh:
     )
 
 
+def global_mesh_chan_major() -> Mesh:
+    """(blocks, chan) mesh whose CHAN axis spans processes — one mesh
+    column per process — so the channel psum crosses the process
+    boundary (DCN) instead of staying process-local.
+
+    Production meshes keep the psum intra-process (``global_mesh``: the
+    cheap collective rides ICI); this layout exists to certify that the
+    collective is bit-exact even across processes (the psum is integer,
+    so placement cannot change the sum) — exercised by the driver
+    dryrun's ``+multiproc-dcn4`` pass with 4 OS processes x 2 devices.
+    """
+    devices = np.asarray(jax.devices())
+    n_local = len(jax.local_devices())
+    n_proc = devices.size // n_local
+    # jax.devices() groups by process: reshape (proc, local) and
+    # transpose, so rows (blocks axis) are local-device indices and
+    # columns (chan axis) are processes.
+    return Mesh(devices.reshape(n_proc, n_local).T, ("blocks", "chan"))
+
+
+def synthesize_chan_major(
+    batch: dict, mesh: Mesh, n_rows: int, num_samples: int,
+    wide: bool = False, out_bits: int = 16, fn=None,
+    kernel: str | None = None,
+) -> np.ndarray:
+    """Synthesize one batch over a chan-major mesh (process-spanning
+    psum, see ``global_mesh_chan_major``).
+
+    Every process holds the full deterministic batch (same planning
+    everywhere); inputs are assembled per-device via callback, and the
+    post-psum output — replicated along chan, so each process's device
+    column carries every block row — is gathered whole.  Returns the
+    complete quantized batch on every process."""
+    if fn is None:
+        fn = make_sharded_synth(
+            mesh, n_rows, num_samples, wide=wide, out_bits=out_bits,
+            kernel=kernel,
+        )
+    args = {}
+    for k in ARG_ORDER:
+        v = batch[k]
+        spec = [None] * v.ndim
+        spec[0] = "blocks"
+        if mesh.shape["chan"] > 1:
+            spec[_CHAN_AXIS[k]] = "chan"
+        sharding = NamedSharding(mesh, P(*spec))
+        args[k] = jax.make_array_from_callback(
+            v.shape, sharding, lambda idx, v=v: v[idx]
+        )
+    out = fn(args)
+    rows = {}
+    for s in out.addressable_shards:
+        rows[s.index[0].start or 0] = np.asarray(s.data)
+    return np.concatenate([rows[k] for k in sorted(rows)], axis=0)
+
+
 def process_block_slice(n_blocks: int, mesh: Mesh) -> slice:
     """The contiguous block range this process owns on the blocks axis.
 
