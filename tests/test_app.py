@@ -64,3 +64,36 @@ def test_checkpoint_and_metrics_at_30s_cadence(fixtures_dir, tmp_path):
     assert len(recs) == 1 and recs[0]["blocks"] >= 300
     assert recs[0]["channels"] and recs[0]["retries"] == 0
     assert abs(recs[0]["lat"] - 35.681298) < 1e-3
+
+
+def test_checkpoint_and_metrics_cadence_smoke(fixtures_dir, tmp_path):
+    """Default-suite smoke of the 30 s-cadence hook (VERDICT r4 item 6):
+    same run_app path and 31 s of signal as the slow JAX-backend case,
+    but synthesized by the native engine (~13x realtime on one core) so
+    the mid-run checkpoint save and the metrics record both fire in a
+    few seconds. The pipelined-runner snapshot variant stays covered by
+    test_checkpoint.py / test_fleet checkpointing."""
+    import json
+
+    from gpssim_tpu.ops.synth_seq import seq_available
+
+    if not seq_available():
+        pytest.skip("native engine unavailable")
+    ckpt = tmp_path / "state.npz"
+    metrics = tmp_path / "metrics.jsonl"
+    cfg = _cfg(
+        fixtures_dir, tmp_path, duration_sec=31.0,
+        backend=SynthBackend.NATIVE, checkpoint_file=str(ckpt),
+        metrics_file=str(metrics),
+    )
+    assert run_app(cfg) == 0
+    assert ckpt.exists()
+    from gpssim_tpu.checkpoint import load_checkpoint
+
+    _, sim = load_checkpoint(str(ckpt))
+    assert sim._iumd == 310
+
+    recs = [json.loads(line) for line in metrics.read_text().splitlines()]
+    assert len(recs) == 1 and recs[0]["blocks"] >= 300
+    assert recs[0]["channels"] and recs[0]["retries"] == 0
+    assert abs(recs[0]["lat"] - 35.681298) < 1e-3

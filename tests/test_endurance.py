@@ -306,3 +306,51 @@ def test_24h_device_scale_qa(fixtures_dir, tmp_path):
                 break
         idx += 1
     assert not remaining
+
+
+def test_set_advance_golden_smoke(oracle_bin, fixtures_dir, tmp_path):
+    """Default-suite smoke of the endurance golden (VERDICT r4 item 6):
+    140 s against the oracle, bit-exact, crossing the fixture's FIRST
+    real ephemeris-set advance (~+120 s), with a checkpoint/resume taken
+    just before the advance — the same code path as the 65-min
+    GPSSIM_ENDURANCE golden at seconds scale."""
+    if not seq_available():
+        pytest.skip("native engine required")
+    duration = 140
+    nav = f"{fixtures_dir}/brdc_endurance.22n"
+    ref_path = run_oracle(
+        oracle_bin, nav, "ref.bin", str(tmp_path), fixtures_dir,
+        duration=duration, bits=8, iono=1, almanac=1,
+        lat=35.681298, lon=139.766247, height=10.0,
+    )
+    ref = np.memmap(ref_path, dtype=np.int8, mode="r")
+    blk = 600_000
+    n_blocks = duration * 10 - 1
+    assert ref.size == n_blocks * blk
+
+    cfg = SimConfig(
+        nav_file=nav, duration_sec=float(duration), almanac_enable=True,
+        almanac_file=f"{fixtures_dir}/almanac_test.sem",
+    )
+    sim = Simulation(cfg)
+    ckpt = str(tmp_path / "pre_adv.npz")
+    advances = []
+    last_ieph = sim.ieph
+    for i, plan in enumerate(sim.iter_plans()):
+        if sim.ieph != last_ieph:
+            advances.append(i)
+            last_ieph = sim.ieph
+        if i == 1100:
+            save_checkpoint(ckpt, sim)
+        mine = synth_block_seq_native(plan, bits=8)
+        assert np.array_equal(mine, ref[i * blk : (i + 1) * blk]), i
+    assert len(advances) == 1 and advances[0] <= 1300, advances
+
+    # Resume from before the advance and cross it again, bit-identical.
+    _, sim_r = load_checkpoint(ckpt)
+    it = sim_r.iter_plans()
+    for j in range(min(250, n_blocks - 1101)):
+        i = 1101 + j
+        mine = synth_block_seq_native(next(it), bits=8)
+        assert np.array_equal(mine, ref[i * blk : (i + 1) * blk]), i
+    assert sim_r.ieph == sim.ieph

@@ -252,9 +252,15 @@ def test_fleet_rejects_interactive_and_mixed_realtime(fixtures_dir):
             _cfg(fixtures_dir, duration_sec=0.3,
                  location=LocationConfig(1.0, 2.0, 3.0)),
         ])
+    # checkpoint_file is SUPPORTED since r5 (one fleet snapshot file) —
+    # but members must agree on it.
     with pytest.raises(ValueError, match="checkpoint_file"):
-        run_fleet([_cfg(fixtures_dir, duration_sec=0.3,
-                        checkpoint_file="x.npz")])
+        run_fleet([
+            _cfg(fixtures_dir, duration_sec=0.3,
+                 checkpoint_file="x.npz"),
+            _cfg(fixtures_dir, duration_sec=0.3,
+                 location=LocationConfig(1.0, 2.0, 3.0)),
+        ])
 
 
 def test_fleet_realtime_paced_tcp_failover_zero_underruns(fixtures_dir,

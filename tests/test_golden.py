@@ -355,3 +355,34 @@ def test_nav_regen_30s_crossing(oracle_bin, fixtures_dir, tmp_path):
         almanac_file=f"{fixtures_dir}/almanac_test.sem",
     )
     assert_parity(run_mine(cfg), ref, np.int8)
+
+
+@pytest.mark.golden
+def test_nav_regen_30s_crossing_smoke(oracle_bin, fixtures_dir, tmp_path):
+    """Default-suite smoke of the slow 30 s-crossing golden (VERDICT r4
+    item 6): the same 32 s scenario (nav regen + reallocation boundary,
+    iono + almanac pages) oracle-diffed bit-exactly, synthesized by the
+    native engine instead of the NumPy parity path."""
+    from tests.helpers import strict_gen_backend
+
+    from gpssim_tpu.config import SynthBackend
+
+    if strict_gen_backend() is not SynthBackend.NATIVE:
+        pytest.skip("native engine unavailable")
+    nav = f"{fixtures_dir}/brdc_test.22n"
+    ref = run_oracle(
+        oracle_bin, nav, "ref.bin", str(tmp_path), fixtures_dir,
+        duration=32, bits=8, iono=1, almanac=1, **TOKYO,
+    )
+    cfg = SimConfig(
+        nav_file=nav, duration_sec=32.0, almanac_enable=True,
+        almanac_file=f"{fixtures_dir}/almanac_test.sem",
+        backend=SynthBackend.NATIVE,
+        out_file=str(tmp_path / "mine.bin"), sink="iqfile",
+    )
+    from gpssim_tpu.runner import run_simulation
+
+    run_simulation(cfg)
+    a = np.fromfile(cfg.out_file, dtype=np.int8)
+    b = np.fromfile(ref, dtype=np.int8)
+    assert a.size == b.size and np.array_equal(a, b)

@@ -726,3 +726,365 @@ def test_cold_start_fix_decodes_iono_page18_over_the_air(
     err = np.linalg.norm(fix.xyz - truth)
     assert err < 3.0, f"cold-start iono-corrected fix off by {err:.2f} m"
     assert fix.nsats >= 4, fix.prns
+
+
+# ---------------------------------------------------------------------------
+# Default-suite smoke variants of the slow matrix (VERDICT r4 item 6):
+# every @slow case above has a seconds-scale counterpart here driving the
+# SAME code path (motion/interactive planning, oracle bytes, wire
+# transport, iono correction, wide/commensurate rates, mid-stream page-18
+# decode) at acquisition/track/solver level, so a regression in any of
+# those paths fails the default run instead of hiding behind --runslow.
+# ---------------------------------------------------------------------------
+
+
+def _gen(fixtures_dir, out, **kw):
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n",
+        almanac_enable=False,
+        ionosphere_enable=False,
+        backend=strict_gen_backend(),
+        sink="iqfile",
+        out_file=out,
+        **kw,
+    )
+    sim = Simulation(cfg)
+    plans_probe = Simulation(cfg)
+    plans = [plans_probe.step() for _ in range(plans_probe.num_blocks)]
+    run_simulation(cfg, sim=sim)
+    return cfg, sim, plans
+
+
+def _acq_doppler(dets):
+    return {d.prn: d.doppler_hz for d in dets}
+
+
+def test_smoke_moving_scenario_acquires_at_motion_doppler(
+    fixtures_dir, tmp_path
+):
+    """Moving-platform path (slow: test_moving_receiver_pvt): a 2 s
+    circle-motion capture must acquire the planned PRN set at the
+    motion-Doppler the planner produced."""
+    from gpssim_tpu.acquire import acquire
+
+    out = str(tmp_path / "mv.bin")
+    _, _, plans = _gen(
+        fixtures_dir, out, duration_sec=2.0, sample_rate=RATE,
+        motion_file=f"{fixtures_dir}/circle_motion.csv",
+    )
+    x = load_iq(out, 8)
+    dets = acquire(x, RATE)
+    plan = plans[0]
+    active = {int(p) for p in plan.prn[plan.active]}
+    assert {d.prn for d in dets} == active
+    slots = {int(p): i for i, p in enumerate(plan.prn) if plan.active[i]}
+    for d in dets:
+        assert abs(d.doppler_hz - plan.f_carr[slots[d.prn]]) <= 300.0, d.prn
+
+
+def test_smoke_interactive_command_shifts_doppler(fixtures_dir, tmp_path):
+    """Interactive-control path (slow:
+    test_interactive_command_moves_receiver_fix): a commanded velocity
+    ramp mid-capture must shift the acquired Doppler by the amount the
+    planner integrated."""
+    from gpssim_tpu.acquire import acquire
+
+    out = str(tmp_path / "ia.bin")
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=4.0,
+        sample_rate=RATE, almanac_enable=False, ionosphere_enable=False,
+        backend=strict_gen_backend(), sink="iqfile", out_file=out,
+        interactive=True,
+    )
+    sim = Simulation(cfg)
+
+    def on_block(stats, s, plan):
+        if stats.blocks >= 10:
+            v = min(15.0 * (stats.blocks - 9), 150.0)
+            s.set_motion(bearing_deg=60.0, velocity=v, vertical_speed=0.0)
+
+    # Truth replay: identical command schedule on a probe planner.
+    probe = Simulation(cfg)
+    plans = []
+    st = type("S", (), {"blocks": 0})()
+    while (p := probe.step()) is not None:
+        plans.append(p)
+        st.blocks = len(plans)
+        on_block(st, probe, p)
+
+    run_simulation(cfg, sim=sim, on_block=on_block)
+    x = load_iq(out, 8)
+    n1 = RATE  # 1 s windows
+    d_a = _acq_doppler(acquire(x[:n1], RATE))
+    d_b = _acq_doppler(acquire(x[-n1:], RATE))
+
+    first, last = plans[0], plans[-5]
+    slots = {int(p): i for i, p in enumerate(first.prn) if first.active[i]}
+    shifts = {
+        prn: float(last.f_carr[i] - first.f_carr[i])
+        for prn, i in slots.items()
+        if prn in d_a and prn in d_b
+    }
+    prn = max(shifts, key=lambda k: abs(shifts[k]))
+    assert abs(shifts[prn]) > 350.0, shifts  # the command really moved us
+    measured = d_b[prn] - d_a[prn]
+    assert abs(measured - shifts[prn]) <= 300.0, (prn, measured, shifts[prn])
+
+
+def test_smoke_oracle_output_acquires_like_framework_plan(
+    oracle_bin, fixtures_dir, tmp_path
+):
+    """Reference-bytes path (slow: test_fix_on_reference_oracle_output):
+    the receiver front end must find the framework-planned PRN set at
+    the planned Doppler/code phase in the REFERENCE C simulator's own
+    2 s output (the streams are bit-exact, so the plan IS the truth)."""
+    from tests.test_golden import TOKYO, run_oracle
+
+    from gpssim_tpu.acquire import acquire
+    from gpssim_tpu.config import LocationConfig
+
+    nav = f"{fixtures_dir}/brdc_test.22n"
+    ref = run_oracle(
+        oracle_bin, nav, "ref2s.bin", str(tmp_path), fixtures_dir,
+        duration=2, bits=8, iono=0, almanac=0, **TOKYO,
+    )
+    cfg = SimConfig(
+        nav_file=nav, duration_sec=2.0, almanac_enable=False,
+        ionosphere_enable=False,
+        location=LocationConfig(35.681298, 139.766247, 10.0),
+    )
+    plan = Simulation(cfg).step()
+    x = load_iq(ref, 8)
+    dets = acquire(x, 3_000_000.0)
+    active = {int(p) for p in plan.prn[plan.active]}
+    assert {d.prn for d in dets} == active
+    slots = {int(p): i for i, p in enumerate(plan.prn) if plan.active[i]}
+    for d in dets:
+        i = slots[d.prn]
+        assert abs(d.doppler_hz - plan.f_carr[i]) <= 300.0, d.prn
+        err = (d.code_phase_chips - plan.code_phase[i]) % 1023.0
+        assert min(err, 1023.0 - err) <= 2.0, d.prn
+
+
+def test_smoke_tcp_stream_bytes_acquirable(fixtures_dir, tmp_path):
+    """Wire-transport path (slow: test_fix_from_live_tcp_stream): a 2 s
+    scenario streamed through the tcp radio arrives byte-complete and
+    the arrived bytes acquire the planned PRN set."""
+    import socket
+    import threading
+
+    from gpssim_tpu.acquire import acquire
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    received = bytearray()
+
+    def collector():
+        conn, _ = srv.accept()
+        with conn:
+            while True:
+                data = conn.recv(1 << 16)
+                if not data:
+                    return
+                received.extend(data)
+
+    t = threading.Thread(target=collector, daemon=True)
+    t.start()
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=2.0,
+        sample_rate=RATE, almanac_enable=False, ionosphere_enable=False,
+        backend=strict_gen_backend(), sink="tcp",
+        tcp_addr=f"127.0.0.1:{srv.getsockname()[1]}",
+        location=LocationConfig(35.681298, 139.766247, 10.0),
+    )
+    sim = Simulation(cfg)
+    plan_probe = Simulation(cfg).step()
+    stats = run_simulation(cfg, sim=sim)
+    t.join(timeout=30)
+    assert not t.is_alive()
+    srv.close()
+    assert len(received) == stats.blocks * 2 * cfg.samples_per_epoch
+
+    x = (np.frombuffer(bytes(received), dtype=np.int8)[0::2]
+         .astype(np.float32)
+         + 1j * np.frombuffer(bytes(received), dtype=np.int8)[1::2]
+         .astype(np.float32)).astype(np.complex64)
+    dets = acquire(x, RATE)
+    active = {int(p) for p in plan_probe.prn[plan_probe.active]}
+    assert {d.prn for d in dets} == active
+
+
+def test_smoke_pvt_klobuchar_correction(fixtures_dir):
+    """Receiver-side iono path (slow:
+    test_iono_on_fix_with_provided_klobuchar): synthetic observations
+    carrying the forward-model Klobuchar delay must solve to sub-meter
+    WITH the parameters and measurably biased without — pure solver
+    math, milliseconds."""
+    from gpssim_tpu.core.atmosphere import ionospheric_delay
+    from gpssim_tpu.core.frames import ecef2neu, ltcmat, neu2azel, xyz2llh
+
+    nav = read_rinex_nav(f"{fixtures_dir}/brdc_test.22n")
+    assert nav.ionoutc.vflg
+    eph = nav.sets[0]
+    truth = np.array([-3959617.482, 3350136.615, 3699531.459])
+    llh = xyz2llh(truth)
+    tmat = ltcmat(llh)
+    t_rx = float(eph.toc_sec[np.nonzero(eph.vflg)[0][0]]) + 1800.0
+
+    obs = []
+    for sv in np.nonzero(eph.vflg)[0]:
+        pos, _, _ = satpos(eph, t_rx, np.array([sv]))
+        if np.dot(pos[0] - truth, truth) < 0:
+            continue
+        tau = t_rx - 0.07
+        for _ in range(8):
+            pos, _, clk = satpos(eph, tau, np.array([sv]))
+            tof = t_rx - tau
+            sat = np.array([
+                pos[0, 0] + pos[0, 1] * OMEGA_EARTH * tof,
+                pos[0, 1] - pos[0, 0] * OMEGA_EARTH * tof,
+                pos[0, 2],
+            ])
+            rho = np.linalg.norm(sat - truth)
+            tau = t_rx - rho / SPEED_OF_LIGHT + clk[0, 0]
+        azel = neu2azel(ecef2neu(sat - truth, tmat))
+        delay_m = float(
+            ionospheric_delay(nav.ionoutc, t_rx, llh, np.asarray(azel))
+        )
+        assert delay_m > 1.0  # the scenario really carries iono delay
+        obs.append(Observation(int(sv) + 1, float(tau - delay_m /
+                                                  SPEED_OF_LIGHT), 0.0))
+        if len(obs) == 7:
+            break
+    assert len(obs) >= 6
+
+    t_nom = max(o.tau_sv for o in obs) + 0.076
+    for o in obs:
+        o.pr_rel = SPEED_OF_LIGHT * (t_nom - o.tau_sv)
+
+    fix_cor = pvt_solve(obs, eph, nav.ionoutc, t_nom)
+    err_cor = np.linalg.norm(fix_cor.xyz - truth)
+    assert err_cor < 1.0, err_cor
+
+    off = IonoUtc()
+    off.enable = False
+    fix_raw = pvt_solve(obs, eph, off, t_nom)
+    err_raw = np.linalg.norm(fix_raw.xyz - truth)
+    assert err_raw > err_cor + 2.0, (err_raw, err_cor)
+
+
+@pytest.mark.parametrize("rate", [2_000_000, 1_200_000])
+def test_smoke_wide_window_rates_acquirable(fixtures_dir, tmp_path, rate):
+    """Wide-window kernel path (slow: test_position_fix_wide_window_rates):
+    2 s captures at sub-2.06 Msps rates must acquire the planned PRNs at
+    the planned Doppler."""
+    from gpssim_tpu.acquire import acquire
+    from gpssim_tpu.ops.synth_jax import needs_wide_window
+
+    assert needs_wide_window(1.0 / rate)
+    out = str(tmp_path / f"w{rate}.bin")
+    _, _, plans = _gen(
+        fixtures_dir, out, duration_sec=2.0, sample_rate=rate,
+        location=LocationConfig(35.681298, 139.766247, 10.0),
+    )
+    x = load_iq(out, 8)
+    dets = acquire(x, float(rate))
+    plan = plans[0]
+    active = {int(p) for p in plan.prn[plan.active]}
+    assert {d.prn for d in dets} >= active - {0}
+    slots = {int(p): i for i, p in enumerate(plan.prn) if plan.active[i]}
+    for d in dets:
+        assert abs(d.doppler_hz - plan.f_carr[slots[d.prn]]) <= 300.0
+
+
+def test_smoke_commensurate_rate_bits_decode(fixtures_dir, tmp_path):
+    """Commensurate-sampling path (slow:
+    test_commensurate_rate_2sps_still_receivable): at exactly
+    2 samples/chip the DIGITAL chain must still work — acquire, track,
+    and demodulate bits matching the transmitted dwrd stream."""
+    from gpssim_tpu.acquire import acquire
+    from gpssim_tpu.core.navmsg import data_bit
+    from gpssim_tpu.receiver import track
+
+    rate = 2_046_000
+    out = str(tmp_path / "comm.bin")
+    _, _, plans = _gen(
+        fixtures_dir, out, duration_sec=2.0, sample_rate=rate,
+        location=LocationConfig(35.681298, 139.766247, 10.0),
+    )
+    x = load_iq(out, 8)
+    dets = acquire(x, float(rate))
+    assert len(dets) >= 4
+    ch = track(x, dets[0], float(rate))
+    assert len(ch.bits) >= 60
+    plan = plans[0]
+    slot = int(np.nonzero(plan.prn == ch.prn)[0][0])
+    dwrd = plan.dwrd[slot]
+    # ch.bits start at the first tracked bit boundary; align by scanning
+    # the transmitted stream (from the block-start word/bit cursor, which
+    # is rarely zero) for the demodulated prefix (20 ms/bit).
+    sb = int(plan.iword[slot] * 30 + plan.ibit[slot])
+    tx = np.array([
+        (data_bit(dwrd, k // 30, k % 30) + 1) // 2
+        for k in range(sb, sb + 130)
+    ])
+    got = np.asarray(ch.bits[:40]) & 1
+    hits = [
+        s for s in range(len(tx) - len(got))
+        if np.array_equal(tx[s:s + len(got)], got)
+        or np.array_equal(tx[s:s + len(got)], 1 - got)
+    ]
+    assert hits, "demodulated bits not found in the transmitted stream"
+
+
+def test_smoke_page18_iono_decodes_midstream(fixtures_dir, tmp_path):
+    """Cold-start page-18 path (slow:
+    test_cold_start_fix_decodes_iono_page18_over_the_air): synthesize
+    only the 8 s window where frame 18 airs (~510 s in), track one
+    channel, and decode the Klobuchar parameters over the air."""
+    import itertools
+
+    from gpssim_tpu.acquire import acquire
+    from gpssim_tpu.ops.synth_numpy import quantize_iq
+    from gpssim_tpu.receiver import decode_iono_utc
+    from gpssim_tpu.runner import make_synth_fn
+
+    cfg = SimConfig(
+        nav_file=f"{fixtures_dir}/brdc_test.22n", duration_sec=537.0,
+        sample_rate=RATE, almanac_enable=False, ionosphere_enable=True,
+        backend=strict_gen_backend(),
+        location=LocationConfig(35.681298, 139.766247, 10.0),
+    )
+    sim = Simulation(cfg)
+    synth = make_synth_fn(cfg)
+    it = sim.iter_plans()
+    # Plans are cheap; subframe 4 of frame 18 (the page-18 carrier) airs
+    # over [528, 534) — capture [525, 536) for bit-sync lead-in.
+    skipped = sum(1 for _ in itertools.islice(it, 5250))
+    assert skipped == 5250
+    raw = np.concatenate([
+        quantize_iq(np.asarray(synth(p)), 8)
+        for p in itertools.islice(it, 110)
+    ])
+    x = (raw[0::2].astype(np.float32)
+         + 1j * raw[1::2].astype(np.float32)).astype(np.complex64)
+
+    dets = acquire(x, RATE)
+    assert dets
+    iono = None
+    for det in dets[:3]:
+        from gpssim_tpu.receiver import track
+
+        ch = track(x, det, RATE)
+        got = decode_iono_utc(decode_frames(ch.bits))
+        if got.vflg:
+            iono = got
+            break
+    assert iono is not None, "page 18 did not decode in the capture"
+    nav = read_rinex_nav(f"{fixtures_dir}/brdc_test.22n")
+    alpha_lsb = (2.0**-30, 2.0**-27, 2.0**-24, 2.0**-24)
+    for i in range(4):
+        assert abs(
+            getattr(iono, f"alpha{i}") - getattr(nav.ionoutc, f"alpha{i}")
+        ) <= alpha_lsb[i], i
