@@ -228,10 +228,11 @@ def _measure_realtime_device(nav: str) -> dict:
     log(f"realtime device path: {secs:.0f}s of paced 3 Msps int8 signal "
         f"over TCP from the {cfg.backend.name.lower()} backend in "
         f"{wall:.1f}s wall, underruns={underruns}, "
-        f"failovers={stats.failovers}")
+        f"failovers={stats.failovers}, failbacks={stats.failbacks}")
     return {
         "realtime_device_underruns": underruns,
         "realtime_device_failovers": stats.failovers,
+        "realtime_device_failbacks": stats.failbacks,
         "realtime_device_secs": round(secs, 1),
         "realtime_device_wall_s": round(wall, 1),
     }
@@ -340,6 +341,22 @@ def main() -> None:
         jax.config.update(
             "jax_num_cpu_devices", int(os.environ["BENCH_CPU_DEVICES"])
         )
+    # Persistent compile cache (same policy as app.run_app): the paced
+    # realtime sections create fresh jit instances inside run_simulation,
+    # so without this their warm runs compile one executable and the
+    # timed runs compile it AGAIN — ~2.5 s of startup deficit that a
+    # DAC-paced pipeline never claws back (measured: it tripped the
+    # supervisor on an otherwise-healthy device path).
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        cache = os.path.expanduser("~/.cache/gpssim-tpu-xla")
+        os.makedirs(cache, exist_ok=True)
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5
+            )
+        except Exception:
+            pass  # older jax or already-initialized backend
 
     from gpssim_tpu.config import CarrierMode, SimConfig
     from gpssim_tpu.ops.synth_jax import LANES, synth_blocks_batch

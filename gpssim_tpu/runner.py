@@ -192,24 +192,29 @@ class DeviceProbe:
         self._done: "threading.Event | None" = None
         self._dt: list = []
 
-    @property
-    def in_flight(self) -> bool:
-        return self._done is not None and not self._done.is_set()
-
     def start(self, plans) -> None:
-        """Dispatch a probe window (plans are NOT consumed — the caller
-        still writes them natively)."""
+        """Probe a window (plans are NOT consumed — the caller still
+        writes them natively).
+
+        ALL probe work — collate/pack, dispatch, fetch — runs on the
+        background thread: the caller is the thread holding N paced
+        streams on (possibly) one core, and even the dispatch-side host
+        work stalling it for ~100 ms can underrun the pacers (measured
+        on the 8-stream fleet bench). The native writers release the
+        GIL inside the C engine, so the probe's NumPy/dispatch work
+        interleaves instead of blocking."""
         import threading
 
-        out = self._dispatch(plans)
-        t0 = time.perf_counter()
         done = threading.Event()
         dt = self._dt = []
+        dispatch = self._dispatch
 
-        def fetch():
+        def run_probe():
             try:
                 import jax
 
+                t0 = time.perf_counter()
+                out = dispatch(plans)
                 jax.device_get(out)
                 dt.append(time.perf_counter() - t0)
             except Exception:  # noqa: BLE001 — a dead probe is just "slow"
@@ -218,7 +223,7 @@ class DeviceProbe:
                 done.set()
 
         self._done = done
-        threading.Thread(target=fetch, daemon=True,
+        threading.Thread(target=run_probe, daemon=True,
                          name="gpssim-failback-probe").start()
 
     def poll(self) -> str:
