@@ -1177,9 +1177,13 @@ static inline long gs_next(const GlobalScreen& g, long n0, long N) {
 // progression; irregular steps (binade/wrap crossings, ties) go scalar
 // through seq_advance, which also runs the data-bit cascade at code
 // wraps.  false on data-word overflow (invalid plan).
-// Integer-NCO walk: the carrier is exact closed-form, so only the code
-// phase is segment-walked — every fragment ends at its own crossing and
-// a cross-phase cache could never hit; keep the loop minimal.
+// This walks the CODE dimension only (code phase + cascade; the scalar
+// step's phi side-advance is unused in float mode).  It serves both the
+// integer-NCO mode (carrier exact closed-form) and — since the code and
+// carrier recurrences are independent (gps.c:2789-2829) — the float
+// mode's code-flagged candidates, whose carrier dimension is walked
+// separately by carr_advance_n only when its own screen flags.  The
+// former joint min-interleave walk (seq_ff_float) is gone with it.
 static bool seq_ff_nco(SeqChan& ch, long steps) {
   while (steps > 0) {
     int64_t Sc, mc;
@@ -1199,66 +1203,6 @@ static bool seq_ff_nco(SeqChan& ch, long steps) {
   return true;
 }
 
-// Float-carrier walk with per-phase segment caches: the min-interleave
-// fragments each phase's binade segments on the OTHER phase's
-// boundaries, so recomputing seg_room every fragment does ~2x the
-// necessary work.  A segment interrupted mid-way (by the other phase's
-// crossing, or by a scalar step that stayed in-segment, room >= 1)
-// continues with the same (S, mant) — only an exhausted segment (room
-// 0, or the crossing phase itself) recomputes.  Room bounds double as
-// no-wrap proofs: room >= 1 means the next step stays below the cap and
-// inside the binade, so a scalar step cannot have wrapped that phase.
-static bool seq_ff_float(SeqChan& ch, long steps) {
-  int64_t Sc = 0, mc = 0, Sp = 0, mp = 0;
-  uint64_t cb = 0, pb = 0;
-  int ce = 0, pe = 0;
-  bool cfix = false, pfix = false;
-  long rc = -1, rp = -1;
-  while (steps > 0) {
-    if (rc < 0)
-      rc = seg_room(ch.cp, ch.dc, kCaLen, &Sc, &mc, &cb, &ce, &cfix);
-    if (rp < 0)
-      rp = seg_room(ch.ph, ch.dp, 1.0, &Sp, &mp, &pb, &pe, &pfix);
-    long L = rc < rp ? rc : rp;
-    if (L > steps) L = steps;
-    if (L <= 0) {
-      // One scalar (crossing/irregular) step.  The phase that still had
-      // room advances exactly one progression step — cache kept.
-      if (!seq_advance(ch, false)) return false;
-      --steps;
-      if (rc >= 1) {
-        if (!cfix) mc += Sc;
-        if (--rc == 0) rc = -1;
-      } else {
-        rc = -1;
-      }
-      if (rp >= 1) {
-        if (!pfix) mp += Sp;
-        if (--rp == 0) rp = -1;
-      } else {
-        rp = -1;
-      }
-      continue;
-    }
-    if (!cfix) {
-      mc += L * Sc;
-      ch.cp = mant_to_double(cb, mc);
-    }
-    if (!pfix) {
-      mp += L * Sp;
-      ch.ph = mant_to_double(pb, mp);
-    }
-    steps -= L;
-    if ((rc -= L) == 0) rc = -1;
-    if ((rp -= L) == 0) rp = -1;
-  }
-  return true;
-}
-
-static bool seq_ff(SeqChan& ch, bool nco, long steps) {
-  return nco ? seq_ff_nco(ch, steps) : seq_ff_float(ch, steps);
-}
-
 struct Delta {
   long n;
   int di, dq;
@@ -1266,22 +1210,35 @@ struct Delta {
 
 // Evaluate one flagged sample in both semantics; append the per-channel
 // contribution difference (usually none).  false on invalid plan.
+//
+// code_is_seq / carr_is_seq say which dimensions were actually walked
+// sequentially to n: a dimension whose screen did NOT flag n (at its
+// refined margin) is PROVEN index-identical in both semantics there, so
+// its closed-form index substitutes exactly and the sequential walk of
+// that dimension is skipped entirely by the caller.
 static bool eval_candidate(const SeqChan& ch, long n, double cp_n,
                            double ph_n, bool int_nco, uint32_t phi0,
+                           bool code_is_seq, bool carr_is_seq,
                            const double* sin_lut, const double* cos_lut,
                            std::vector<Delta>* deltas) {
   const uint32_t phi_n =
       phi0 + static_cast<uint32_t>(static_cast<uint64_t>(n) * ch.dphi);
-  const long chip_s = static_cast<long>(cp_n);
-  long it_s = int_nco
-                  ? static_cast<long>((phi_n >> 16) & 511u)
-                  : static_cast<long>(std::floor(ph_n * 512.0));
-  if (it_s > 511) it_s = 511;  // ph*512 == 512.0 edge (see synth loop)
-  int ip_s, qp_s, ip_c, qp_c;
-  mix_contrib(ch, chip_s, it_s, ch.data_bit, sin_lut, cos_lut, &ip_s, &qp_s);
   long chip_c, it_c;
   int db_c;
   if (!cf_indices(ch, n, int_nco, phi_n, &chip_c, &it_c, &db_c)) return false;
+  const long chip_s = code_is_seq ? static_cast<long>(cp_n) : chip_c;
+  const int db_s = code_is_seq ? ch.data_bit : db_c;
+  long it_s;
+  if (int_nco) {
+    it_s = static_cast<long>((phi_n >> 16) & 511u);
+  } else if (carr_is_seq) {
+    it_s = static_cast<long>(std::floor(ph_n * 512.0));
+    if (it_s > 511) it_s = 511;  // ph*512 == 512.0 edge (see synth loop)
+  } else {
+    it_s = it_c;
+  }
+  int ip_s, qp_s, ip_c, qp_c;
+  mix_contrib(ch, chip_s, it_s, db_s, sin_lut, cos_lut, &ip_s, &qp_s);
   mix_contrib(ch, chip_c, it_c, db_c, sin_lut, cos_lut, &ip_c, &qp_c);
   if (ip_s != ip_c || qp_s != qp_c)
     deltas->push_back({n, ip_s - ip_c, qp_s - qp_c});
@@ -1368,7 +1325,8 @@ long gseq_diff_block(
     if (!nco)
       gp = make_global(ch.c0, ch.dp, 512.0, carr_margin_slope(),
                        carr_margin_const(), N);
-    long cur = 0;
+    long cur_code = 0;  // code phase + cascade walked to here
+    long cur_carr = 0;  // float carrier phase walked to here
     long hc = gs_next(gc, 0, N);
     long hp = nco ? N : gs_next(gp, 0, N);
     while (true) {
@@ -1376,17 +1334,33 @@ long gseq_diff_block(
       if (nh >= N) break;
       // The query window is margin(N)-wide; re-test the candidate
       // against margin(nh) before paying the sequential walk to it — a
-      // rejected candidate is PROVEN identical in both semantics.
-      const bool need = (hc == nh && gs_hit_refined(gc, nh)) ||
-                        (hp == nh && gs_hit_refined(gp, nh));
-      if (need) {
-        if (!seq_ff(ch, nco, nh - cur)) {
-          walk_ok[static_cast<size_t>(k)] = 0;
-          return;
+      // rejected candidate is PROVEN identical in both semantics.  The
+      // surviving verdicts are kept PER DIMENSION: the code and carrier
+      // recurrences are independent (gps.c:2789-2829, no cross terms,
+      // the data-bit cascade rides the code dimension alone), so only a
+      // flagged dimension's sequential state is walked — a code-only
+      // candidate skips the carrier walk entirely and vice versa
+      // (candidate walks, ~half a block each, are the dominant strict-
+      // corrections cost; most candidates flag one dimension).
+      const bool code_hit = hc == nh && gs_hit_refined(gc, nh);
+      const bool carr_hit = !nco && hp == nh && gs_hit_refined(gp, nh);
+      if (code_hit || carr_hit) {
+        if (code_hit) {
+          // seq_ff_nco walks code + cascade only (its phi side-advance
+          // is unused in float mode: eval derives the NCO phase from
+          // phi0 + n*dphi).
+          if (!seq_ff_nco(ch, nh - cur_code)) {
+            walk_ok[static_cast<size_t>(k)] = 0;
+            return;
+          }
+          cur_code = nh;
         }
-        cur = nh;
-        if (!eval_candidate(ch, nh, ch.cp, ch.ph, nco, phi0, sin_lut,
-                            cos_lut, dl)) {
+        if (carr_hit) {
+          ch.ph = carr_advance_n(ch.ph, ch.dp, nh - cur_carr);
+          cur_carr = nh;
+        }
+        if (!eval_candidate(ch, nh, ch.cp, ch.ph, nco, phi0, code_hit,
+                            carr_hit, sin_lut, cos_lut, dl)) {
           walk_ok[static_cast<size_t>(k)] = 0;
           return;
         }
@@ -1415,10 +1389,15 @@ long gseq_diff_block(
       if (total - 1.0 >= 36000.0) walk_ok[static_cast<size_t>(k)] = 0;
       return;
     }
-    if (!seq_ff(ch, nco, N - cur)) {
+    // want_end: finish each dimension independently — the code walk for
+    // its exact data-word-overflow validation (seq_advance returns
+    // false past word 59, exactly as the joint walk did), the carrier
+    // walk for the end phase itself.
+    if (!seq_ff_nco(ch, N - cur_code)) {
       walk_ok[static_cast<size_t>(k)] = 0;
       return;
     }
+    if (!nco) ch.ph = carr_advance_n(ch.ph, ch.dp, N - cur_carr);
     end_carr[slot_of[k]] = ch.ph;
     // The integer NCO only advances in int_nco mode (seq_advance); in
     // float mode the reference leaves it untouched — match exactly.
