@@ -358,6 +358,39 @@ def main() -> None:
         except Exception:
             pass  # older jax or already-initialized backend
 
+    # Fail FAST if the device backend is unreachable: jax.devices() can
+    # block indefinitely while the axon tunnel is down (observed this
+    # round: backend init hung 25+ min before erroring UNAVAILABLE), and
+    # a hung bench is worse for the artifact pipeline than a clean,
+    # attributable failure. Probe in a subprocess with a hard deadline.
+    if os.environ.get("BENCH_SKIP_DEVICE_PROBE", "0") != "1":
+        import subprocess
+
+        probe_env = dict(os.environ)
+        probe = (
+            "import os, jax\n"
+            "p = os.environ.get('BENCH_PLATFORM')\n"
+            "if p: jax.config.update('jax_platforms', p)\n"
+            "print(jax.devices()[0].platform)\n"
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", probe], env=probe_env,
+                capture_output=True, text=True, timeout=240,
+            )
+        except subprocess.TimeoutExpired:
+            raise SystemExit(
+                "bench: device backend probe timed out after 240 s — "
+                "the TPU tunnel is down; not starting a bench that "
+                "would hang. (BENCH_SKIP_DEVICE_PROBE=1 overrides.)"
+            )
+        if proc.returncode != 0:
+            raise SystemExit(
+                "bench: device backend probe failed:\n"
+                + proc.stderr[-2000:]
+            )
+        log(f"device probe: {proc.stdout.strip()} backend reachable")
+
     from gpssim_tpu.config import CarrierMode, SimConfig
     from gpssim_tpu.ops.synth_jax import LANES, synth_blocks_batch
     from gpssim_tpu.ops.synth_numpy import synth_block_numpy
