@@ -303,7 +303,7 @@ def run_fleet(
     else:
         fsnap = None
     consistent = None  # last drain-time fleet snapshot
-    saved_at = 0
+    saved = {"tick": 0}  # last 30 s-boundary tick written to disk
 
     # Batch width: one full round of the fleet per dispatch, or the
     # configured dispatch window if that is larger — whichever keeps the
@@ -426,8 +426,8 @@ def run_fleet(
                 if snap is not None:
                     consistent = snap  # matches the blocks just written
                     tick = stats[0].blocks // 300
-                    if tick > saved_at:
-                        saved_at = tick
+                    if tick > saved["tick"]:
+                        saved["tick"] = tick
                         write_state(ckpt_path, consistent)
                 if on_batch is not None:
                     on_batch(stats)
@@ -477,10 +477,22 @@ def run_fleet(
                             DeviceProbe(probe_dispatch, W)
                             if cfg0.failback_probe_sec > 0 else None
                         )
+                        if fsnap is not None:
+                            def tail_ckpt(blocks):
+                                # Tail state is LIVE == written (callers
+                                # guarantee an empty probe buffer), so a
+                                # fresh capture is the drain-time-quality
+                                # snapshot.
+                                tick = blocks // 300
+                                if tick > saved["tick"]:
+                                    saved["tick"] = tick
+                                    write_state(ckpt_path, fsnap())
+                        else:
+                            tail_ckpt = None
                         if _fleet_native_tail(
                             cfgs, sinks, pending, it, stats, agg, t0,
                             base_index, on_batch, stop, t_act, totals,
-                            supervisor, probe, W,
+                            supervisor, probe, W, tail_ckpt,
                         ):
                             # Failback: resume the batched fleet loop.
                             continue
@@ -550,7 +562,7 @@ class _FleetTransportView:
 
 def _fleet_native_tail(
     cfgs, sinks, pending, it, stats, agg, t0, base_index, on_batch, stop,
-    t_act, totals, supervisor, probe, window,
+    t_act, totals, supervisor, probe, window, tail_ckpt=None,
 ) -> bool:
     """Carry a realtime fleet on the native sequential engine after a
     supervisor failover: first the in-flight batches' plans (device
@@ -615,6 +627,10 @@ def _fleet_native_tail(
                 ahead = live * 0.1 - (time.perf_counter() - t0)
                 if ahead > 0.1 * cfg0.fifo_depth:
                     time.sleep(ahead - 0.1 * cfg0.fifo_depth)
+            if tail_ckpt is not None and not buf:
+                # Live state corresponds to the written blocks only when
+                # no probed-but-unwritten plans are buffered.
+                tail_ckpt(stats[0].blocks)
         if probe is None:
             continue
         since += 1
