@@ -152,10 +152,13 @@ def _resume_and_check(fixtures_dir, tmp_path, ckpt, full_cfgs, stats_head,
 def test_fleet_checkpoint_resume_bit_identical(fixtures_dir, tmp_path):
     from gpssim_tpu.fleet import run_fleet
 
-    full = _fleet_cfgs(fixtures_dir, tmp_path, "full")
+    # 1.03 Msps keeps the three fleet runs (full, head, tail) and their
+    # compiled programs small — same code path, ~1/3 the samples.
+    kw = dict(duration_sec=4.0, sample_rate=1_030_000)
+    full = _fleet_cfgs(fixtures_dir, tmp_path, "full", **kw)
     run_fleet(full)  # uninterrupted reference streams
 
-    head = _fleet_cfgs(fixtures_dir, tmp_path, "head")
+    head = _fleet_cfgs(fixtures_dir, tmp_path, "head", **kw)
     ckpt = str(tmp_path / "fleet.npz")
     stats = _run_fleet_interrupted(head, ckpt)
     assert all(0 < st.blocks < full[0].num_epochs - 1 for st in stats)
