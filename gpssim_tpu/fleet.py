@@ -473,8 +473,15 @@ def run_fleet(
 
                         from .runner import DeviceProbe
 
+                        # The probe window is W MEMBER-blocks, i.e.
+                        # W/len(cfgs) seconds*10 of FLEET signal time —
+                        # the health threshold must use fleet time, or
+                        # an N-member fleet's probe is N x too lenient
+                        # (a device path at 1/N of the needed rate would
+                        # read "healthy"; the 8-stream bench took a sink
+                        # underrun from exactly that false failback).
                         probe = (
-                            DeviceProbe(probe_dispatch, W)
+                            DeviceProbe(probe_dispatch, W / len(cfgs))
                             if cfg0.failback_probe_sec > 0 else None
                         )
                         if fsnap is not None:
@@ -600,7 +607,8 @@ def _fleet_native_tail(
             return False
     # Probe cadence in written blocks: the fleet writes N member-blocks
     # per 0.1 s of signal time.
-    probe_every = max(1, int(cfg0.failback_probe_sec * 10 * len(cfgs)))
+    probe_every = max(1, int(cfg0.failback_probe_sec * 10 * len(cfgs)
+                             * supervisor.probe_backoff))
     since = 0
     buf: deque = deque()  # probed (member, plan) awaiting native write
     writes = 0
@@ -636,15 +644,24 @@ def _fleet_native_tail(
         since += 1
         verdict = probe.poll()
         if verdict == "healthy":
-            supervisor.failed_over = False
-            supervisor._strikes = 0
+            supervisor.note_failback()
             agg.failbacks += 1
             agg.events.append(
-                "device path probe held a full window at >= "
-                f"{DeviceProbe.MARGIN:g}x realtime -> failing the fleet "
-                "back to the batched device pipeline"
+                f"device path probe held {DeviceProbe.CONFIRM} "
+                f"consecutive windows at >= {DeviceProbe.MARGIN:g}x "
+                "realtime -> failing the fleet back to the batched "
+                "device pipeline"
             )
             return True
+        if verdict == "confirm":
+            # First healthy window: confirm back-to-back (see the
+            # single-scenario runner) so one burst into drained
+            # transport buffers cannot trigger a false failback.
+            tagged = list(itertools.islice(it, window))
+            if tagged:
+                buf.extend(tagged)
+                probe.start([p for _, p in tagged])
+            continue
         if verdict == "pending":
             continue
         if verdict == "slow":

@@ -88,6 +88,14 @@ class RealtimeSupervisor:
     #: beyond the FULL budget — the sink is starving NOW — skips grace.
     ACT_FRACTION = 0.5
 
+    #: a failback that fails over AGAIN within this much written signal
+    #: (blocks of 0.1 s) is a flap: each flap doubles the failback probe
+    #: interval (capped), so a marginal transport is probed — and risks
+    #: disturbing the stream — progressively less often. A failback that
+    #: survives past the window resets the interval.
+    FLAP_WINDOW_BLOCKS = 300
+    PROBE_BACKOFF_CAP = 8
+
     def __init__(self, cfg: SimConfig, sink: Sink, stats: RunStats):
         self.cfg = cfg
         self.sink = sink
@@ -100,6 +108,15 @@ class RealtimeSupervisor:
             )
         self.failed_over = False
         self._strikes = 0
+        self.probe_backoff = 1
+        self._last_failback_blocks: int | None = None
+
+    def note_failback(self) -> None:
+        """Record a probe-driven failback (flap accounting: the next
+        failover within FLAP_WINDOW_BLOCKS doubles the probe interval)."""
+        self.failed_over = False
+        self._strikes = 0
+        self._last_failback_blocks = self.stats.blocks
 
     def _event(self, msg: str) -> None:
         logger.warning("realtime: %s", msg)
@@ -155,6 +172,13 @@ class RealtimeSupervisor:
                 msg + "; native sequential engine unavailable, cannot "
                 "fail over (tools/build_native.sh)"
             )
+        if self._last_failback_blocks is not None:
+            flapped = (self.stats.blocks - self._last_failback_blocks
+                       < self.FLAP_WINDOW_BLOCKS)
+            self.probe_backoff = (
+                min(self.probe_backoff * 2, self.PROBE_BACKOFF_CAP)
+                if flapped else 1
+            )
         self.failed_over = True
         self.stats.failovers += 1
         self._event(
@@ -186,11 +210,20 @@ class DeviceProbe:
     #: supervisor's deficit band
     MARGIN = 2.0
 
-    def __init__(self, dispatch, window_blocks: int):
+    #: consecutive healthy windows required before failing back. ONE
+    #: window can burst at margin on transport buffer headroom alone —
+    #: the 8-stream fleet bench took its only sink underrun from exactly
+    #: that false failback — so the caller launches the confirmation
+    #: window back-to-back, where it cannot ride buffers the first
+    #: window just drained.
+    CONFIRM = 2
+
+    def __init__(self, dispatch, window_blocks: float):
         self._dispatch = dispatch  # plans -> device value (async)
         self._window = window_blocks
         self._done: "threading.Event | None" = None
         self._dt: list = []
+        self._streak = 0
 
     def start(self, plans) -> None:
         """Probe a window (plans are NOT consumed — the caller still
@@ -228,7 +261,9 @@ class DeviceProbe:
 
     def poll(self) -> str:
         """'idle' (no probe started / previous verdict consumed),
-        'pending', 'healthy', or 'slow'."""
+        'pending', 'confirm' (window healthy — start the next probe
+        immediately; CONFIRM consecutive windows prove the path),
+        'healthy' (confirmed — fail back), or 'slow'."""
         if self._done is None:
             return "idle"
         if not self._done.is_set():
@@ -236,7 +271,12 @@ class DeviceProbe:
         dt = self._dt[0] if self._dt else None
         self._done = None
         if dt is not None and dt <= self._window * 0.1 / self.MARGIN:
-            return "healthy"
+            self._streak += 1
+            if self._streak >= self.CONFIRM:
+                self._streak = 0
+                return "healthy"
+            return "confirm"
+        self._streak = 0
         return "slow"
 
 
@@ -726,7 +766,8 @@ def _native_until_failback(
 
     write_block = _make_native_writer(cfg, sink, stats, t0, base_index,
                                       t_act)
-    probe_every = max(1, int(cfg.failback_probe_sec * 10))
+    probe_every = max(1, int(cfg.failback_probe_sec * 10
+                             * supervisor.probe_backoff))
     since = 0
     buf: deque = deque()  # probed plans awaiting their native write
     while True:
@@ -751,17 +792,25 @@ def _native_until_failback(
         since += 1
         verdict = probe.poll()
         if verdict == "healthy":
-            supervisor.failed_over = False
-            supervisor._strikes = 0
+            supervisor.note_failback()
             stats.failbacks += 1
             msg = (
-                "device path probe held a full window at >= "
-                f"{DeviceProbe.MARGIN:g}x realtime -> failing back to "
-                "the batched device pipeline"
+                f"device path probe held {DeviceProbe.CONFIRM} "
+                f"consecutive windows at >= {DeviceProbe.MARGIN:g}x "
+                "realtime -> failing back to the batched device pipeline"
             )
             logger.info("realtime: %s", msg)
             stats.events.append(msg)
             return True
+        if verdict == "confirm":
+            # First healthy window: launch the confirmation probe
+            # back-to-back (DeviceProbe.CONFIRM) so the verdict measures
+            # sustained rate, not one burst into drained buffers.
+            plans = list(itertools.islice(it, window))
+            if plans:
+                buf.extend(plans)
+                probe.start(plans)
+            continue
         if verdict == "pending":
             continue  # never stack fetches on a possibly-sick transport
         if verdict == "slow":

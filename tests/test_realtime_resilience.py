@@ -379,21 +379,67 @@ def test_device_probe_verdicts():
 
     probe = DeviceProbe(lambda plans: None, window_blocks=4)
     assert probe.poll() == "idle"
+
+    def finish(dt_list):
+        probe._done = threading.Event()
+        probe._done.set()
+        probe._dt = dt_list
+
     # threshold = 4 * 0.1 / 2.0 = 0.2 s
     probe._done = threading.Event()
     assert probe.poll() == "pending"
-    probe._done.set()
-    probe._dt = [0.1]
+    # One healthy window asks for back-to-back confirmation; the
+    # CONFIRM'th consecutive one proves the path (a single window can
+    # burst at margin on transport buffer headroom alone).
+    finish([0.1])
+    assert probe.poll() == "confirm"
+    finish([0.1])
     assert probe.poll() == "healthy"
     assert probe.poll() == "idle"  # verdict consumed
-    probe._done = threading.Event()
-    probe._done.set()
-    probe._dt = [0.5]
+    finish([0.5])
     assert probe.poll() == "slow"
-    probe._done = threading.Event()
-    probe._done.set()
-    probe._dt = []  # fetch raised: a dead probe is just "slow"
+    finish([])  # fetch raised: a dead probe is just "slow"
     assert probe.poll() == "slow"
+    # A slow window resets the confirmation streak: healthy, slow,
+    # healthy must NOT fail back.
+    finish([0.1])
+    assert probe.poll() == "confirm"
+    finish([0.5])
+    assert probe.poll() == "slow"
+    finish([0.1])
+    assert probe.poll() == "confirm"
+    finish([0.19])
+    assert probe.poll() == "healthy"
+
+
+def test_supervisor_flap_backoff():
+    """A failback that fails over again within FLAP_WINDOW_BLOCKS
+    doubles the probe interval (capped); a failback that survives past
+    the window resets it. Deterministic via the injected clock."""
+    if not _seq_available():
+        pytest.skip("native engine unavailable (failover would raise)")
+    stats = RunStats()
+    sup = RealtimeSupervisor(_cfg(), _StubSink(), stats)
+    assert sup.probe_backoff == 1
+
+    def force_failover():
+        # lag >= full budget acts on the first strike
+        assert sup.check(T0, now=T0 + stats.blocks * 0.1 + 1.0) == "failover"
+
+    force_failover()          # initial failover: no failback yet
+    assert sup.probe_backoff == 1
+    sup.note_failback()
+    stats.blocks += 10        # flap: well inside the window
+    force_failover()
+    assert sup.probe_backoff == 2
+    sup.note_failback()
+    stats.blocks += 10
+    force_failover()
+    assert sup.probe_backoff == 4
+    sup.note_failback()
+    stats.blocks += RealtimeSupervisor.FLAP_WINDOW_BLOCKS + 1
+    force_failover()          # survived past the window: reset
+    assert sup.probe_backoff == 1
 
 
 def test_realtime_failback_resumes_device_and_stream_identical(
@@ -418,9 +464,13 @@ def test_realtime_failback_resumes_device_and_stream_identical(
     monkeypatch.setattr(DeviceProbe, "MARGIN", 0.02)
     throttle = _throttled_pack(monkeypatch)
     rate = 1_030_000
+    # 14 s leaves runway for the CONFIRM=2 probe pair: the first probe's
+    # fetch queues behind the two unread pre-failover batches (~2 s each
+    # on the virtual device), and the confirmation window launches only
+    # after that verdict lands.
     cfg = _scenario_cfg(
         fixtures_dir, tmp_path, "fb.bin",
-        duration_sec=10.0, sample_rate=rate,
+        duration_sec=14.0, sample_rate=rate,
         backend=SynthBackend.JAX, realtime=True, fifo_depth=8,
         failback_probe_sec=0.5,
     )
